@@ -1,0 +1,193 @@
+"""ctypes binding to the system libzstd for the zstd-compat entropy backend.
+
+The reference entropy stage is klauspost/compress zstd at ``SpeedFastest``
+with frame checksums left on (reference: internal/compress/compress.go:113-122
+and PERFORMANCE.md E033). Any standard zstd frame is interchangeable on the
+wire, so binding the system libzstd keeps our FQZ v1/v2 containers readable
+by the Go fqpack binary and vice versa.
+
+``SpeedFastest`` corresponds to libzstd level 1; frames are written with the
+content size and a frame checksum, matching the reference's integrity
+posture.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import threading
+
+_lib = None
+_lib_lock = threading.Lock()
+
+# ZSTD_cParameter / ZSTD_dParameter enum values (zstd.h, stable API).
+_ZSTD_c_compressionLevel = 100
+_ZSTD_c_checksumFlag = 201
+
+_ZSTD_CONTENTSIZE_UNKNOWN = 2**64 - 1
+_ZSTD_CONTENTSIZE_ERROR = 2**64 - 2
+
+DEFAULT_LEVEL = 1  # SpeedFastest equivalent
+
+
+class ZstdError(RuntimeError):
+    pass
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+        lib = ctypes.CDLL(name)
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_getErrorName.restype = ctypes.c_char_p
+        lib.ZSTD_getErrorName.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+        lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+        lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+        lib.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
+        lib.ZSTD_CCtx_setParameter.restype = ctypes.c_size_t
+        lib.ZSTD_CCtx_setParameter.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.ZSTD_compress2.restype = ctypes.c_size_t
+        lib.ZSTD_compress2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ZSTD_decompressDCtx.restype = ctypes.c_size_t
+        lib.ZSTD_decompressDCtx.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+        lib.ZSTD_getFrameContentSize.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ZSTD_versionNumber.restype = ctypes.c_uint
+        _lib = lib
+        return lib
+
+
+def _check(lib, code: int) -> int:
+    if lib.ZSTD_isError(code):
+        raise ZstdError(lib.ZSTD_getErrorName(code).decode())
+    return code
+
+
+class ZstdCodec:
+    """One compression + decompression context pair.
+
+    Like the reference, one instance is owned per worker and reused across
+    blocks (compress.go:281-285); contexts are not thread-safe, so each
+    thread must own its own ``ZstdCodec``.
+    """
+
+    def __init__(self, level: int = DEFAULT_LEVEL, checksum: bool = True):
+        self._lib = _load()
+        self._cctx = self._lib.ZSTD_createCCtx()
+        self._dctx = self._lib.ZSTD_createDCtx()
+        if not self._cctx or not self._dctx:
+            raise ZstdError("failed to create zstd context")
+        _check(
+            self._lib,
+            self._lib.ZSTD_CCtx_setParameter(
+                self._cctx, _ZSTD_c_compressionLevel, level
+            ),
+        )
+        _check(
+            self._lib,
+            self._lib.ZSTD_CCtx_setParameter(
+                self._cctx, _ZSTD_c_checksumFlag, 1 if checksum else 0
+            ),
+        )
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        if lib is None:
+            return
+        if getattr(self, "_cctx", None):
+            lib.ZSTD_freeCCtx(self._cctx)
+            self._cctx = None
+        if getattr(self, "_dctx", None):
+            lib.ZSTD_freeDCtx(self._dctx)
+            self._dctx = None
+
+    def compress(self, data) -> bytes:
+        """Compress bytes-like data into a single zstd frame."""
+        data = bytes(data) if not isinstance(data, (bytes, bytearray, memoryview)) else data
+        src = (ctypes.c_char * len(data)).from_buffer_copy(data) if len(data) else None
+        bound = self._lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = _check(
+            self._lib,
+            self._lib.ZSTD_compress2(
+                self._cctx, dst, bound, src, len(data)
+            ),
+        )
+        return dst.raw[:n]
+
+    def decompress(self, data, expected_size: int | None = None) -> bytes:
+        """Decompress a single zstd frame (frame checksum verified)."""
+        data = bytes(data) if not isinstance(data, (bytes, bytearray, memoryview)) else data
+        if len(data) == 0:
+            return b""
+        src = (ctypes.c_char * len(data)).from_buffer_copy(data)
+        size = expected_size
+        if size is None:
+            got = self._lib.ZSTD_getFrameContentSize(src, len(data))
+            if got in (_ZSTD_CONTENTSIZE_UNKNOWN, _ZSTD_CONTENTSIZE_ERROR):
+                # Fall back to growing buffer via streaming-free retry.
+                size = max(4 * len(data), 1 << 16)
+            else:
+                size = got
+        while True:
+            dst = ctypes.create_string_buffer(max(size, 1))
+            code = self._lib.ZSTD_decompressDCtx(
+                self._dctx, dst, size, src, len(data)
+            )
+            if self._lib.ZSTD_isError(code):
+                name = self._lib.ZSTD_getErrorName(code).decode()
+                if "too small" in name.lower() and expected_size is None:
+                    size *= 4
+                    continue
+                raise ZstdError(name)
+            return dst.raw[:code]
+
+
+_tls = threading.local()
+
+
+def get_codec() -> ZstdCodec:
+    """Thread-local codec instance (one per worker thread)."""
+    codec = getattr(_tls, "codec", None)
+    if codec is None:
+        codec = ZstdCodec()
+        _tls.codec = codec
+    return codec
+
+
+def compress(data, level: int = DEFAULT_LEVEL) -> bytes:
+    if level == DEFAULT_LEVEL:
+        return get_codec().compress(data)
+    return ZstdCodec(level=level).compress(data)
+
+
+def decompress(data, expected_size: int | None = None) -> bytes:
+    return get_codec().decompress(data, expected_size)

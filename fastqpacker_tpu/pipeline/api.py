@@ -1,0 +1,192 @@
+"""Top-level compress/decompress pipeline.
+
+Mirrors the reference pipeline shape (internal/compress/compress.go:125-288):
+quality encoding detected from the first block only and recorded as a
+file-wide flag, then blocks are encoded independently and written in input
+order. The goroutine producer/worker/collector machinery maps to a thread
+pool with an ordered collector here (numpy and libzstd release the GIL);
+the TPU pipeline in :mod:`fastqpacker_tpu.pipeline.device` replaces the
+per-block dense transforms with device kernels and double-buffered
+transfers.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..format import container
+from ..ops import reference as refops
+from ..parser.fastq import FastqStreamParser, RecordBlock
+from ..entropy import zstd as zstd_entropy
+from . import blocks as blockcodec
+
+DEFAULT_BLOCK_SIZE = 100000  # compress.go:71
+
+
+@dataclass
+class Options:
+    """Compression options (compress.go:74-77)."""
+
+    block_size: int = DEFAULT_BLOCK_SIZE
+    workers: int = 0  # 0 -> os.cpu_count()
+    version: int = container.CURRENT_VERSION
+
+
+@dataclass
+class DecompressOptions:
+    workers: int = 0
+
+
+def _resolve_workers(workers: int) -> int:
+    return workers if workers > 0 else (os.cpu_count() or 1)
+
+
+def compress(
+    r: BinaryIO,
+    w: BinaryIO,
+    opts: Optional[Options] = None,
+    encode_arrays=refops.encode_block_arrays,
+) -> None:
+    """Compress FASTQ from ``r`` into an FQZ container on ``w``."""
+    opts = opts or Options()
+    block_size = opts.block_size or DEFAULT_BLOCK_SIZE
+    workers = _resolve_workers(opts.workers)
+    version = opts.version
+
+    parser = FastqStreamParser(r, block_size=block_size)
+    block_iter = parser.blocks()
+
+    first_block: Optional[RecordBlock] = None
+    for blk in block_iter:
+        first_block = blk
+        break
+
+    # Encoding detection from the first block only (compress.go:137-154).
+    qual_offset = refops.PHRED33_OFFSET
+    if first_block is not None and first_block.n > 0:
+        qual_offset = refops.detect_encoding(
+            first_block.qual, first_block.lengths
+        )
+
+    flags = 0
+    if qual_offset == refops.PHRED64_OFFSET:
+        flags |= container.FLAG_PHRED64
+    container.FileHeader(
+        version=version, block_size=block_size, flags=flags
+    ).write(w)
+
+    if first_block is None:
+        return
+
+    def all_blocks():
+        yield first_block
+        yield from block_iter
+
+    def encode_one(blk: RecordBlock) -> bytes:
+        raw = blockcodec.block_to_raw_streams(
+            blk, qual_offset, encode_arrays=encode_arrays
+        )
+        codec = zstd_entropy.get_codec()
+        return blockcodec.compress_raw_streams(raw, codec, version)
+
+    if workers <= 1:
+        for blk in all_blocks():
+            w.write(encode_one(blk))
+        return
+
+    # Bounded in-flight window keeps ordered output and caps memory, the
+    # analog of the reference's buffered channels (compress.go:241-242).
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        max_inflight = workers * 2
+        for blk in all_blocks():
+            pending.append(pool.submit(encode_one, blk))
+            while len(pending) >= max_inflight:
+                w.write(pending.pop(0).result())
+        for fut in pending:
+            w.write(fut.result())
+
+
+def decompress(
+    r: BinaryIO,
+    w: BinaryIO,
+    opts: Optional[DecompressOptions] = None,
+    decode_arrays=refops.decode_block_arrays,
+) -> None:
+    """Decompress an FQZ container from ``r`` into FASTQ text on ``w``."""
+    opts = opts or DecompressOptions()
+    workers = _resolve_workers(opts.workers)
+
+    fh = container.read_file_header(r)
+    if fh.version not in (
+        container.VERSION_1,
+        container.VERSION_2,
+        container.VERSION_3_NATIVE,
+    ):
+        raise container.FormatError(f"unsupported file version: {fh.version}")
+    qual_offset = (
+        refops.PHRED64_OFFSET if fh.phred64 else refops.PHRED33_OFFSET
+    )
+
+    if fh.version == container.VERSION_3_NATIVE:
+        from . import native
+
+        native.decompress_native(r, w, fh, qual_offset, workers)
+        return
+
+    def read_jobs():
+        while True:
+            hdr = container.read_block_header(r, fh.version)
+            if hdr is None:
+                return
+            payload_size = sum(hdr.stream_sizes(fh.version))
+            payload = r.read(payload_size)
+            if len(payload) < payload_size:
+                raise container.FormatError("truncated block payload")
+            yield hdr, payload
+
+    def decode_one(job) -> bytes:
+        hdr, payload = job
+        codec = zstd_entropy.get_codec()
+        ds = blockcodec.decode_streams(hdr, payload, fh.version, codec)
+        return blockcodec.streams_to_fastq(
+            ds, qual_offset, decode_arrays=decode_arrays
+        )
+
+    if workers <= 1:
+        for job in read_jobs():
+            w.write(decode_one(job))
+        return
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        max_inflight = workers * 2
+        for job in read_jobs():
+            pending.append(pool.submit(decode_one, job))
+            while len(pending) >= max_inflight:
+                w.write(pending.pop(0).result())
+        for fut in pending:
+            w.write(fut.result())
+
+
+def compress_bytes(data: bytes, opts: Optional[Options] = None) -> bytes:
+    import io
+
+    out = io.BytesIO()
+    compress(io.BytesIO(data), out, opts)
+    return out.getvalue()
+
+
+def decompress_bytes(
+    data: bytes, opts: Optional[DecompressOptions] = None
+) -> bytes:
+    import io
+
+    out = io.BytesIO()
+    decompress(io.BytesIO(data), out, opts)
+    return out.getvalue()
