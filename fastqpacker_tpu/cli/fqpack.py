@@ -1,0 +1,172 @@
+"""fqpack CLI: compress and decompress FASTQ files.
+
+Same flag surface as the reference CLI (cmd/fqpack/main.go:65-101):
+``fqpack [-d] [-i in] [-o out] [-c] [-b blocksize] [-w workers]
+[-version] [-h]`` plus positional input/output paths; stdin/stdout
+defaults; transparent gzip input in compress mode only
+(main.go:123-174).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import BinaryIO, Callable
+
+from .. import __version__
+from ..format import container
+from ..parser.fastq import FastqParseError
+from ..pipeline import api
+from ..utils import gzipio
+
+BUFFER_SIZE = 1 << 20
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fqpack",
+        description="Fast TPU-native FASTQ compression tool",
+        add_help=False,
+    )
+    p.add_argument("-d", action="store_true", dest="decompress",
+                   help="decompress mode")
+    p.add_argument("-i", dest="input", default="",
+                   help="input file (default: stdin)")
+    p.add_argument("-o", dest="output", default="",
+                   help="output file (default: stdout)")
+    p.add_argument("-c", action="store_true", dest="to_stdout",
+                   help="write to stdout (compress mode)")
+    p.add_argument("-b", dest="block_size", type=int,
+                   default=api.DEFAULT_BLOCK_SIZE, help="records per block")
+    p.add_argument("-w", dest="workers", type=int, default=0,
+                   help="compression workers (default: NumCPU)")
+    p.add_argument("-version", action="store_true", dest="show_version",
+                   help="show version and exit")
+    p.add_argument("-h", "--help", action="store_true", dest="show_help",
+                   help="show help")
+    p.add_argument("--backend", choices=["auto", "cpu", "tpu"],
+                   default="auto",
+                   help="compute backend for block transforms")
+    p.add_argument("--format", choices=["zstd", "native"], default="zstd",
+                   dest="wire_format",
+                   help="container flavor: zstd (fqpack-compatible v2) or "
+                        "native (TPU rANS v3)")
+    p.add_argument("positional", nargs="*", default=[])
+    return p
+
+
+def open_input(path: str, decompress: bool) -> tuple[BinaryIO, Callable[[], None]]:
+    if path in ("", "-"):
+        raw = sys.stdin.buffer
+        if decompress:
+            return raw, lambda: None
+        return gzipio.wrap_input_maybe_gzip(path, raw), lambda: None
+    try:
+        f = open(path, "rb")
+    except OSError as e:
+        raise RuntimeError(f"cannot open input: {e}") from e
+    if decompress:
+        return f, f.close
+    wrapped = gzipio.wrap_input_maybe_gzip(path, f)
+    return wrapped, f.close
+
+
+def open_output(path: str, to_stdout: bool) -> tuple[BinaryIO, Callable[[], None]]:
+    if path in ("", "-") or to_stdout:
+        out = sys.stdout.buffer
+        return out, out.flush
+    try:
+        f = open(path, "wb", buffering=BUFFER_SIZE)
+    except OSError as e:
+        raise RuntimeError(f"cannot create output: {e}") from e
+    return f, f.close
+
+
+def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
+    if args.decompress:
+        api.decompress(inp, out, api.DecompressOptions(workers=args.workers))
+        return
+    version = (
+        container.VERSION_3_NATIVE
+        if args.wire_format == "native"
+        else container.CURRENT_VERSION
+    )
+    use_device = args.backend == "tpu" or (
+        args.backend == "auto" and _tpu_available()
+    )
+    if use_device or version == container.VERSION_3_NATIVE:
+        from ..pipeline import device
+
+        device.compress_device(
+            inp,
+            out,
+            api.Options(
+                block_size=args.block_size,
+                workers=args.workers,
+                version=version,
+            ),
+        )
+        return
+    api.compress(
+        inp,
+        out,
+        api.Options(
+            block_size=args.block_size, workers=args.workers, version=version
+        ),
+    )
+
+
+def _tpu_available() -> bool:
+    if os.environ.get("FQZ_FORCE_CPU"):
+        return False
+    try:
+        import jax
+
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+
+    if args.show_help:
+        parser.print_help(sys.stderr)
+        return 0
+    if args.show_version:
+        print(f"fqpack version {__version__}")
+        return 0
+
+    if args.positional:
+        if not args.input:
+            args.input = args.positional[0]
+        if len(args.positional) > 1 and not args.output:
+            args.output = args.positional[1]
+
+    try:
+        inp, close_in = open_input(args.input, args.decompress)
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    try:
+        out, close_out = open_output(args.output, args.to_stdout)
+    except RuntimeError as e:
+        close_in()
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    try:
+        execute(args, inp, out)
+    except (container.FormatError, FastqParseError, ValueError, OSError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    finally:
+        close_out()
+        close_in()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
