@@ -325,6 +325,8 @@ def streams_to_fastq(
     if len(n_rows):
         if np.any(n_pos >= lengths[n_rows]):
             raise container.FormatError("invalid N position data")
+        if not seq_ascii.flags.writeable:  # device-backed arrays are read-only
+            seq_ascii = seq_ascii.copy()
         seq_ascii[n_rows, n_pos] = ord("N")
 
     hdr_starts, hdr_lens = parse_len16_stream(ds.headers, r, "header")
