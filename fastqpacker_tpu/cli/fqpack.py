@@ -84,16 +84,22 @@ def open_output(path: str, to_stdout: bool) -> tuple[BinaryIO, Callable[[], None
 
 
 def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
+    use_device = args.backend == "tpu" or (
+        args.backend == "auto" and _tpu_available()
+    )
     if args.decompress:
-        api.decompress(inp, out, api.DecompressOptions(workers=args.workers))
+        dopts = api.DecompressOptions(workers=args.workers)
+        if use_device:
+            from ..pipeline import device
+
+            device.decompress_device(inp, out, dopts)
+        else:
+            api.decompress(inp, out, dopts)
         return
     version = (
         container.VERSION_3_NATIVE
         if args.wire_format == "native"
         else container.CURRENT_VERSION
-    )
-    use_device = args.backend == "tpu" or (
-        args.backend == "auto" and _tpu_available()
     )
     if use_device or version == container.VERSION_3_NATIVE:
         from ..pipeline import device

@@ -80,7 +80,7 @@ def pack_bits_le(bits: jax.Array) -> jax.Array:
     return jnp.sum(b << shifts, axis=-1, dtype=jnp.uint8)
 
 
-@partial(jax.jit, static_argnames=("qual_offset",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("qual_offset",))
 def encode_arrays_jit(
     seq: jax.Array,
     qual: jax.Array,
@@ -136,7 +136,7 @@ def unpack_2bit(packed: jax.Array, out_len: int) -> jax.Array:
     return codes.reshape(r, -1)[:, :out_len]
 
 
-@partial(jax.jit, static_argnames=("qual_offset",), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("qual_offset",))
 def decode_arrays_jit(
     packed: jax.Array,
     qual_delta: jax.Array,

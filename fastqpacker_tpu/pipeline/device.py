@@ -1,0 +1,221 @@
+"""TPU device pipeline: block scheduler with host/device overlap.
+
+The TPU replacement for the reference's producer/worker/collector goroutine
+machinery (compress.go:240-403): the main thread parses and dispatches
+blocks to the device (JAX async dispatch keeps the chip busy ahead of the
+host), while a small thread pool overlaps the host-side stream assembly +
+entropy coding of completed blocks with the parse of upcoming ones; an
+ordered in-flight window writes blocks in input order, the analog of the
+seqNum collector (compress.go:365-403).
+
+Shapes are bucketed — records padded to the block size, read length to the
+next multiple of ``LEN_BUCKET`` — so each bucket compiles exactly once
+(static shapes; XLA specializes per shape).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..format import container
+from ..ops import device as devops
+from ..ops import reference as refops
+from ..parser.fastq import QUAL_PAD, SEQ_PAD, FastqStreamParser, RecordBlock
+from ..entropy import zstd as zstd_entropy
+from . import api
+from . import blocks as blockcodec
+
+LEN_BUCKET = 32
+
+
+def _bucket_len(l: int) -> int:
+    return max(LEN_BUCKET, -(-l // LEN_BUCKET) * LEN_BUCKET)
+
+
+def pad_block(
+    blk: RecordBlock, r_pad: int, l_pad: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a parsed block to the (r_pad, l_pad) shape bucket."""
+    seq = np.full((r_pad, l_pad), SEQ_PAD, dtype=np.uint8)
+    qual = np.full((r_pad, l_pad), QUAL_PAD, dtype=np.uint8)
+    lengths = np.zeros(r_pad, dtype=np.int32)
+    seq[: blk.n, : blk.max_len] = blk.seq
+    qual[: blk.n, : blk.max_len] = blk.qual
+    lengths[: blk.n] = blk.lengths
+    return seq, qual, lengths
+
+
+def encode_block_device(
+    blk: RecordBlock, qual_offset: int, r_pad: int
+):
+    """Dispatch one block's dense encode to the device (async)."""
+    l_pad = _bucket_len(blk.max_len) if blk.max_len else LEN_BUCKET
+    seq, qual, lengths = pad_block(blk, r_pad, l_pad)
+    refops.check_ambiguous_overflow(blk.seq, blk.lengths.astype(np.int64))
+    return devops.encode_arrays_jit(seq, qual, lengths, qual_offset)
+
+
+def device_result_to_streams(
+    blk: RecordBlock, enc, qual_offset: int
+) -> blockcodec.RawStreams:
+    """Fetch device outputs and assemble the block's wire streams on host."""
+    n = blk.n
+    lengths = blk.lengths.astype(np.int64)
+    packed = np.asarray(enc.packed)[:n]
+    nmask_bits = np.asarray(enc.nmask_bits)[:n]
+    n_counts = np.asarray(enc.n_counts)[:n]
+    qual_delta = np.asarray(enc.qual_delta)[:n]
+
+    from ..utils import varlen
+
+    plens = blockcodec.packed_lengths(lengths)
+    return blockcodec.RawStreams(
+        seq=varlen.flatten_rows(packed, plens).tobytes(),
+        qual=varlen.flatten_rows(qual_delta, lengths).tobytes(),
+        headers=blk.header_stream(),
+        plus=blk.plus_stream(),
+        npos=blockcodec.build_npos_stream(
+            nmask_bits, n_counts, qual_delta.shape[1]
+        ),
+        lengths=lengths.astype("<u4").tobytes(),
+        num_records=n,
+        original_seq_size=int(lengths.sum()),
+        original_qual_size=int(lengths.sum()),
+    )
+
+
+def compress_device(
+    r: BinaryIO, w: BinaryIO, opts: Optional[api.Options] = None
+) -> None:
+    """Compress FASTQ using the TPU for the dense block transforms."""
+    opts = opts or api.Options()
+    block_size = opts.block_size or api.DEFAULT_BLOCK_SIZE
+    version = opts.version
+
+    if version == container.VERSION_3_NATIVE:
+        from . import native
+
+        native.compress_native(r, w, opts)
+        return
+
+    parser = FastqStreamParser(r, block_size=block_size)
+    block_iter = parser.blocks()
+
+    first_block: Optional[RecordBlock] = None
+    for blk in block_iter:
+        first_block = blk
+        break
+
+    qual_offset = refops.PHRED33_OFFSET
+    if first_block is not None and first_block.n > 0:
+        qual_offset = refops.detect_encoding(
+            first_block.qual, first_block.lengths
+        )
+    flags = (
+        container.FLAG_PHRED64
+        if qual_offset == refops.PHRED64_OFFSET
+        else 0
+    )
+    container.FileHeader(
+        version=version, block_size=block_size, flags=flags
+    ).write(w)
+    if first_block is None:
+        return
+
+    def all_blocks():
+        yield first_block
+        yield from block_iter
+
+    def finish(blk: RecordBlock, enc) -> bytes:
+        raw = device_result_to_streams(blk, enc, qual_offset)
+        return blockcodec.compress_raw_streams(
+            raw, zstd_entropy.get_codec(), version
+        )
+
+    # Parse+dispatch on the main thread; assemble+entropy-code on workers.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pending = []
+        for blk in all_blocks():
+            enc = encode_block_device(blk, qual_offset, block_size)
+            pending.append(pool.submit(finish, blk, enc))
+            while len(pending) >= 3:
+                w.write(pending.pop(0).result())
+        for fut in pending:
+            w.write(fut.result())
+
+
+def decompress_device(
+    r: BinaryIO, w: BinaryIO, opts: Optional[api.DecompressOptions] = None
+) -> None:
+    """Decompress an FQZ container using the TPU for dense transforms."""
+    opts = opts or api.DecompressOptions()
+    fh = container.read_file_header(r)
+    if fh.version == container.VERSION_3_NATIVE:
+        from . import native
+
+        native.decompress_native(r, w, fh, _offset(fh), 0)
+        return
+    if fh.version not in (container.VERSION_1, container.VERSION_2):
+        raise container.FormatError(f"unsupported file version: {fh.version}")
+    qual_offset = _offset(fh)
+    r_pad = max(int(fh.block_size), 1)
+
+    def read_jobs():
+        while True:
+            hdr = container.read_block_header(r, fh.version)
+            if hdr is None:
+                return
+            payload_size = sum(hdr.stream_sizes(fh.version))
+            payload = r.read(payload_size)
+            if len(payload) < payload_size:
+                raise container.FormatError("truncated block payload")
+            yield hdr, payload
+
+    from ..utils import varlen
+
+    def decode_one(job) -> bytes:
+        hdr, payload = job
+        ds = blockcodec.decode_streams(
+            hdr, payload, fh.version, zstd_entropy.get_codec()
+        )
+        return blockcodec.streams_to_fastq(
+            ds, qual_offset, decode_arrays=_padded_decoder(r_pad)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        pending = []
+        for job in read_jobs():
+            pending.append(pool.submit(decode_one, job))
+            while len(pending) >= 3:
+                w.write(pending.pop(0).result())
+        for fut in pending:
+            w.write(fut.result())
+
+
+def _offset(fh: container.FileHeader) -> int:
+    return refops.PHRED64_OFFSET if fh.phred64 else refops.PHRED33_OFFSET
+
+
+def _padded_decoder(r_pad: int):
+    """Wrap the jitted decoder with shape bucketing (pad R and L)."""
+
+    def decode(packed, qual_delta, lengths, qual_offset):
+        n, l = qual_delta.shape
+        l_pad = _bucket_len(l) if l else LEN_BUCKET
+        p_pad = l_pad // 4
+        rp = max(r_pad, n)
+        pk = np.zeros((rp, p_pad), dtype=np.uint8)
+        qd = np.zeros((rp, l_pad), dtype=np.uint8)
+        ln = np.zeros(rp, dtype=np.int32)
+        pk[:n, : packed.shape[1]] = packed
+        qd[:n, :l] = qual_delta
+        ln[:n] = lengths
+        seq_ascii, qual_ascii = devops.decode_arrays_jit(
+            pk, qd, ln, qual_offset
+        )
+        return np.asarray(seq_ascii)[:n, :l], np.asarray(qual_ascii)[:n, :l]
+
+    return decode
