@@ -1,0 +1,217 @@
+"""End-to-end benchmark: synthetic Illumina-style FASTQ compress throughput.
+
+Prints ONE JSON line with the headline metric (single-host end-to-end
+compress MB/s, baseline: fqpack's 2,967.3 MB/s on an M4 MacBook Pro,
+README.md:19 / BASELINE.md). Additional diagnostics go to stderr.
+
+Usage: python bench.py [--mb 256] [--metric compress|decompress|kernel]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_COMPRESS_MBPS = 2967.3  # BASELINE.md (README.md:19)
+BASELINE_DECOMPRESS_MBPS = 9011.2 / 2.95  # 8.9GB / 2.95s decompress
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def synth_fastq(target_mb: int, read_len: int = 151, seed: int = 42) -> bytes:
+    """Generate realistic-shape Illumina FASTQ wholly in numpy."""
+    rng = np.random.default_rng(seed)
+    # per-record bytes: header ~ 37, seq/qual = read_len+1 each, plus 2
+    rec_bytes = 38 + 2 * (read_len + 1) + 2
+    n = (target_mb << 20) // rec_bytes
+
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    seq = bases[rng.integers(0, 4, size=(n, read_len))]
+    # ~0.1% N positions
+    nmask = rng.random((n, read_len)) < 0.001
+    seq = np.where(nmask, np.uint8(ord("N")), seq)
+
+    # quality: correlated random walk around q30 (compresses like real data)
+    steps = rng.integers(-2, 3, size=(n, read_len))
+    qual = np.clip(33 + 30 + np.cumsum(steps, axis=1) // 3, 33, 74).astype(
+        np.uint8
+    )
+
+    headers = [
+        f"@SIM0.{i} {i % 4}:N:0:ACGTACGT length={read_len}".encode()
+        for i in range(n)
+    ]
+    hlen = np.array([len(h) for h in headers], dtype=np.int64)
+
+    nl = np.uint8(ord("\n"))
+    line_sizes = hlen + 1 + (read_len + 1) + 2 + (read_len + 1)
+    total = int(line_sizes.sum())
+    out = np.empty(total, dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(line_sizes[:-1])))
+    hbuf = np.frombuffer(b"".join(headers), np.uint8)
+    hsrc_offs = np.concatenate(([0], np.cumsum(hlen[:-1])))
+
+    from fastqpacker_tpu.utils import varlen
+
+    varlen.scatter_rows(out, hbuf, offs, hlen)
+    out[offs + hlen] = nl
+    seq_at = offs + hlen + 1
+    col = np.arange(read_len, dtype=np.int64)
+    out[(seq_at[:, None] + col[None, :]).ravel()] = seq.ravel()
+    out[seq_at + read_len] = nl
+    plus_at = seq_at + read_len + 1
+    out[plus_at] = ord("+")
+    out[plus_at + 1] = nl
+    qual_at = plus_at + 2
+    out[(qual_at[:, None] + col[None, :]).ravel()] = qual.ravel()
+    out[qual_at + read_len] = nl
+    return out.tobytes()
+
+
+class NullWriter(io.RawIOBase):
+    def __init__(self):
+        self.nbytes = 0
+
+    def write(self, b) -> int:
+        self.nbytes += len(b)
+        return len(b)
+
+    def writable(self) -> bool:
+        return True
+
+
+def bench_compress(data: bytes, device: bool, repeats: int = 3):
+    import fastqpacker_tpu as fq
+    from fastqpacker_tpu.pipeline import device as devpipe
+
+    opts = fq.Options()
+    run = (
+        (lambda r, w: devpipe.compress_device(r, w, opts))
+        if device
+        else (lambda r, w: fq.compress(r, w, opts))
+    )
+    # warmup (compiles kernels)
+    warm = NullWriter()
+    run(io.BytesIO(data[: 32 << 20]), warm)
+
+    best = float("inf")
+    out_size = 0
+    for _ in range(repeats):
+        w = NullWriter()
+        t0 = time.perf_counter()
+        run(io.BytesIO(data), w)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        out_size = w.nbytes
+    mbps = len(data) / 1e6 / best
+    ratio = len(data) / out_size
+    return mbps, ratio, best
+
+
+def bench_decompress(data: bytes, device: bool, repeats: int = 3):
+    import fastqpacker_tpu as fq
+    from fastqpacker_tpu.pipeline import device as devpipe
+
+    comp = fq.compress_bytes(data)
+    run = (
+        (lambda r, w: devpipe.decompress_device(r, w))
+        if device
+        else (lambda r, w: fq.decompress(r, w))
+    )
+    out = NullWriter()
+    run(io.BytesIO(comp), out)  # warmup
+    assert out.nbytes == len(data), "decompress size mismatch"
+    best = float("inf")
+    for _ in range(repeats):
+        w = NullWriter()
+        t0 = time.perf_counter()
+        run(io.BytesIO(comp), w)
+        best = min(best, time.perf_counter() - t0)
+    return len(data) / 1e6 / best, best
+
+
+def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
+    """Steady-state device encode kernel throughput (data resident)."""
+    import jax
+
+    from fastqpacker_tpu.ops.device import encode_arrays_jit
+
+    rng = np.random.default_rng(0)
+    ab = np.frombuffer(b"ACGT", np.uint8)
+    seq = jax.device_put(ab[rng.integers(0, 4, size=(r, read_len))])
+    qual = jax.device_put(
+        rng.integers(33, 74, size=(r, read_len)).astype(np.uint8)
+    )
+    lengths = jax.device_put(np.full(r, read_len, dtype=np.int32))
+    jax.block_until_ready(encode_arrays_jit(seq, qual, lengths, 33))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        enc = encode_arrays_jit(seq, qual, lengths, 33)
+    jax.block_until_ready(enc)
+    dt = (time.perf_counter() - t0) / steps
+    input_bytes = 2 * r * read_len  # seq + qual
+    return input_bytes / 1e6 / dt
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=256)
+    ap.add_argument(
+        "--metric",
+        choices=["compress", "decompress", "kernel"],
+        default="compress",
+    )
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    device = platform != "cpu" and not args.cpu
+    log(f"platform={platform} devices={jax.devices()} device_pipeline={device}")
+
+    log(f"generating {args.mb} MB synthetic FASTQ ...")
+    t0 = time.perf_counter()
+    data = synth_fastq(args.mb)
+    log(f"generated {len(data)/1e6:.1f} MB in {time.perf_counter()-t0:.2f}s")
+
+    if args.metric == "kernel":
+        mbps = bench_kernel()
+        result = {
+            "metric": "encode_kernel_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_COMPRESS_MBPS, 3),
+        }
+    elif args.metric == "decompress":
+        mbps, best = bench_decompress(data, device, args.repeats)
+        log(f"decompress best={best:.3f}s")
+        result = {
+            "metric": "decompress_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_DECOMPRESS_MBPS, 3),
+        }
+    else:
+        mbps, ratio, best = bench_compress(data, device, args.repeats)
+        log(f"compress best={best:.3f}s ratio={ratio:.2f}x")
+        result = {
+            "metric": "compress_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_COMPRESS_MBPS, 3),
+        }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

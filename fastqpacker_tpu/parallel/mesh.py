@@ -1,0 +1,145 @@
+"""Data-parallel block sharding over a device mesh.
+
+The reference's only parallelism strategy is embarrassingly-parallel
+data-parallelism over independent record blocks (goroutine workers,
+compress.go:240-403). The TPU-native equivalent implemented here:
+
+- a 1-D ``blocks`` mesh axis over all chips (single- or multi-host);
+- block batches sharded row-wise with ``NamedSharding``; the dense encode
+  runs per-shard with no cross-chip traffic (XLA partitions the
+  elementwise program trivially);
+- the ordered-collector step is an ``all_gather`` of per-shard compressed
+  sizes inside the compiled program (riding ICI), from which every shard
+  computes the exclusive-prefix file offsets of its blocks — the
+  deterministic in-order gather design from SURVEY.md §2/§8 (sizes first,
+  then payloads written at offsets).
+
+Multi-host execution initializes ``jax.distributed`` and gives each host
+its own input byte-range (record-aligned); this module is written against
+the mesh abstraction so the same code drives 1 chip, 1 host, or N hosts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import device as devops
+
+BLOCK_AXIS = "blocks"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (BLOCK_AXIS,))
+
+
+def block_sharding(mesh: Mesh) -> NamedSharding:
+    """Rows (records) sharded across chips, columns replicated."""
+    return NamedSharding(mesh, P(BLOCK_AXIS, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+@partial(jax.jit, static_argnames=("qual_offset", "mesh"))
+def encode_sharded(
+    seq: jax.Array,
+    qual: jax.Array,
+    lengths: jax.Array,
+    *,
+    qual_offset: int,
+    mesh: Mesh,
+) -> tuple[devops.DeviceEncoded, jax.Array]:
+    """Sharded encode step + in-program ordered-gather bookkeeping.
+
+    ``seq``/``qual`` are ``(D*R, L)`` batches holding one block of R
+    records per device, sharded on the leading axis. Returns the encoded
+    arrays (still sharded) plus ``offsets``: for every device-block, the
+    exclusive prefix sum of per-block payload sizes — the all-gathered
+    "where does my compressed block land in the file" table
+    (the TPU replacement for the seqNum collector, compress.go:365-403).
+    """
+    def local_encode(seq_l, qual_l, lengths_l):
+        enc = devops.encode_arrays_jit.__wrapped__(
+            seq_l, qual_l, lengths_l, qual_offset
+        )
+        # Per-shard raw payload size: packed seq + qual bytes + u32 lengths
+        # (the dense streams; host-side entropy coding refines this later).
+        plen = (lengths_l.astype(jnp.int32) + 3) // 4
+        local_size = (
+            jnp.sum(plen)
+            + jnp.sum(lengths_l.astype(jnp.int32))
+            + 4 * lengths_l.shape[0]
+        )
+        sizes = jax.lax.all_gather(local_size, BLOCK_AXIS)  # (D,)
+        offsets = jnp.cumsum(sizes) - sizes  # exclusive prefix
+        my_offset = offsets[jax.lax.axis_index(BLOCK_AXIS)][None]
+        return enc, my_offset
+
+    spec = P(BLOCK_AXIS, None)
+    enc, offsets = jax.shard_map(
+        local_encode,
+        mesh=mesh,
+        in_specs=(spec, spec, P(BLOCK_AXIS)),
+        out_specs=(
+            devops.DeviceEncoded(
+                packed=spec,
+                nmask_bits=spec,
+                n_counts=P(BLOCK_AXIS),
+                qual_delta=spec,
+            ),
+            P(BLOCK_AXIS),
+        ),
+    )(seq, qual, lengths)
+    return enc, offsets
+
+
+@partial(jax.jit, static_argnames=("qual_offset", "mesh"))
+def decode_sharded(
+    packed: jax.Array,
+    qual_delta: jax.Array,
+    lengths: jax.Array,
+    *,
+    qual_offset: int,
+    mesh: Mesh,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded dense decode over the blocks axis."""
+    sh = block_sharding(mesh)
+    packed = jax.lax.with_sharding_constraint(packed, sh)
+    qual_delta = jax.lax.with_sharding_constraint(qual_delta, sh)
+    return devops.decode_arrays_jit.__wrapped__(
+        packed, qual_delta, lengths, qual_offset
+    )
+
+
+def encode_blocks_parallel(
+    seq: np.ndarray,
+    qual: np.ndarray,
+    lengths: np.ndarray,
+    qual_offset: int,
+    mesh: Optional[Mesh] = None,
+):
+    """Host-facing helper: shard a (D*R, L) batch and encode on the mesh."""
+    mesh = mesh or make_mesh()
+    d = len(mesh.devices.flat)
+    if seq.shape[0] % d != 0:
+        raise ValueError(
+            f"batch rows {seq.shape[0]} not divisible by {d} devices"
+        )
+    sh = block_sharding(mesh)
+    lsh = NamedSharding(mesh, P(BLOCK_AXIS))
+    seq_d = jax.device_put(seq, sh)
+    qual_d = jax.device_put(qual, sh)
+    len_d = jax.device_put(lengths, lsh)
+    return encode_sharded(
+        seq_d, qual_d, len_d, qual_offset=qual_offset, mesh=mesh
+    )

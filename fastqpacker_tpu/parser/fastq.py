@@ -200,11 +200,37 @@ def _validate_leftover_lines(
             raise FastqParseError(ERR_PLUS)
 
 
+def _native():
+    from ..runtime import bindings
+
+    return bindings if bindings.available() else None
+
+
+def _block_from_offsets(data: np.ndarray, offs: np.ndarray) -> RecordBlock:
+    """Build a RecordBlock from native scan offsets (n, 8)."""
+    n = len(offs)
+    seq_lens = offs[:, 3] if n else np.empty(0, np.int64)
+    seq = varlen.gather_rows(data, offs[:, 2], seq_lens, fill=SEQ_PAD) if n else np.zeros((0, 0), np.uint8)
+    qual = varlen.gather_rows(data, offs[:, 6], seq_lens, fill=QUAL_PAD) if n else np.zeros((0, 0), np.uint8)
+    return RecordBlock(
+        n=n,
+        seq=seq,
+        qual=qual,
+        lengths=seq_lens.astype(np.int32),
+        text=data,
+        header_starts=offs[:, 0] if n else np.empty(0, np.int64),
+        header_lengths=offs[:, 1] if n else np.empty(0, np.int64),
+        plus_starts=offs[:, 4] if n else np.empty(0, np.int64),
+        plus_lengths=offs[:, 5] if n else np.empty(0, np.int64),
+    )
+
+
 class FastqStreamParser:
     """Streaming block parser: yields :class:`RecordBlock` of ``block_size``.
 
     Replaces the reference's producer goroutine + record batches
-    (compress.go:303-363) with chunked reads and vectorized splits.
+    (compress.go:303-363) with chunked reads and a native sequential
+    record scan (numpy vectorized splits as fallback).
     """
 
     def __init__(
@@ -227,7 +253,49 @@ class FastqStreamParser:
         self._pending += chunk
         return True
 
+    def _fill(self, target_bytes: int) -> None:
+        while not self._eof and len(self._pending) < target_bytes:
+            want = max(self.chunk_bytes, target_bytes - len(self._pending))
+            chunk = self.reader.read(want)
+            if not chunk:
+                self._eof = True
+                return
+            self._pending += chunk
+
     def blocks(self) -> Iterator[RecordBlock]:
+        nat = _native()
+        if nat is not None:
+            yield from self._blocks_native(nat)
+        else:
+            yield from self._blocks_numpy()
+
+    def _blocks_native(self, nat) -> Iterator[RecordBlock]:
+        from ..runtime.bindings import SCAN_ERRORS
+
+        avg = 512  # adaptive bytes-per-record estimate
+        while True:
+            target = int(self.block_size * avg * 1.15) + 1024
+            self._fill(target)
+            data = np.frombuffer(self._pending, dtype=np.uint8)
+            if len(data) == 0:
+                return
+            offs, consumed, err = nat.scan_records(data, self.block_size)
+            if err:
+                raise FastqParseError(SCAN_ERRORS[err])
+            n = len(offs) if offs is not None else 0
+            if n < self.block_size and not self._eof:
+                avg *= 2  # underestimated record size; read more
+                continue
+            if n == 0:
+                return  # EOF; partial-record lines already validated by scan
+            block = _block_from_offsets(data, offs)
+            self._pending = data[consumed:].tobytes()
+            avg = max(64, consumed // n)
+            yield block
+            if self._eof and not self._pending:
+                return
+
+    def _blocks_numpy(self) -> Iterator[RecordBlock]:
         lines_needed = self.block_size * 4
         while True:
             data = np.frombuffer(self._pending, dtype=np.uint8)

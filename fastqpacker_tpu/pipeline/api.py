@@ -116,7 +116,7 @@ def decompress(
     r: BinaryIO,
     w: BinaryIO,
     opts: Optional[DecompressOptions] = None,
-    decode_arrays=refops.decode_block_arrays,
+    decode_arrays=None,
 ) -> None:
     """Decompress an FQZ container from ``r`` into FASTQ text on ``w``."""
     opts = opts or DecompressOptions()
@@ -154,6 +154,8 @@ def decompress(
         hdr, payload = job
         codec = zstd_entropy.get_codec()
         ds = blockcodec.decode_streams(hdr, payload, fh.version, codec)
+        if decode_arrays is None:
+            return blockcodec.streams_to_fastq(ds, qual_offset)
         return blockcodec.streams_to_fastq(
             ds, qual_offset, decode_arrays=decode_arrays
         )

@@ -59,6 +59,12 @@ class RawStreams:
         ]
 
 
+def _native():
+    from ..runtime import bindings
+
+    return bindings if bindings.available() else None
+
+
 def _exclusive_cumsum(x: np.ndarray) -> np.ndarray:
     out = np.zeros(len(x), dtype=np.int64)
     if len(x) > 1:
@@ -70,6 +76,9 @@ def build_npos_stream(
     nmask_bits: np.ndarray, n_counts: np.ndarray, max_len: int
 ) -> bytes:
     """u16 count + u16 positions per record (compress.go:495-498)."""
+    nat = _native()
+    if nat is not None:
+        return nat.build_npos(nmask_bits, n_counts, max_len)
     r = len(n_counts)
     counts = n_counts.astype(np.int64)
     total = r + int(counts.sum())
@@ -100,6 +109,12 @@ def parse_npos_stream(
     Fast path: no N anywhere (stream is exactly `count` zero u16s).
     Otherwise falls back to a sequential walk (compress.go:1055-1078).
     """
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.parse_npos(np.ascontiguousarray(data), count)
+        except ValueError:
+            raise container.FormatError("truncated N position data") from None
     if len(data) % 2 != 0:
         raise container.FormatError("truncated N position data")
     u16 = data.view("<u2") if data.dtype == np.uint8 else data
@@ -289,10 +304,32 @@ def decode_streams(
     )
 
 
+def host_decode_arrays(
+    packed: np.ndarray,
+    qual_delta: np.ndarray,
+    lengths: np.ndarray,
+    qual_offset: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fast host decode: vectorized unpack + native in-place quality
+    integration (falls back to the numpy reference cumsum)."""
+    out_len = qual_delta.shape[1]
+    seq_ascii = refops.codes_to_ascii(refops.unpack_codes(packed, out_len))
+    nat = _native()
+    if nat is not None:
+        qd = np.ascontiguousarray(qual_delta)
+        if qd is qual_delta:
+            qd = qual_delta.copy()
+        nat.qual_integrate_rows(qd, qual_offset)
+        return seq_ascii, qd
+    return seq_ascii, refops.quality_delta_decode(
+        qual_delta, lengths, qual_offset
+    )
+
+
 def streams_to_fastq(
     ds: DecodedStreams,
     qual_offset: int,
-    decode_arrays: DecodeArraysFn = refops.decode_block_arrays,
+    decode_arrays: DecodeArraysFn = host_decode_arrays,
 ) -> bytes:
     """Reconstruct the block's FASTQ text (compress.go:944-1078)."""
     r = ds.num_records
@@ -338,6 +375,14 @@ def streams_to_fastq(
         # v1 containers carry no plus payload: emit bare '+' (compress.go:995-998)
         plus_starts = np.zeros(r, dtype=np.int64)
         plus_lens = np.zeros(r, dtype=np.int64)
+
+    nat = _native()
+    if nat is not None:
+        return nat.assemble_fastq(
+            ds.headers, hdr_starts, hdr_lens,
+            ds.plus, plus_starts, plus_lens, int(len(ds.plus) > 0),
+            seq_ascii, qual_ascii, lengths,
+        )
 
     # Assemble '@hdr\nseq\n+plus\nqual\n' per record with one scatter pass
     # per component.

@@ -1,0 +1,285 @@
+"""ctypes bindings for libfqruntime with graceful numpy fallback.
+
+``available()`` reports whether the native runtime loaded; every wrapper
+has the same contract as its numpy twin in :mod:`fastqpacker_tpu.utils.varlen`
+/ :mod:`fastqpacker_tpu.pipeline.blocks`, so callers can branch once.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+from . import build
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_ll = ctypes.c_longlong
+_u8 = ctypes.c_uint8
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("FQZ_NO_NATIVE"):
+        return None
+    path = build.ensure_built()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    lib.fq_scan_records.restype = _ll
+    lib.fq_scan_records.argtypes = [
+        _u8p, _ll, _ll, _i64p,
+        ctypes.POINTER(_ll), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.fq_gather_rows.restype = None
+    lib.fq_gather_rows.argtypes = [_u8p, _i64p, _i64p, _ll, _ll, _u8, _u8p]
+    lib.fq_flatten_rows.restype = _ll
+    lib.fq_flatten_rows.argtypes = [_u8p, _i64p, _ll, _ll, _u8p]
+    lib.fq_scatter_rows.restype = None
+    lib.fq_scatter_rows.argtypes = [_u8p, _u8p, _i64p, _i64p, _ll]
+    lib.fq_build_len16.restype = _ll
+    lib.fq_build_len16.argtypes = [_u8p, _i64p, _i64p, _ll, _u8p]
+    lib.fq_parse_len16.restype = _ll
+    lib.fq_parse_len16.argtypes = [_u8p, _ll, _ll, _i64p, _i64p]
+    lib.fq_build_npos.restype = _ll
+    lib.fq_build_npos.argtypes = [_u8p, _i32p, _ll, _ll, _ll, _u8p]
+    lib.fq_parse_npos.restype = _ll
+    lib.fq_parse_npos.argtypes = [_u8p, _ll, _ll, _i32p, _i32p, _i32p, _ll]
+    lib.fq_assemble.restype = _ll
+    lib.fq_assemble.argtypes = [
+        _u8p, _i64p, _i64p, _u8p, _i64p, _i64p, ctypes.c_int,
+        _u8p, _u8p, _ll, _i64p, _ll, _u8p,
+    ]
+    lib.fq_qual_integrate_rows.restype = None
+    lib.fq_qual_integrate_rows.argtypes = [_u8p, _ll, _ll, _u8]
+    lib.fq_qual_delta_rows.restype = None
+    lib.fq_qual_delta_rows.argtypes = [_u8p, _ll, _ll, _u8, _u8p]
+    lib.fq_pack2_rows.restype = None
+    lib.fq_pack2_rows.argtypes = [_u8p, _ll, _ll, _u8p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_EMPTY_U8 = np.zeros(1, dtype=np.uint8)
+_EMPTY_I64 = np.zeros(1, dtype=np.int64)
+
+
+def _nz_u8(a: np.ndarray) -> np.ndarray:
+    """ctypes ndpointer rejects zero-size arrays; give it a 1-byte stand-in."""
+    return a if a.size else _EMPTY_U8
+
+
+def _nz_i64(a: np.ndarray) -> np.ndarray:
+    return a if a.size else _EMPTY_I64
+
+
+SCAN_ERRORS = {
+    1: "invalid FASTQ: header line must start with @",
+    2: "invalid FASTQ: separator line must start with +",
+    3: "invalid FASTQ: sequence and quality lengths must match",
+}
+
+
+def scan_records(data: np.ndarray, max_records: int):
+    """-> (offsets (n,8) int64, consumed, error_code). error_code 0 = OK."""
+    lib = _load()
+    assert lib is not None
+    offsets = np.empty((max_records, 8), dtype=np.int64)
+    consumed = _ll(0)
+    error = ctypes.c_int(0)
+    n = lib.fq_scan_records(
+        _nz_u8(data), len(data), max_records,
+        offsets.reshape(-1) if offsets.size else _EMPTY_I64,
+        ctypes.byref(consumed), ctypes.byref(error),
+    )
+    if n < 0:
+        return None, 0, error.value
+    return offsets[:n], consumed.value, 0
+
+
+def gather_rows(data, starts, lengths, pad_to=None, fill=0):
+    lib = _load()
+    r = len(starts)
+    max_len = int(lengths.max()) if r else 0
+    width = max_len if pad_to is None else pad_to
+    out = np.empty((r, width), dtype=np.uint8)
+    if r == 0 or width == 0:
+        out.fill(fill)
+        return out
+    lib.fq_gather_rows(
+        _nz_u8(data), np.ascontiguousarray(starts, np.int64),
+        np.ascontiguousarray(lengths, np.int64), r, width, fill,
+        out.reshape(-1),
+    )
+    return out
+
+
+def flatten_rows(padded, lengths):
+    lib = _load()
+    r, w = padded.shape
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    total = int(lengths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    if r == 0 or w == 0 or total == 0:
+        return out
+    lib.fq_flatten_rows(
+        np.ascontiguousarray(padded).reshape(-1), lengths, r, w, _nz_u8(out)
+    )
+    return out
+
+
+def scatter_rows(out, flat, dst_starts, lengths):
+    lib = _load()
+    r = len(dst_starts)
+    if r == 0:
+        return
+    lib.fq_scatter_rows(
+        _nz_u8(out), _nz_u8(np.ascontiguousarray(flat)),
+        np.ascontiguousarray(dst_starts, np.int64),
+        np.ascontiguousarray(lengths, np.int64), r,
+    )
+
+
+def build_len16(data, starts, lengths) -> bytes:
+    lib = _load()
+    r = len(starts)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    total = int(2 * r + lengths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    if r == 0:
+        return b""
+    n = lib.fq_build_len16(
+        _nz_u8(data), np.ascontiguousarray(starts, np.int64), lengths, r,
+        _nz_u8(out),
+    )
+    if n < 0:
+        raise ValueError("record field longer than 65535 bytes")
+    return out[:n].tobytes()
+
+
+def parse_len16(data: np.ndarray, count: int, what: str):
+    lib = _load()
+    starts = np.empty(count, dtype=np.int64)
+    lengths = np.empty(count, dtype=np.int64)
+    if count == 0:
+        return starts, lengths
+    n = lib.fq_parse_len16(
+        _nz_u8(data), len(data), count, starts, lengths
+    )
+    if n < 0:
+        raise ValueError(f"truncated {what} data")
+    return starts, lengths
+
+
+def build_npos(nmask_bits: np.ndarray, n_counts: np.ndarray, max_len: int) -> bytes:
+    lib = _load()
+    r, stride = nmask_bits.shape
+    n_counts = np.ascontiguousarray(n_counts, np.int32)
+    total = int(2 * r + 2 * n_counts.sum())
+    out = np.empty(total, dtype=np.uint8)
+    if r == 0:
+        return b""
+    n = lib.fq_build_npos(
+        _nz_u8(np.ascontiguousarray(nmask_bits).reshape(-1)),
+        n_counts, r, stride, max_len, _nz_u8(out),
+    )
+    return out[:n].tobytes()
+
+
+def parse_npos(data: np.ndarray, count: int):
+    lib = _load()
+    counts = np.zeros(count, dtype=np.int32)
+    if count == 0:
+        return (
+            counts.astype(np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    max_out = max((len(data) // 2) - count + 1, 1)
+    rows = np.empty(max_out, dtype=np.int32)
+    poss = np.empty(max_out, dtype=np.int32)
+    n = lib.fq_parse_npos(
+        _nz_u8(data), len(data), count, counts, rows, poss, max_out
+    )
+    if n < 0:
+        raise ValueError("truncated N position data")
+    return (
+        counts.astype(np.int64),
+        rows[:n].astype(np.int64),
+        poss[:n].astype(np.int64),
+    )
+
+
+def assemble_fastq(
+    hdr_data, hdr_starts, hdr_lens,
+    plus_data, plus_starts, plus_lens, has_plus,
+    seq_mat, qual_mat, lengths,
+) -> bytes:
+    lib = _load()
+    r = len(lengths)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    hdr_lens = np.ascontiguousarray(hdr_lens, np.int64)
+    plus_lens = np.ascontiguousarray(plus_lens, np.int64)
+    total = int(
+        r * 5  # '@' + 4 newlines... ('@', 3x '\n' after hdr/seq/qual, '+', '\n')
+    )
+    # exact: per record: 1 + hl + 1 + l + 1 + 1 + pl + 1 + l + 1
+    total = int(
+        5 * r + hdr_lens.sum() + (plus_lens.sum() if has_plus else 0)
+        + 2 * lengths.sum() + r
+    )
+    out = np.empty(total, dtype=np.uint8)
+    if r == 0:
+        return b""
+    w = seq_mat.shape[1] if seq_mat.ndim == 2 else 0
+    n = lib.fq_assemble(
+        _nz_u8(hdr_data), _nz_i64(np.ascontiguousarray(hdr_starts, np.int64)),
+        _nz_i64(hdr_lens),
+        _nz_u8(plus_data), _nz_i64(np.ascontiguousarray(plus_starts, np.int64)),
+        _nz_i64(plus_lens), int(has_plus),
+        _nz_u8(np.ascontiguousarray(seq_mat).reshape(-1)),
+        _nz_u8(np.ascontiguousarray(qual_mat).reshape(-1)),
+        w, lengths, r, _nz_u8(out),
+    )
+    return out[:n].tobytes()
+
+
+def qual_integrate_rows(qual: np.ndarray, offset: int) -> None:
+    """In-place per-row delta-decode + denormalize."""
+    lib = _load()
+    r, w = qual.shape
+    if r == 0 or w == 0:
+        return
+    if not qual.flags.c_contiguous:
+        raise ValueError("qual_integrate_rows requires a C-contiguous array")
+    lib.fq_qual_integrate_rows(qual.reshape(-1), r, w, offset)
+
+
+def qual_delta_rows(qual: np.ndarray, offset: int) -> np.ndarray:
+    lib = _load()
+    r, w = qual.shape
+    out = np.empty_like(qual)
+    if r and w:
+        lib.fq_qual_delta_rows(
+            np.ascontiguousarray(qual).reshape(-1), r, w, offset,
+            out.reshape(-1),
+        )
+    return out

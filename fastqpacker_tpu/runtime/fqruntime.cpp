@@ -1,0 +1,318 @@
+// fqruntime: native host runtime for the TPU FASTQ codec.
+//
+// The TPU does the dense transforms; this library does the host-side
+// irregular byte work at memory speed with sequential access patterns:
+// FASTQ record scanning (the C++ analog of the reference's ReadSlice-based
+// parser hot loop, internal/fqparser/parser.go:188-243), variable-length
+// row gather/flatten/scatter between padded matrices and wire streams,
+// u16-length-prefixed and N-position stream building/parsing
+// (internal/compress/compress.go:490-519,944-1078), record assembly, and
+// in-place quality integration for the CPU fallback path.
+//
+// Build: g++ -O3 -shared -fPIC (see build.py). Pure C ABI for ctypes.
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// Error codes shared with bindings.py
+enum {
+  FQ_OK = 0,
+  FQ_ERR_HEADER = 1,      // header line must start with '@'
+  FQ_ERR_PLUS = 2,        // separator line must start with '+'
+  FQ_ERR_LEN_MISMATCH = 3 // sequence and quality lengths must match
+};
+
+// ---------------------------------------------------------------------------
+// FASTQ record scanning
+// ---------------------------------------------------------------------------
+
+// Scan up to max_records complete 4-line records from data[0:n).
+// offsets layout per record: {hdr_start, hdr_len, seq_start, seq_len,
+//                             plus_start, plus_len, qual_start, qual_len}
+// ('@'/'+' already stripped from starts/lens; '\r' before '\n' stripped).
+// On success returns the record count, sets *consumed to the byte offset
+// one past the last complete record, *error to FQ_OK.
+// On a validation error returns -1 with *error set.
+// Validation order matches record-at-a-time parsing: the failing check at
+// the lowest line index wins.
+long long fq_scan_records(const uint8_t* data, long long n,
+                          long long max_records, long long* offsets,
+                          long long* consumed, int* error) {
+  *error = FQ_OK;
+  *consumed = 0;
+  long long pos = 0;
+  long long rec = 0;
+  while (rec < max_records) {
+    long long line_start[4], line_len[4];
+    long long p = pos;
+    int complete = 1;
+    for (int li = 0; li < 4; li++) {
+      const uint8_t* nl =
+          (const uint8_t*)memchr(data + p, '\n', (size_t)(n - p));
+      if (!nl) {
+        // Partial record at EOF: its complete lines were already validated
+        // as they were read (matching the sequential reader); unterminated
+        // trailing bytes are never validated.
+        complete = 0;
+        break;
+      }
+      long long end = nl - data;
+      long long len = end - p;
+      if (len > 0 && data[end - 1] == '\r') len--;
+      // structural checks as each line is read
+      if (li == 0) {
+        if (len == 0 || data[p] != '@') {
+          *error = FQ_ERR_HEADER;
+          return -1;
+        }
+        line_start[0] = p + 1;
+        line_len[0] = len - 1;
+      } else if (li == 2) {
+        if (len == 0 || data[p] != '+') {
+          *error = FQ_ERR_PLUS;
+          return -1;
+        }
+        line_start[2] = p + 1;
+        line_len[2] = len - 1;
+      } else {
+        line_start[li] = p;
+        line_len[li] = len;
+      }
+      p = end + 1;
+    }
+    if (!complete) break;
+    if (line_len[1] != line_len[3]) {
+      *error = FQ_ERR_LEN_MISMATCH;
+      return -1;
+    }
+    long long* o = offsets + rec * 8;
+    o[0] = line_start[0]; o[1] = line_len[0];
+    o[2] = line_start[1]; o[3] = line_len[1];
+    o[4] = line_start[2]; o[5] = line_len[2];
+    o[6] = line_start[3]; o[7] = line_len[3];
+    pos = p;
+    rec++;
+  }
+  *consumed = pos;
+  return rec;
+}
+
+// ---------------------------------------------------------------------------
+// Variable-length row movement (sequential memcpy per row)
+// ---------------------------------------------------------------------------
+
+void fq_gather_rows(const uint8_t* data, const long long* starts,
+                    const long long* lens, long long r, long long width,
+                    uint8_t fill, uint8_t* out) {
+  for (long long i = 0; i < r; i++) {
+    uint8_t* row = out + i * width;
+    long long l = lens[i];
+    if (l > width) l = width;
+    memcpy(row, data + starts[i], (size_t)l);
+    if (l < width) memset(row + l, fill, (size_t)(width - l));
+  }
+}
+
+// Concatenate the first lens[i] bytes of each padded row into out;
+// returns total bytes written.
+long long fq_flatten_rows(const uint8_t* padded, const long long* lens,
+                          long long r, long long width, uint8_t* out) {
+  long long off = 0;
+  for (long long i = 0; i < r; i++) {
+    memcpy(out + off, padded + i * width, (size_t)lens[i]);
+    off += lens[i];
+  }
+  return off;
+}
+
+void fq_scatter_rows(uint8_t* out, const uint8_t* flat,
+                     const long long* dst_starts, const long long* lens,
+                     long long r) {
+  long long off = 0;
+  for (long long i = 0; i < r; i++) {
+    memcpy(out + dst_starts[i], flat + off, (size_t)lens[i]);
+    off += lens[i];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// u16-length-prefixed streams (headers / plus payloads)
+// ---------------------------------------------------------------------------
+
+long long fq_build_len16(const uint8_t* data, const long long* starts,
+                         const long long* lens, long long r, uint8_t* out) {
+  long long off = 0;
+  for (long long i = 0; i < r; i++) {
+    long long l = lens[i];
+    if (l > 0xFFFF) return -1;
+    out[off] = (uint8_t)(l & 0xFF);
+    out[off + 1] = (uint8_t)(l >> 8);
+    memcpy(out + off + 2, data + starts[i], (size_t)l);
+    off += 2 + l;
+  }
+  return off;
+}
+
+// Parse count u16-length-prefixed entries; fills starts/lens.
+// Returns consumed bytes, or -1 on truncation.
+long long fq_parse_len16(const uint8_t* data, long long n, long long count,
+                         long long* starts, long long* lens) {
+  long long off = 0;
+  for (long long i = 0; i < count; i++) {
+    if (off + 2 > n) return -1;
+    long long l = (long long)data[off] | ((long long)data[off + 1] << 8);
+    off += 2;
+    if (off + l > n) return -1;
+    starts[i] = off;
+    lens[i] = l;
+    off += l;
+  }
+  return off;
+}
+
+// ---------------------------------------------------------------------------
+// N-position stream (u16 count + u16 positions per record)
+// ---------------------------------------------------------------------------
+
+// nmask_bits: (r, stride) little-endian bitmask rows; n_counts: per record.
+// Returns bytes written to out.
+long long fq_build_npos(const uint8_t* nmask_bits, const int32_t* n_counts,
+                        long long r, long long stride, long long max_len,
+                        uint8_t* out) {
+  long long off = 0;
+  for (long long i = 0; i < r; i++) {
+    int32_t c = n_counts[i];
+    out[off] = (uint8_t)(c & 0xFF);
+    out[off + 1] = (uint8_t)((c >> 8) & 0xFF);
+    off += 2;
+    if (c == 0) continue;
+    const uint8_t* row = nmask_bits + i * stride;
+    for (long long byte = 0; byte < stride; byte++) {
+      uint8_t b = row[byte];
+      if (!b) continue;
+      for (int bit = 0; bit < 8; bit++) {
+        if (b & (1u << bit)) {
+          long long posn = byte * 8 + bit;
+          if (posn >= max_len) break;
+          out[off] = (uint8_t)(posn & 0xFF);
+          out[off + 1] = (uint8_t)((posn >> 8) & 0xFF);
+          off += 2;
+        }
+      }
+    }
+  }
+  return off;
+}
+
+// Parse the npos stream: writes per-record counts, and (row, pos) pairs for
+// every recorded N. Returns total N count, or -1 on truncation, or -2 if
+// total exceeds max_out.
+long long fq_parse_npos(const uint8_t* data, long long n, long long count,
+                        int32_t* counts, int32_t* rows, int32_t* poss,
+                        long long max_out) {
+  long long off = 0;
+  long long total = 0;
+  for (long long i = 0; i < count; i++) {
+    if (off + 2 > n) return -1;
+    long long c = (long long)data[off] | ((long long)data[off + 1] << 8);
+    off += 2;
+    counts[i] = (int32_t)c;
+    if (off + 2 * c > n) return -1;
+    if (total + c > max_out) return -2;
+    for (long long j = 0; j < c; j++) {
+      rows[total] = (int32_t)i;
+      poss[total] =
+          (int32_t)((long long)data[off] | ((long long)data[off + 1] << 8));
+      off += 2;
+      total++;
+    }
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ text assembly (decode side, compress.go:944-1078)
+// ---------------------------------------------------------------------------
+
+// Assemble '@hdr\nseq\n+plus\nqual\n' per record. seq/qual are padded
+// matrices of width seq_width. has_plus=0 emits bare '+' lines (v1).
+// Returns total bytes written.
+long long fq_assemble(const uint8_t* hdr_data, const long long* hdr_starts,
+                      const long long* hdr_lens, const uint8_t* plus_data,
+                      const long long* plus_starts, const long long* plus_lens,
+                      int has_plus, const uint8_t* seq_mat,
+                      const uint8_t* qual_mat, long long seq_width,
+                      const long long* lens, long long r, uint8_t* out) {
+  long long off = 0;
+  for (long long i = 0; i < r; i++) {
+    long long l = lens[i];
+    out[off++] = '@';
+    memcpy(out + off, hdr_data + hdr_starts[i], (size_t)hdr_lens[i]);
+    off += hdr_lens[i];
+    out[off++] = '\n';
+    memcpy(out + off, seq_mat + i * seq_width, (size_t)l);
+    off += l;
+    out[off++] = '\n';
+    out[off++] = '+';
+    if (has_plus) {
+      memcpy(out + off, plus_data + plus_starts[i], (size_t)plus_lens[i]);
+      off += plus_lens[i];
+    }
+    out[off++] = '\n';
+    memcpy(out + off, qual_mat + i * seq_width, (size_t)l);
+    off += l;
+    out[off++] = '\n';
+  }
+  return off;
+}
+
+// ---------------------------------------------------------------------------
+// CPU fallback pieces of the dense codec (sequential, autovectorized)
+// ---------------------------------------------------------------------------
+
+// In-place per-row byte cumsum + offset add: delta decode + denormalize
+// (quality.go:107-118 + 66-75) over a padded matrix.
+void fq_qual_integrate_rows(uint8_t* qual, long long r, long long w,
+                            uint8_t offset) {
+  for (long long i = 0; i < r; i++) {
+    uint8_t* row = qual + i * w;
+    uint8_t acc = 0;
+    for (long long j = 0; j < w; j++) {
+      acc = (uint8_t)(acc + row[j]);
+      row[j] = (uint8_t)(acc + offset);
+    }
+  }
+}
+
+// Per-row delta encode with offset subtraction (quality.go:53-103):
+// out[0] = q[0]-offset, out[j] = q[j]-q[j-1].
+void fq_qual_delta_rows(const uint8_t* qual, long long r, long long w,
+                        uint8_t offset, uint8_t* out) {
+  if (w == 0) return;
+  for (long long i = 0; i < r; i++) {
+    const uint8_t* row = qual + i * w;
+    uint8_t* orow = out + i * w;
+    orow[0] = (uint8_t)(row[0] - offset);
+    for (long long j = 1; j < w; j++) {
+      orow[j] = (uint8_t)(row[j] - row[j - 1]);
+    }
+  }
+}
+
+// 2-bit pack one padded codes matrix (r, w4) -> (r, w4/4) LSB-first.
+void fq_pack2_rows(const uint8_t* codes, long long r, long long w4,
+                   uint8_t* out) {
+  long long pw = w4 / 4;
+  for (long long i = 0; i < r; i++) {
+    const uint8_t* row = codes + i * w4;
+    uint8_t* orow = out + i * pw;
+    for (long long j = 0; j < pw; j++) {
+      orow[j] = (uint8_t)(row[4 * j] | (row[4 * j + 1] << 2) |
+                          (row[4 * j + 2] << 4) | (row[4 * j + 3] << 6));
+    }
+  }
+}
+
+}  // extern "C"

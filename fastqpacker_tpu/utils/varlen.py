@@ -14,6 +14,12 @@ from __future__ import annotations
 import numpy as np
 
 
+def _native():
+    from ..runtime import bindings
+
+    return bindings if bindings.available() else None
+
+
 def gather_rows(
     data: np.ndarray,
     starts: np.ndarray,
@@ -31,6 +37,11 @@ def gather_rows(
     width = max_len if pad_to is None else pad_to
     if n == 0 or width == 0:
         return np.full((n, width), fill, dtype=data.dtype)
+    nat = _native()
+    if nat is not None and data.dtype == np.uint8:
+        return nat.gather_rows(
+            np.ascontiguousarray(data), starts, lengths, pad_to=width, fill=fill
+        )
     lengths = lengths.astype(np.int64, copy=False)
     starts = starts.astype(np.int64, copy=False)
     col = np.arange(width, dtype=np.int64)
@@ -45,6 +56,9 @@ def flatten_rows(padded: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenate the first ``lengths[i]`` elements of each row (row-major)."""
     if padded.shape[0] == 0 or padded.shape[1] == 0:
         return np.empty(0, dtype=padded.dtype)
+    nat = _native()
+    if nat is not None and padded.dtype == np.uint8:
+        return nat.flatten_rows(np.ascontiguousarray(padded), lengths)
     col = np.arange(padded.shape[1], dtype=np.int64)
     mask = col[None, :] < lengths[:, None].astype(np.int64)
     return padded[mask]
@@ -63,6 +77,10 @@ def scatter_rows(
     """
     n = len(dst_starts)
     if n == 0:
+        return
+    nat = _native()
+    if nat is not None and out.dtype == np.uint8 and out.flags.c_contiguous:
+        nat.scatter_rows(out, flat, dst_starts, lengths)
         return
     lengths = lengths.astype(np.int64, copy=False)
     width = int(lengths.max()) if n else 0
@@ -84,6 +102,9 @@ def build_len16_stream(
     lengths = lengths.astype(np.int64, copy=False)
     if np.any(lengths > 0xFFFF):
         raise ValueError("record field longer than 65535 bytes")
+    nat = _native()
+    if nat is not None and data.dtype == np.uint8:
+        return nat.build_len16(np.ascontiguousarray(data), starts, lengths)
     total = int(2 * n + lengths.sum())
     out = np.zeros(total, dtype=np.uint8)
     if n == 0:
@@ -109,6 +130,12 @@ def parse_len16_stream(
     (compress.go:977-1015) but vectorized: lengths are found iteratively by
     chasing prefixes.
     """
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.parse_len16(np.ascontiguousarray(data), count, what)
+        except ValueError:
+            raise ValueError(f"truncated {what} data") from None
     starts = np.empty(count, dtype=np.int64)
     lengths = np.empty(count, dtype=np.int64)
     off = 0
