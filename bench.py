@@ -26,53 +26,54 @@ def log(msg: str) -> None:
 
 
 def synth_fastq(target_mb: int, read_len: int = 151, seed: int = 42) -> bytes:
-    """Generate realistic-shape Illumina FASTQ wholly in numpy."""
+    """Generate realistic-shape Illumina FASTQ (vectorized + native assembly)."""
     rng = np.random.default_rng(seed)
-    # per-record bytes: header ~ 37, seq/qual = read_len+1 each, plus 2
     rec_bytes = 38 + 2 * (read_len + 1) + 2
     n = (target_mb << 20) // rec_bytes
 
     bases = np.frombuffer(b"ACGT", np.uint8)
     seq = bases[rng.integers(0, 4, size=(n, read_len))]
-    # ~0.1% N positions
-    nmask = rng.random((n, read_len)) < 0.001
-    seq = np.where(nmask, np.uint8(ord("N")), seq)
+    # sparse N positions (~0.1%)
+    nn = max(1, n * read_len // 1000)
+    seq[
+        rng.integers(0, n, nn), rng.integers(0, read_len, nn)
+    ] = ord("N")
 
-    # quality: correlated random walk around q30 (compresses like real data)
-    steps = rng.integers(-2, 3, size=(n, read_len))
-    qual = np.clip(33 + 30 + np.cumsum(steps, axis=1) // 3, 33, 74).astype(
-        np.uint8
-    )
+    # quality: pool of correlated random-walk rows, tiled across records
+    pool = 512
+    steps = rng.integers(-2, 3, size=(pool, read_len)).astype(np.int32)
+    qrows = np.clip(
+        33 + 30 + np.cumsum(steps, axis=1) // 3, 33, 74
+    ).astype(np.uint8)
+    qual = qrows[np.arange(n) % pool]
 
-    headers = [
-        f"@SIM0.{i} {i % 4}:N:0:ACGTACGT length={read_len}".encode()
+    headers = b"".join(
+        f"@SIM0.{i} {i % 4}:N:0:ACGTACGT length={read_len}\0".encode()
         for i in range(n)
-    ]
-    hlen = np.array([len(h) for h in headers], dtype=np.int64)
+    )
+    hbuf = np.frombuffer(headers, np.uint8)
+    hend = np.flatnonzero(hbuf == 0).astype(np.int64)
+    hstart = np.empty(n, np.int64)
+    hstart[0] = 1  # skip '@'
+    hstart[1:] = hend[:-1] + 2
+    hlen = hend - hstart
 
-    nl = np.uint8(ord("\n"))
-    line_sizes = hlen + 1 + (read_len + 1) + 2 + (read_len + 1)
-    total = int(line_sizes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    offs = np.concatenate(([0], np.cumsum(line_sizes[:-1])))
-    hbuf = np.frombuffer(b"".join(headers), np.uint8)
-    hsrc_offs = np.concatenate(([0], np.cumsum(hlen[:-1])))
+    lengths = np.full(n, read_len, dtype=np.int64)
+    from fastqpacker_tpu.runtime import bindings as rt
 
-    from fastqpacker_tpu.utils import varlen
-
-    varlen.scatter_rows(out, hbuf, offs, hlen)
-    out[offs + hlen] = nl
-    seq_at = offs + hlen + 1
-    col = np.arange(read_len, dtype=np.int64)
-    out[(seq_at[:, None] + col[None, :]).ravel()] = seq.ravel()
-    out[seq_at + read_len] = nl
-    plus_at = seq_at + read_len + 1
-    out[plus_at] = ord("+")
-    out[plus_at + 1] = nl
-    qual_at = plus_at + 2
-    out[(qual_at[:, None] + col[None, :]).ravel()] = qual.ravel()
-    out[qual_at + read_len] = nl
-    return out.tobytes()
+    if rt.available():
+        return rt.assemble_fastq(
+            hbuf, hstart, hlen,
+            np.zeros(0, np.uint8), np.zeros(n, np.int64), np.zeros(n, np.int64),
+            0, seq, qual, lengths,
+        )
+    # fallback: simple join (slower, small inputs only)
+    out = []
+    for i in range(n):
+        out.append(hbuf[hstart[i] - 1 : hend[i]].tobytes() + b"\n")
+        out.append(seq[i].tobytes() + b"\n+\n")
+        out.append(qual[i].tobytes() + b"\n")
+    return b"".join(out)
 
 
 class NullWriter(io.RawIOBase):
@@ -92,11 +93,10 @@ def bench_compress(data: bytes, device: bool, repeats: int = 3):
     from fastqpacker_tpu.pipeline import device as devpipe
 
     opts = fq.Options()
-    run = (
-        (lambda r, w: devpipe.compress_device(r, w, opts))
-        if device
-        else (lambda r, w: fq.compress(r, w, opts))
-    )
+    # compress_device self-routes through the transfer-bandwidth probe
+    run = lambda r, w: devpipe.compress_device(r, w, opts)  # noqa: E731
+    if not device:
+        run = lambda r, w: fq.compress(r, w, opts)  # noqa: E731
     # warmup (compiles kernels)
     warm = NullWriter()
     run(io.BytesIO(data[: 32 << 20]), warm)
@@ -124,7 +124,7 @@ def bench_decompress(data: bytes, device: bool, repeats: int = 3):
         (lambda r, w: devpipe.decompress_device(r, w))
         if device
         else (lambda r, w: fq.decompress(r, w))
-    )
+    )  # decompress_device self-routes via the transfer probe
     out = NullWriter()
     run(io.BytesIO(comp), out)  # warmup
     assert out.nbytes == len(data), "decompress size mismatch"
@@ -172,11 +172,28 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args()
 
+    from fastqpacker_tpu.utils import malloc_tuning
+
+    malloc_tuning.tune()
+    malloc_tuning.warm_heap(min(args.mb * 6, 1024) << 20)
+
     import jax
 
     platform = jax.devices()[0].platform
     device = platform != "cpu" and not args.cpu
+    if args.cpu:
+        import os as _os
+
+        _os.environ["FQZ_BACKEND"] = "cpu"
     log(f"platform={platform} devices={jax.devices()} device_pipeline={device}")
+    if device:
+        from fastqpacker_tpu.pipeline import auto
+
+        log(
+            f"probed transfer bandwidth: "
+            f"{auto.transfer_bandwidth_mbps():.0f} MB/s -> "
+            f"{'device' if auto.device_worthwhile() else 'host'} transforms"
+        )
 
     log(f"generating {args.mb} MB synthetic FASTQ ...")
     t0 = time.perf_counter()

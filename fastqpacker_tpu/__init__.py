@@ -12,6 +12,10 @@ Public API::
     from fastqpacker_tpu import compress, decompress, Options
 """
 
+from .utils import malloc_tuning as _malloc_tuning
+
+_malloc_tuning.tune()
+
 from .format import container
 from .pipeline.api import (
     DEFAULT_BLOCK_SIZE,

@@ -101,6 +101,13 @@ def compress_device(
         native.compress_native(r, w, opts)
         return
 
+    from . import auto
+
+    if not auto.device_worthwhile():
+        # Probed transfer path can't beat the host pipeline; route there.
+        api.compress(r, w, opts)
+        return
+
     parser = FastqStreamParser(r, block_size=block_size)
     block_iter = parser.blocks()
 
@@ -163,6 +170,10 @@ def decompress_device(
     qual_offset = _offset(fh)
     r_pad = max(int(fh.block_size), 1)
 
+    from . import auto
+
+    use_device = auto.device_worthwhile()
+
     def read_jobs():
         while True:
             hdr = container.read_block_header(r, fh.version)
@@ -176,13 +187,17 @@ def decompress_device(
 
     from ..utils import varlen
 
+    decoder = _padded_decoder(r_pad) if use_device else None
+
     def decode_one(job) -> bytes:
         hdr, payload = job
         ds = blockcodec.decode_streams(
             hdr, payload, fh.version, zstd_entropy.get_codec()
         )
+        if decoder is None:
+            return blockcodec.streams_to_fastq(ds, qual_offset)
         return blockcodec.streams_to_fastq(
-            ds, qual_offset, decode_arrays=_padded_decoder(r_pad)
+            ds, qual_offset, decode_arrays=decoder
         )
 
     with ThreadPoolExecutor(max_workers=2) as pool:

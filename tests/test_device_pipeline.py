@@ -1,5 +1,9 @@
 """Device pipeline round trips (bucketed shapes, overlap scheduler)."""
 
+import os
+
+os.environ["FQZ_BACKEND"] = "device"  # bypass the transfer probe in tests
+
 import io
 
 import numpy as np
