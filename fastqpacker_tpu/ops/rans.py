@@ -1,0 +1,406 @@
+"""TPU-resident interleaved rANS entropy coder (FQZ v3 native backend).
+
+The reference delegates entropy coding to host zstd
+(internal/compress/compress.go:113-122); a TPU-native codec must keep the
+entropy stage on-chip. This module implements a wide-interleaved range
+Asymmetric Numeral System coder designed for the VPU:
+
+- **Interleaving**: N lanes (256-4096); lane ``l`` codes symbols
+  ``l, l+N, l+2N, ...`` so a ``(steps, N)`` row-major matrix IS the byte
+  stream — no transposes. All lanes step in lockstep under a
+  ``lax.fori_loop`` whose trip count is dynamic (no recompile per length).
+- **State**: 32-bit, 16-bit renormalization, 12-bit probabilities
+  (table total 4096). Encode walks the data backwards, emitting 0/1 u16
+  words per lane per step into a dense matrix; a vectorized column
+  compaction (prefix-sum + one scatter) packs per-lane streams. Decode
+  walks forward, popping words via per-lane gathers.
+- **Division-free encode**: the u32/freq divmod is computed as two small
+  exact float32 divisions with integer fix-up (quotient error is provably
+  bounded, then corrected) — TPUs have no integer divide or u64.
+- **Per-stream tables**: 256-entry frequency table normalized to 4096 on
+  host (largest-remainder), 4096-entry slot tables for decode built by
+  ``np.repeat``.
+
+Wire format per stream (little-endian):
+  u32 raw_len | u8 lanes_log2 | u8[3] reserved | u16 freq[256]
+  | u16 word_counts[N] | u32 final_states[N] | u16 words[total]
+
+The padding needed to fill the last row is the stream's most frequent
+byte (cheapest to code) and is included in the histogram.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PROB_BITS = 12
+PROB_SCALE = 1 << PROB_BITS  # 4096
+RANS_L = 1 << 16  # state lower bound
+HEADER_FMT = "<IB3x"
+
+_u32 = jnp.uint32
+_u16 = jnp.uint16
+
+
+class RansError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Frequency tables (host)
+# ---------------------------------------------------------------------------
+
+
+def normalize_freqs(hist: np.ndarray) -> np.ndarray:
+    """Normalize a 256-bin histogram to sum exactly PROB_SCALE.
+
+    Every present symbol gets freq >= 1; the residual is settled against
+    the largest buckets (largest-remainder style).
+    """
+    hist = hist.astype(np.int64)
+    total = int(hist.sum())
+    if total == 0:
+        raise RansError("cannot build table for empty stream")
+    freq = (hist * PROB_SCALE // total).astype(np.int64)
+    freq[(hist > 0) & (freq == 0)] = 1
+    diff = PROB_SCALE - int(freq.sum())
+    if diff != 0:
+        order = np.argsort(-freq, kind="stable")
+        i = 0
+        step = 1 if diff > 0 else -1
+        remaining = abs(diff)
+        while remaining > 0:
+            s = order[i % 256]
+            if step > 0 and freq[s] > 0:
+                freq[s] += 1
+                remaining -= 1
+            elif step < 0 and freq[s] > 1:
+                freq[s] -= 1
+                remaining -= 1
+            i += 1
+            if i > 100000:  # pragma: no cover - safety net
+                raise RansError("failed to normalize frequency table")
+    return freq.astype(np.uint16)
+
+
+def cumulative(freq: np.ndarray) -> np.ndarray:
+    cum = np.zeros(256, dtype=np.uint32)
+    np.cumsum(freq[:-1], out=cum[1:])
+    return cum
+
+
+def slot_tables(freq: np.ndarray):
+    """(slot_sym u8[4096], slot_freq u32[4096], slot_cum u32[4096])."""
+    freq = freq.astype(np.int64)
+    slot_sym = np.repeat(np.arange(256, dtype=np.int32), freq)
+    cum = cumulative(freq.astype(np.uint16))
+    return (
+        slot_sym.astype(np.int32),
+        freq[slot_sym].astype(np.uint32),
+        cum[slot_sym].astype(np.uint32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Division-free u32 // freq on device
+# ---------------------------------------------------------------------------
+
+
+def _div_small(a: jax.Array, f: jax.Array) -> jax.Array:
+    """Exact floor(a / f) for 0 <= a < 2**28, 1 <= f <= 4096 (uint32 in/out).
+
+    float32 quotient with error <= 17, then one exact small-fixup division.
+    """
+    af = a.astype(jnp.float32)
+    ff = f.astype(jnp.float32)
+    q0 = (af / ff).astype(jnp.int32) - 17
+    q0 = jnp.maximum(q0, 0)
+    r0 = a.astype(jnp.int32) - q0 * f.astype(jnp.int32)  # 0 <= r0 < ~35f < 2^18
+    adj = (r0.astype(jnp.float32) / ff).astype(jnp.int32)
+    q = q0 + adj
+    # guard against the half-ulp edge: one conditional correction each way
+    r = a.astype(jnp.int32) - q * f.astype(jnp.int32)
+    q = jnp.where(r < 0, q - 1, q)
+    r = a.astype(jnp.int32) - q * f.astype(jnp.int32)
+    q = jnp.where(r >= f.astype(jnp.int32), q + 1, q)
+    return q.astype(_u32)
+
+
+def _divmod_state(x: jax.Array, f: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(x // f, x % f) for uint32 state x, 1 <= f <= 4096."""
+    hi = x >> 16
+    lo = x & _u32(0xFFFF)
+    q1 = _div_small(hi, f)
+    r1 = hi - q1 * f
+    a2 = (r1 << 16) | lo
+    q2 = _div_small(a2, f)
+    r = a2 - q2 * f
+    q = (q1 << 16) + q2
+    return q, r
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _encode_kernel(
+    data: jax.Array,  # (S, N) uint8 (interleaved stream, padded rows)
+    steps: jax.Array,  # i32 scalar: number of valid rows
+    freq_cum: jax.Array,  # (2, 256) uint32: freq row 0, cum row 1
+    S: int,
+    N: int,
+):
+    """Backward-walk rANS encode of all lanes.
+
+    Returns (emits (S, N) u16, emask (S, N) bool, states (N,) u32).
+    """
+    freq_t = freq_cum[0]
+    cum_t = freq_cum[1]
+
+    def body(i, carry):
+        x, emits, emask = carry
+        t = steps - 1 - i
+        row = jax.lax.dynamic_slice(data, (t, 0), (1, N))[0]
+        s = row.astype(jnp.int32)
+        f = jnp.take(freq_t, s)
+        c = jnp.take(cum_t, s)
+        # renorm: emit low 16 bits when x >= f << 20  (== x>>20 >= f)
+        emit = (x >> 20) >= f
+        word = (x & _u32(0xFFFF)).astype(_u16)
+        x = jnp.where(emit, x >> 16, x)
+        q, r = _divmod_state(x, f)
+        x = (q << PROB_BITS) + r + c
+        emits = jax.lax.dynamic_update_slice(emits, word[None, :], (t, 0))
+        emask = jax.lax.dynamic_update_slice(emask, emit[None, :], (t, 0))
+        return x, emits, emask
+
+    x0 = jnp.full((N,), RANS_L, dtype=_u32)
+    emits0 = jnp.zeros((S, N), dtype=_u16)
+    emask0 = jnp.zeros((S, N), dtype=jnp.bool_)
+    x, emits, emask = jax.lax.fori_loop(0, steps, body, (x0, emits0, emask0))
+    return emits, emask, x
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _compact_columns(
+    emits: jax.Array, emask: jax.Array, S: int, N: int
+):
+    """Pack per-lane emissions (ascending step order) to the top of each
+    column. Returns (packed (S, N) u16, counts (N,) i32)."""
+    m = emask.astype(jnp.int32)
+    idx = jnp.cumsum(m, axis=0) - 1  # destination row where valid
+    counts = jnp.sum(m, axis=0)
+    rows = jnp.where(emask, idx, S)  # invalid -> dropped row
+    cols = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
+    out = jnp.zeros((S + 1, N), dtype=_u16)
+    out = out.at[rows, cols].set(emits, mode="drop")
+    # lane-major layout: row l = lane l's words (host flattens with the
+    # native runtime's sequential row copies)
+    return out[:S].T, counts
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _decode_kernel(
+    words: jax.Array,  # (N, S) uint16 lane-major packed streams
+    states: jax.Array,  # (N,) uint32 initial (= encoder final) states
+    steps: jax.Array,  # i32 scalar
+    slots: jax.Array,  # (3, 4096) int32/u32: sym, freq, cum
+    S: int,
+    N: int,
+):
+    """Forward-walk rANS decode. Returns ((S, N) uint8 symbols, ptrs)."""
+    slot_sym = slots[0].astype(jnp.int32)
+    slot_freq = slots[1].astype(_u32)
+    slot_cum = slots[2].astype(_u32)
+    words_flat = words.reshape(-1)  # lane-major: index = lane * S + p
+    lane_base = jax.lax.broadcasted_iota(jnp.int32, (N,), 0) * S
+
+    def body(t, carry):
+        x, p, out = carry
+        slot = (x & _u32(PROB_SCALE - 1)).astype(jnp.int32)
+        s = jnp.take(slot_sym, slot)
+        f = jnp.take(slot_freq, slot)
+        c = jnp.take(slot_cum, slot)
+        x = f * (x >> PROB_BITS) + slot.astype(_u32) - c
+        need = x < _u32(RANS_L)
+        w = jnp.take(words_flat, lane_base + p, mode="clip").astype(_u32)
+        x = jnp.where(need, (x << 16) | w, x)
+        p = p + need.astype(jnp.int32)
+        out = jax.lax.dynamic_update_slice(
+            out, s.astype(jnp.uint8)[None, :], (t, 0)
+        )
+        return x, p, out
+
+    p0 = jnp.zeros((N,), dtype=jnp.int32)
+    out0 = jnp.zeros((S, N), dtype=jnp.uint8)
+    x, p, out = jax.lax.fori_loop(
+        0, steps, body, (states, p0, out0)
+    )
+    return out, x, p
+
+
+# ---------------------------------------------------------------------------
+# Host-facing stream API
+# ---------------------------------------------------------------------------
+
+
+def _flatten_lane_rows(words: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate the first counts[l] u16 of each lane row."""
+    from ..runtime import bindings as rt
+
+    n, w = words.shape
+    if w == 0 or counts.sum() == 0:
+        return np.zeros(0, np.uint16)
+    if rt.available():
+        w8 = np.ascontiguousarray(words).view(np.uint8).reshape(n, 2 * w)
+        flat8 = rt.flatten_rows(w8, counts * 2)
+        return flat8.view(np.uint16)
+    return np.concatenate([words[l, : counts[l]] for l in range(n)])
+
+
+def _gather_lane_rows(
+    words_cat: np.ndarray, counts: np.ndarray, width: int
+) -> np.ndarray:
+    """Inverse of :func:`_flatten_lane_rows` into an (N, width) matrix."""
+    from ..runtime import bindings as rt
+
+    n = len(counts)
+    offs = np.concatenate(([0], np.cumsum(counts[:-1])))
+    if rt.available():
+        cat8 = np.ascontiguousarray(words_cat).view(np.uint8)
+        m8 = rt.gather_rows(cat8, offs * 2, counts * 2, pad_to=2 * width)
+        return m8.view(np.uint16)
+    out = np.zeros((n, width), dtype=np.uint16)
+    for l in range(n):
+        c = int(counts[l])
+        if c:
+            out[l, :c] = words_cat[offs[l] : offs[l] + c]
+    return out
+
+
+def _pick_lanes(n: int) -> int:
+    return 4096 if n >= (2 << 20) else 256
+
+
+def _pick_smax(steps: int) -> int:
+    s = 4096
+    while s < steps:
+        s *= 2
+    return s
+
+
+def _pad_pow2(x: int, lo: int) -> int:
+    return max(lo, 1 << (x - 1).bit_length())
+
+
+def encode_stream(data: bytes | np.ndarray, lanes: int | None = None) -> bytes:
+    """rANS-encode one byte stream on the accelerator."""
+    raw = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    n = len(raw)
+    if n == 0:
+        return struct.pack(HEADER_FMT, 0, 0)
+    N = lanes or _pick_lanes(n)
+    steps = -(-n // N)
+    S = _pick_smax(steps)
+
+    hist = np.bincount(raw, minlength=256).astype(np.int64)
+    pad_sym = int(np.argmax(hist))
+    pad_count = steps * N - n
+    hist[pad_sym] += pad_count
+    freq = normalize_freqs(hist)
+    cum = cumulative(freq)
+
+    mat = np.full(steps * N, pad_sym, dtype=np.uint8)
+    mat[:n] = raw
+    padded = np.zeros((S, N), dtype=np.uint8)
+    padded[:steps] = mat.reshape(steps, N)
+
+    freq_cum = np.stack(
+        [freq.astype(np.uint32), cum.astype(np.uint32)]
+    )
+    emits, emask, states = _encode_kernel(
+        jnp.asarray(padded), jnp.int32(steps), jnp.asarray(freq_cum), S, N
+    )
+    packed, counts = _compact_columns(emits, emask, S, N)
+    counts_h = np.asarray(counts).astype(np.int64)
+    max_rows = int(counts_h.max()) if counts_h.size else 0
+    # fetch only the needed lane-major prefix (N, max_rows)
+    words_h = np.asarray(packed[:, :max_rows]) if max_rows else np.zeros(
+        (N, 0), np.uint16
+    )
+    states_h = np.asarray(states)
+
+    # concatenate per-lane word streams (sequential row copies)
+    words_cat = _flatten_lane_rows(words_h, counts_h)
+    out = bytearray()
+    out += struct.pack(HEADER_FMT, n, N.bit_length() - 1)
+    out += freq.astype("<u2").tobytes()
+    out += counts_h.astype("<u2").tobytes()
+    out += states_h.astype("<u4").tobytes()
+    out += words_cat.astype("<u2").tobytes()
+    return bytes(out)
+
+
+def decode_stream(payload: bytes | np.ndarray) -> bytes:
+    """Decode an rANS stream produced by :func:`encode_stream`."""
+    buf = np.frombuffer(payload, np.uint8) if isinstance(
+        payload, (bytes, bytearray)
+    ) else payload
+    hdr_size = struct.calcsize(HEADER_FMT)
+    if len(buf) < hdr_size:
+        raise RansError("truncated rANS stream header")
+    raw_len, lanes_log2 = struct.unpack(HEADER_FMT, buf[:hdr_size].tobytes())
+    if raw_len == 0:
+        return b""
+    N = 1 << lanes_log2
+    steps = -(-raw_len // N)
+    S = _pick_smax(steps)
+
+    off = hdr_size
+    need = 512 + 2 * N + 4 * N
+    if len(buf) < off + need:
+        raise RansError("truncated rANS stream tables")
+    freq = buf[off : off + 512].view("<u2").astype(np.uint16)
+    off += 512
+    counts = buf[off : off + 2 * N].view("<u2").astype(np.int64)
+    off += 2 * N
+    states = buf[off : off + 4 * N].view("<u4").astype(np.uint32)
+    off += 4 * N
+    total_words = int(counts.sum())
+    if len(buf) < off + 2 * total_words:
+        raise RansError("truncated rANS stream words")
+    words_cat = buf[off : off + 2 * total_words].view("<u2")
+
+    if int(freq.astype(np.int64).sum()) != PROB_SCALE:
+        raise RansError("invalid rANS frequency table")
+
+    # re-matrix the per-lane streams: lane-major (N, S)
+    words = _gather_lane_rows(words_cat, counts, S)
+
+    sym, sfreq, scum = slot_tables(freq)
+    slots = np.stack(
+        [sym.astype(np.int64), sfreq.astype(np.int64), scum.astype(np.int64)]
+    ).astype(np.int32)
+    out_mat, final_x, final_p = _decode_kernel(
+        jnp.asarray(words),
+        jnp.asarray(states),
+        jnp.int32(steps),
+        jnp.asarray(slots),
+        S,
+        N,
+    )
+    out = np.asarray(out_mat[:steps]).reshape(-1)[:raw_len]
+    return out.tobytes()

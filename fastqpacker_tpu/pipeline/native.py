@@ -1,0 +1,141 @@
+"""FQZ v3 "native" pipeline: TPU-resident entropy coding + block CRC32.
+
+Container layout is the v2 layout plus a CRC32 field in the block header
+(format/container.py). Stream entropy codecs are fixed by position:
+
+  seq, qual        -> interleaved-lane rANS (ops/rans.py, on-accelerator)
+  headers, plus,
+  npos, lengths    -> zstd (host; small/LZ-friendly streams where order-0
+                      entropy coding would lose badly)
+
+The CRC32 (IEEE, zlib polynomial) is computed over the concatenated
+*uncompressed* streams in wire order and verified after entropy decode —
+an explicit integrity field replacing the zstd frame checksums that v1/v2
+inherit from the reference (PERFORMANCE.md E033; README.md:87).
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..format import container
+from ..ops import rans
+from ..ops import reference as refops
+from ..parser.fastq import FastqStreamParser, RecordBlock
+from ..entropy import zstd as zstd_entropy
+from . import api
+from . import blocks as blockcodec
+
+# stream index -> uses rANS (True) or zstd (False), in v2+ wire order
+RANS_STREAMS = (True, True, False, False, False, False)
+
+
+def _crc_streams(ordered: list[bytes]) -> int:
+    crc = 0
+    for s in ordered:
+        crc = zlib.crc32(s, crc)
+    return crc & 0xFFFFFFFF
+
+
+def compress_native(
+    r: BinaryIO, w: BinaryIO, opts: Optional[api.Options] = None
+) -> None:
+    opts = opts or api.Options()
+    block_size = opts.block_size or api.DEFAULT_BLOCK_SIZE
+
+    parser = FastqStreamParser(r, block_size=block_size)
+    block_iter = parser.blocks()
+    first_block: Optional[RecordBlock] = None
+    for blk in block_iter:
+        first_block = blk
+        break
+
+    qual_offset = refops.PHRED33_OFFSET
+    if first_block is not None and first_block.n > 0:
+        qual_offset = refops.detect_encoding(
+            first_block.qual, first_block.lengths
+        )
+    flags = (
+        container.FLAG_PHRED64
+        if qual_offset == refops.PHRED64_OFFSET
+        else 0
+    )
+    container.FileHeader(
+        version=container.VERSION_3_NATIVE,
+        block_size=block_size,
+        flags=flags,
+    ).write(w)
+    if first_block is None:
+        return
+
+    def all_blocks():
+        yield first_block
+        yield from block_iter
+
+    codec = zstd_entropy.get_codec()
+    for blk in all_blocks():
+        raw = blockcodec.block_to_raw_streams(blk, qual_offset)
+        ordered = raw.ordered(container.VERSION_2)
+        crc = _crc_streams(ordered)
+        comp = [
+            rans.encode_stream(s) if use_rans else codec.compress(s)
+            for s, use_rans in zip(ordered, RANS_STREAMS)
+        ]
+        hdr = container.BlockHeader(
+            num_records=raw.num_records,
+            seq_data_size=len(comp[0]),
+            qual_data_size=len(comp[1]),
+            header_data_size=len(comp[2]),
+            plus_data_size=len(comp[3]),
+            npositions_size=len(comp[4]),
+            seq_lengths_size=len(comp[5]),
+            original_seq_size=raw.original_seq_size,
+            original_qual_size=raw.original_qual_size,
+            crc32=crc,
+        )
+        w.write(hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp))
+
+
+def decompress_native(
+    r: BinaryIO,
+    w: BinaryIO,
+    fh: container.FileHeader,
+    qual_offset: int,
+    workers: int,
+) -> None:
+    codec = zstd_entropy.get_codec()
+    while True:
+        hdr = container.read_block_header(r, container.VERSION_3_NATIVE)
+        if hdr is None:
+            return
+        sizes = hdr.stream_sizes(container.VERSION_2)
+        payload = r.read(sum(sizes))
+        if len(payload) < sum(sizes):
+            raise container.FormatError("truncated block payload")
+        parts = []
+        off = 0
+        for size, use_rans in zip(sizes, RANS_STREAMS):
+            chunk = payload[off : off + size]
+            off += size
+            parts.append(
+                rans.decode_stream(chunk)
+                if use_rans
+                else codec.decompress(chunk)
+            )
+        if _crc_streams(parts) != hdr.crc32:
+            raise container.FormatError(
+                "block CRC32 mismatch: corrupted data"
+            )
+        ds = blockcodec.DecodedStreams(
+            seq=np.frombuffer(parts[0], np.uint8),
+            qual=np.frombuffer(parts[1], np.uint8),
+            headers=np.frombuffer(parts[2], np.uint8),
+            plus=np.frombuffer(parts[3], np.uint8),
+            npos=np.frombuffer(parts[4], np.uint8),
+            lengths=np.frombuffer(parts[5], np.uint8),
+            num_records=hdr.num_records,
+        )
+        w.write(blockcodec.streams_to_fastq(ds, qual_offset))

@@ -1,0 +1,109 @@
+"""FQZ v3 native format tests: round trips, CRC verification, CLI."""
+
+import io
+
+import numpy as np
+import pytest
+
+import fastqpacker_tpu as fq
+from fastqpacker_tpu.format import container
+from fastqpacker_tpu.pipeline import api, native
+
+
+def _fastq(n, seed=0, varlen=False, maxlen=120):
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(n):
+        ln = int(rng.integers(1, maxlen)) if varlen else maxlen
+        s = "".join("ACGTN"[b] for b in rng.integers(0, 5, ln))
+        q = "".join(chr(33 + int(b)) for b in rng.integers(0, 42, ln))
+        recs.append(f"@nat_{i} x={i}\n{s}\n+p{i}\n{q}\n")
+    return "".join(recs).encode()
+
+
+def compress_native_bytes(data: bytes, block_size=100000) -> bytes:
+    out = io.BytesIO()
+    native.compress_native(
+        io.BytesIO(data),
+        out,
+        fq.Options(block_size=block_size, version=container.VERSION_3_NATIVE),
+    )
+    return out.getvalue()
+
+
+def test_native_roundtrip():
+    data = _fastq(300, seed=1)
+    comp = compress_native_bytes(data)
+    fh = container.parse_file_header(comp[:10])
+    assert fh.version == container.VERSION_3_NATIVE
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_native_roundtrip_varlen_multiblock():
+    data = _fastq(500, seed=2, varlen=True)
+    comp = compress_native_bytes(data, block_size=64)
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_native_compresses():
+    # realistic skew: mostly-ACGT sequences, peaked quality distribution
+    rng = np.random.default_rng(3)
+    recs = []
+    for i in range(2000):
+        s = "".join("ACGT"[b] for b in rng.integers(0, 4, 120))
+        q = "".join(
+            chr(33 + int(np.clip(rng.normal(35, 3), 2, 40))) for b in range(120)
+        )
+        recs.append(f"@c_{i}\n{s}\n+\n{q}\n")
+    data = "".join(recs).encode()
+    comp = compress_native_bytes(data)
+    assert len(comp) < len(data) // 2
+
+
+def test_native_crc_catches_corruption():
+    data = _fastq(200, seed=4)
+    comp = bytearray(compress_native_bytes(data))
+    # flip a byte deep in the payload (past file+block header)
+    comp[len(comp) // 2] ^= 0x01
+    with pytest.raises(container.FormatError):
+        fq.decompress_bytes(bytes(comp))
+
+
+def test_native_phred64():
+    q = "".join(chr(64 + i % 40) for i in range(80))
+    data = f"@p64\n{'ACGT' * 20}\n+\n{q}\n".encode()
+    comp = compress_native_bytes(data)
+    assert container.parse_file_header(comp[:10]).phred64
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_native_empty_input():
+    comp = compress_native_bytes(b"")
+    assert len(comp) == container.FILE_HEADER_SIZE
+    assert fq.decompress_bytes(comp) == b""
+
+
+def test_native_cli(tmp_path):
+    import subprocess, sys, os
+
+    data = _fastq(100, seed=5)
+    fin = tmp_path / "in.fq"
+    fz = tmp_path / "out.fqz"
+    fout = tmp_path / "out.fq"
+    fin.write_bytes(data)
+    env = {**os.environ, "FQZ_FORCE_CPU": "1", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": "/root/repo"}
+    p = subprocess.run(
+        [sys.executable, "-m", "fastqpacker_tpu.cli.fqpack",
+         "--format", "native", "-i", str(fin), "-o", str(fz)],
+        capture_output=True, env=env, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr
+    assert fz.read_bytes()[4] == container.VERSION_3_NATIVE
+    p = subprocess.run(
+        [sys.executable, "-m", "fastqpacker_tpu.cli.fqpack",
+         "-d", "-i", str(fz), "-o", str(fout)],
+        capture_output=True, env=env, cwd="/root/repo",
+    )
+    assert p.returncode == 0, p.stderr
+    assert fout.read_bytes() == data
