@@ -11,9 +11,11 @@ Asymmetric Numeral System coder designed for the VPU:
   ``lax.fori_loop`` whose trip count is dynamic (no recompile per length).
 - **State**: 32-bit, 16-bit renormalization, 12-bit probabilities
   (table total 4096). Encode walks the data backwards, emitting 0/1 u16
-  words per lane per step into a dense matrix; a vectorized column
-  compaction (prefix-sum + one scatter) packs per-lane streams. Decode
-  walks forward, popping words via per-lane gathers.
+  words per lane per step into a dense matrix; a prefix-sum + one-scatter
+  compaction flattens them to **global (step, lane) order** — exactly the
+  decoder's consumption order, so the forward-walking decoder reads one
+  contiguous word run per step (dynamic slice + in-register rank gather)
+  instead of chasing per-lane pointers through HBM.
 - **Division-free encode**: the u32/freq divmod is computed as two small
   exact float32 divisions with integer fix-up (quotient error is provably
   bounded, then corrected) — TPUs have no integer divide or u64.
@@ -23,7 +25,7 @@ Asymmetric Numeral System coder designed for the VPU:
 
 Wire format per stream (little-endian):
   u32 raw_len | u8 lanes_log2 | u8[3] reserved | u16 freq[256]
-  | u16 word_counts[N] | u32 final_states[N] | u16 words[total]
+  | u32 final_states[N] | u32 total_words | u16 words[total]
 
 The padding needed to fill the last row is the stream's most frequent
 byte (cheapest to code) and is included in the histogram.
@@ -162,16 +164,17 @@ def _encode_kernel(
 
     Returns (emits (S, N) u16, emask (S, N) bool, states (N,) u32).
     """
-    freq_t = freq_cum[0]
-    cum_t = freq_cum[1]
+    # packed per-symbol table: (freq-1) in bits 0-11, cum in bits 12-23
+    packed_tab = (freq_cum[0] - 1) | (freq_cum[1] << 12)
 
     def body(i, carry):
         x, emits, emask = carry
         t = steps - 1 - i
         row = jax.lax.dynamic_slice(data, (t, 0), (1, N))[0]
         s = row.astype(jnp.int32)
-        f = jnp.take(freq_t, s)
-        c = jnp.take(cum_t, s)
+        e = jnp.take(packed_tab, s)
+        f = (e & _u32(0xFFF)) + 1
+        c = (e >> 12) & _u32(0xFFF)
         # renorm: emit low 16 bits when x >= f << 20  (== x>>20 >= f)
         emit = (x >> 20) >= f
         word = (x & _u32(0xFFFF)).astype(_u16)
@@ -190,21 +193,22 @@ def _encode_kernel(
 
 
 @partial(jax.jit, static_argnums=(2, 3))
-def _compact_columns(
-    emits: jax.Array, emask: jax.Array, S: int, N: int
-):
-    """Pack per-lane emissions (ascending step order) to the top of each
-    column. Returns (packed (S, N) u16, counts (N,) i32)."""
-    m = emask.astype(jnp.int32)
-    idx = jnp.cumsum(m, axis=0) - 1  # destination row where valid
-    counts = jnp.sum(m, axis=0)
-    rows = jnp.where(emask, idx, S)  # invalid -> dropped row
-    cols = jax.lax.broadcasted_iota(jnp.int32, (S, N), 1)
-    out = jnp.zeros((S + 1, N), dtype=_u16)
-    out = out.at[rows, cols].set(emits, mode="drop")
-    # lane-major layout: row l = lane l's words (host flattens with the
-    # native runtime's sequential row copies)
-    return out[:S].T, counts
+def _compact_global(emits: jax.Array, emask: jax.Array, S: int, N: int):
+    """Flatten emitted words to global (step, lane) order.
+
+    The stream stores words in exactly the order the decoder consumes
+    them (ascending step, then lane), so decoding reads a contiguous run
+    per step instead of doing per-lane pointer gathers.
+    Returns (flat (S*N,) u16, total i32).
+    """
+    m_flat = emask.reshape(-1).astype(jnp.int32)
+    e_flat = emits.reshape(-1)
+    idx = jnp.cumsum(m_flat) - 1
+    total = jnp.sum(m_flat)
+    dst = jnp.where(m_flat > 0, idx, S * N)
+    out = jnp.zeros((S * N + 1,), dtype=_u16)
+    out = out.at[dst].set(e_flat, mode="drop")
+    return out[: S * N], total
 
 
 # ---------------------------------------------------------------------------
@@ -212,83 +216,77 @@ def _compact_columns(
 # ---------------------------------------------------------------------------
 
 
+def _monotonic_gather(chunk: jax.Array, rank: jax.Array, n: int) -> jax.Array:
+    """``chunk[rank]`` for monotone non-decreasing ``rank`` with steps in
+    {0, 1} and ``rank[l] <= l``.
+
+    Written as a log-depth shift network (rolls + selects) because an
+    arbitrary N-wide gather de-vectorizes on the VPU: destination lane
+    ``l`` needs source ``l - d_l`` with ``d = iota - rank`` monotone, so
+    stage ``b`` rolls the vector right by ``2**b`` for lanes whose shift
+    distance has bit ``b`` set.
+    """
+    lane = jax.lax.iota(jnp.int32, n)
+    d = lane - rank  # monotone non-decreasing with unit steps, 0 <= d <= l
+    w = chunk
+    bits = max(n - 1, 1).bit_length()
+    for b in reversed(range(bits)):  # MSB->LSB: required for correctness
+        shifted = jnp.roll(w, 1 << b)
+        w = jnp.where((d >> b) & 1 > 0, shifted, w)
+    return w
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def _decode_kernel(
-    words: jax.Array,  # (N, S) uint16 lane-major packed streams
+    words: jax.Array,  # (W,) uint16 words in global (step, lane) order
     states: jax.Array,  # (N,) uint32 initial (= encoder final) states
     steps: jax.Array,  # i32 scalar
-    slots: jax.Array,  # (3, 4096) int32/u32: sym, freq, cum
+    slot_tabs: jax.Array,  # (16, 256) uint32 packed: freq-1 | cum<<12 | sym<<24
     S: int,
     N: int,
 ):
-    """Forward-walk rANS decode. Returns ((S, N) uint8 symbols, ptrs)."""
-    slot_sym = slots[0].astype(jnp.int32)
-    slot_freq = slots[1].astype(_u32)
-    slot_cum = slots[2].astype(_u32)
-    words_flat = words.reshape(-1)  # lane-major: index = lane * S + p
-    lane_base = jax.lax.broadcasted_iota(jnp.int32, (N,), 0) * S
+    """Forward-walk rANS decode.
+
+    Each step consumes a *contiguous* run of words (the lanes that renorm
+    this step, in lane order): one dynamic slice + a monotonic shift
+    network, no per-lane HBM pointers. The 4096-slot table is split into
+    16 tables of 256 entries (select-combined) so every per-lane lookup
+    stays in the small-table regime that the TPU vectorizes.
+    Returns ((S, N) uint8 symbols, final states, words consumed).
+    """
 
     def body(t, carry):
-        x, p, out = carry
+        x, base, out = carry
         slot = (x & _u32(PROB_SCALE - 1)).astype(jnp.int32)
-        s = jnp.take(slot_sym, slot)
-        f = jnp.take(slot_freq, slot)
-        c = jnp.take(slot_cum, slot)
+        hi = slot >> 8
+        lo = slot & 255
+        e = jnp.zeros((N,), dtype=_u32)
+        for k in range(16):
+            e = jnp.where(hi == k, jnp.take(slot_tabs[k], lo), e)
+        f = (e & _u32(0xFFF)) + 1
+        c = (e >> 12) & _u32(0xFFF)
+        s = (e >> 24).astype(jnp.uint8)
         x = f * (x >> PROB_BITS) + slot.astype(_u32) - c
         need = x < _u32(RANS_L)
-        w = jnp.take(words_flat, lane_base + p, mode="clip").astype(_u32)
+        ni = need.astype(jnp.int32)
+        rank = jnp.cumsum(ni) - ni
+        chunk = jax.lax.dynamic_slice(words, (base,), (N,))
+        w = _monotonic_gather(chunk, rank, N).astype(_u32)
         x = jnp.where(need, (x << 16) | w, x)
-        p = p + need.astype(jnp.int32)
-        out = jax.lax.dynamic_update_slice(
-            out, s.astype(jnp.uint8)[None, :], (t, 0)
-        )
-        return x, p, out
+        base = base + jnp.sum(ni)
+        out = jax.lax.dynamic_update_slice(out, s[None, :], (t, 0))
+        return x, base, out
 
-    p0 = jnp.zeros((N,), dtype=jnp.int32)
     out0 = jnp.zeros((S, N), dtype=jnp.uint8)
-    x, p, out = jax.lax.fori_loop(
-        0, steps, body, (states, p0, out0)
+    x, base, out = jax.lax.fori_loop(
+        0, steps, body, (states, jnp.int32(0), out0)
     )
-    return out, x, p
+    return out, x, base
 
 
 # ---------------------------------------------------------------------------
 # Host-facing stream API
 # ---------------------------------------------------------------------------
-
-
-def _flatten_lane_rows(words: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Concatenate the first counts[l] u16 of each lane row."""
-    from ..runtime import bindings as rt
-
-    n, w = words.shape
-    if w == 0 or counts.sum() == 0:
-        return np.zeros(0, np.uint16)
-    if rt.available():
-        w8 = np.ascontiguousarray(words).view(np.uint8).reshape(n, 2 * w)
-        flat8 = rt.flatten_rows(w8, counts * 2)
-        return flat8.view(np.uint16)
-    return np.concatenate([words[l, : counts[l]] for l in range(n)])
-
-
-def _gather_lane_rows(
-    words_cat: np.ndarray, counts: np.ndarray, width: int
-) -> np.ndarray:
-    """Inverse of :func:`_flatten_lane_rows` into an (N, width) matrix."""
-    from ..runtime import bindings as rt
-
-    n = len(counts)
-    offs = np.concatenate(([0], np.cumsum(counts[:-1])))
-    if rt.available():
-        cat8 = np.ascontiguousarray(words_cat).view(np.uint8)
-        m8 = rt.gather_rows(cat8, offs * 2, counts * 2, pad_to=2 * width)
-        return m8.view(np.uint16)
-    out = np.zeros((n, width), dtype=np.uint16)
-    for l in range(n):
-        c = int(counts[l])
-        if c:
-            out[l, :c] = words_cat[offs[l] : offs[l] + c]
-    return out
 
 
 def _pick_lanes(n: int) -> int:
@@ -302,8 +300,18 @@ def _pick_smax(steps: int) -> int:
     return s
 
 
-def _pad_pow2(x: int, lo: int) -> int:
-    return max(lo, 1 << (x - 1).bit_length())
+def _pow2ceil(x: int, lo: int) -> int:
+    return max(lo, 1 << max(x - 1, 0).bit_length())
+
+
+def pack_slot_table(freq: np.ndarray) -> np.ndarray:
+    """(4096,) u32 decode table: (freq-1) | cum<<12 | sym<<24."""
+    sym, sfreq, scum = slot_tables(freq)
+    return (
+        (sfreq.astype(np.uint32) - 1)
+        | (scum.astype(np.uint32) << 12)
+        | (sym.astype(np.uint32) << 24)
+    )
 
 
 def encode_stream(data: bytes | np.ndarray, lanes: int | None = None) -> bytes:
@@ -318,8 +326,7 @@ def encode_stream(data: bytes | np.ndarray, lanes: int | None = None) -> bytes:
 
     hist = np.bincount(raw, minlength=256).astype(np.int64)
     pad_sym = int(np.argmax(hist))
-    pad_count = steps * N - n
-    hist[pad_sym] += pad_count
+    hist[pad_sym] += steps * N - n
     freq = normalize_freqs(hist)
     cum = cumulative(freq)
 
@@ -328,29 +335,21 @@ def encode_stream(data: bytes | np.ndarray, lanes: int | None = None) -> bytes:
     padded = np.zeros((S, N), dtype=np.uint8)
     padded[:steps] = mat.reshape(steps, N)
 
-    freq_cum = np.stack(
-        [freq.astype(np.uint32), cum.astype(np.uint32)]
-    )
+    freq_cum = np.stack([freq.astype(np.uint32), cum.astype(np.uint32)])
     emits, emask, states = _encode_kernel(
         jnp.asarray(padded), jnp.int32(steps), jnp.asarray(freq_cum), S, N
     )
-    packed, counts = _compact_columns(emits, emask, S, N)
-    counts_h = np.asarray(counts).astype(np.int64)
-    max_rows = int(counts_h.max()) if counts_h.size else 0
-    # fetch only the needed lane-major prefix (N, max_rows)
-    words_h = np.asarray(packed[:, :max_rows]) if max_rows else np.zeros(
-        (N, 0), np.uint16
-    )
+    flat, total = _compact_global(emits, emask, S, N)
+    total_h = int(np.asarray(total))
+    words_h = np.asarray(flat[:total_h]) if total_h else np.zeros(0, np.uint16)
     states_h = np.asarray(states)
 
-    # concatenate per-lane word streams (sequential row copies)
-    words_cat = _flatten_lane_rows(words_h, counts_h)
     out = bytearray()
     out += struct.pack(HEADER_FMT, n, N.bit_length() - 1)
     out += freq.astype("<u2").tobytes()
-    out += counts_h.astype("<u2").tobytes()
     out += states_h.astype("<u4").tobytes()
-    out += words_cat.astype("<u2").tobytes()
+    out += struct.pack("<I", total_h)
+    out += words_h.astype("<u2").tobytes()
     return bytes(out)
 
 
@@ -370,16 +369,15 @@ def decode_stream(payload: bytes | np.ndarray) -> bytes:
     S = _pick_smax(steps)
 
     off = hdr_size
-    need = 512 + 2 * N + 4 * N
+    need = 512 + 4 * N + 4
     if len(buf) < off + need:
         raise RansError("truncated rANS stream tables")
     freq = buf[off : off + 512].view("<u2").astype(np.uint16)
     off += 512
-    counts = buf[off : off + 2 * N].view("<u2").astype(np.int64)
-    off += 2 * N
     states = buf[off : off + 4 * N].view("<u4").astype(np.uint32)
     off += 4 * N
-    total_words = int(counts.sum())
+    (total_words,) = struct.unpack("<I", buf[off : off + 4].tobytes())
+    off += 4
     if len(buf) < off + 2 * total_words:
         raise RansError("truncated rANS stream words")
     words_cat = buf[off : off + 2 * total_words].view("<u2")
@@ -387,18 +385,16 @@ def decode_stream(payload: bytes | np.ndarray) -> bytes:
     if int(freq.astype(np.int64).sum()) != PROB_SCALE:
         raise RansError("invalid rANS frequency table")
 
-    # re-matrix the per-lane streams: lane-major (N, S)
-    words = _gather_lane_rows(words_cat, counts, S)
+    w_pad = _pow2ceil(total_words + N, 2 * N)
+    words = np.zeros(w_pad, dtype=np.uint16)
+    words[:total_words] = words_cat
 
-    sym, sfreq, scum = slot_tables(freq)
-    slots = np.stack(
-        [sym.astype(np.int64), sfreq.astype(np.int64), scum.astype(np.int64)]
-    ).astype(np.int32)
-    out_mat, final_x, final_p = _decode_kernel(
+    slot_tab = pack_slot_table(freq).reshape(16, 256)
+    out_mat, final_x, consumed = _decode_kernel(
         jnp.asarray(words),
         jnp.asarray(states),
         jnp.int32(steps),
-        jnp.asarray(slots),
+        jnp.asarray(slot_tab),
         S,
         N,
     )

@@ -123,3 +123,20 @@ def test_divmod_state_exactness():
     q, r = rans._divmod_state(jnp.asarray(x), jnp.asarray(f))
     np.testing.assert_array_equal(np.asarray(q), x // f)
     np.testing.assert_array_equal(np.asarray(r), x % f)
+
+
+def test_monotonic_gather_matches_take():
+    import jax.numpy as jnp
+
+    from fastqpacker_tpu.ops.rans import _monotonic_gather
+
+    rng = np.random.default_rng(6)
+    for n in (8, 128, 4096):
+        for _ in range(5):
+            need = rng.integers(0, 2, n)
+            rank = np.cumsum(need) - need  # exclusive prefix of a 0/1 mask
+            chunk = rng.integers(0, 1 << 16, n).astype(np.uint16)
+            got = np.asarray(
+                _monotonic_gather(jnp.asarray(chunk), jnp.asarray(rank.astype(np.int32)), n)
+            )
+            np.testing.assert_array_equal(got, chunk[rank])
