@@ -255,14 +255,12 @@ def _decode_kernel(
     Returns ((S, N) uint8 symbols, final states, words consumed).
     """
 
+    slot_tab = slot_tabs.reshape(-1)
+
     def body(t, carry):
         x, base, out = carry
         slot = (x & _u32(PROB_SCALE - 1)).astype(jnp.int32)
-        hi = slot >> 8
-        lo = slot & 255
-        e = jnp.zeros((N,), dtype=_u32)
-        for k in range(16):
-            e = jnp.where(hi == k, jnp.take(slot_tabs[k], lo), e)
+        e = jnp.take(slot_tab, slot)
         f = (e & _u32(0xFFF)) + 1
         c = (e >> 12) & _u32(0xFFF)
         s = (e >> 24).astype(jnp.uint8)
@@ -271,7 +269,7 @@ def _decode_kernel(
         ni = need.astype(jnp.int32)
         rank = jnp.cumsum(ni) - ni
         chunk = jax.lax.dynamic_slice(words, (base,), (N,))
-        w = _monotonic_gather(chunk, rank, N).astype(_u32)
+        w = jnp.take(chunk, rank).astype(_u32)
         x = jnp.where(need, (x << 16) | w, x)
         base = base + jnp.sum(ni)
         out = jax.lax.dynamic_update_slice(out, s[None, :], (t, 0))
