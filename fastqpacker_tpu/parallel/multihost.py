@@ -1,0 +1,321 @@
+"""Multi-host orchestration: per-host input sharding and ordered output.
+
+The reference is single-process (SURVEY.md §2: "Distributed communication
+backend: none"); scaling an 8.9 GB compress across a multi-host TPU slice
+needs three pieces, implemented here:
+
+1. ``jax.distributed`` initialization (one process per host).
+2. **Per-host input byte-ranges aligned to record boundaries**: each host
+   seeks to ``file_size * k / H`` and scans forward for a true FASTQ
+   record start. A bare ``'@'`` at line start is not sufficient ('@' is a
+   legal quality byte), so candidates are verified by structurally
+   parsing the next records (header '@' / separator '+' / equal
+   seq-qual lengths), the standard alignment trick for splitting FASTQ.
+3. **Ordered gather of variable-size outputs**: per-host compressed sizes
+   are all-gathered (over DCN via a tiny jax collective), every host
+   computes the exclusive-prefix file offset of its section, and writes
+   its own bytes at that offset (parallel pwrite) — no serialization
+   through host 0 (SURVEY.md §8 "hard parts").
+
+Testable without a cluster: the byte-range/alignment logic is pure host
+code, and the offset exchange falls back to local computation when only
+one process exists.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..format import container
+from ..pipeline import api
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> tuple[int, int]:
+    """Initialize jax.distributed if a multi-process env is configured.
+
+    Returns (process_id, num_processes).
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+# ---------------------------------------------------------------------------
+# Record-aligned byte ranges
+# ---------------------------------------------------------------------------
+
+PROBE_BYTES = 1 << 20  # window scanned for an alignment candidate
+
+
+def _is_record_start(buf: bytes, pos: int) -> bool:
+    """Structurally verify that ``buf[pos:]`` starts a FASTQ record.
+
+    Checks up to two consecutive records for the 4-line invariants
+    (header '@', separator '+', len(seq) == len(qual)); one record
+    suffices at end-of-buffer.
+    """
+    checked = 0
+    while checked < 2:
+        if pos >= len(buf):
+            return checked > 0
+        if buf[pos : pos + 1] != b"@":
+            return False
+        lines = []
+        p = pos
+        for _ in range(4):
+            nl = buf.find(b"\n", p)
+            if nl < 0:
+                # ran off the probe window: accept if at least one full
+                # record validated
+                return checked > 0
+            line = buf[p:nl]
+            if line.endswith(b"\r"):
+                line = line[:-1]
+            lines.append(line)
+            p = nl + 1
+        if not lines[2].startswith(b"+"):
+            return False
+        if len(lines[1]) != len(lines[3]):
+            return False
+        pos = p
+        checked += 1
+    return True
+
+
+def align_to_record(f: BinaryIO, start: int, file_size: int) -> int:
+    """Smallest record-start offset >= ``start`` (or ``file_size``)."""
+    if start == 0:
+        return 0
+    if start >= file_size:
+        return file_size
+    f.seek(start)
+    buf = f.read(min(PROBE_BYTES, file_size - start))
+    # candidate positions: character after every newline
+    pos = 0
+    while True:
+        nl = buf.find(b"\n", pos)
+        if nl < 0:
+            return file_size
+        cand = nl + 1
+        if cand >= len(buf):
+            return file_size
+        if _is_record_start(buf, cand):
+            return start + cand
+        pos = cand
+
+
+def host_ranges(path: str, num_hosts: int) -> list[tuple[int, int]]:
+    """Record-aligned [start, end) input ranges, one per host."""
+    file_size = os.path.getsize(path)
+    bounds = [0]
+    with open(path, "rb") as f:
+        for k in range(1, num_hosts):
+            raw = file_size * k // num_hosts
+            bounds.append(max(align_to_record(f, raw, file_size), bounds[-1]))
+    bounds.append(file_size)
+    return [(bounds[i], bounds[i + 1]) for i in range(num_hosts)]
+
+
+# ---------------------------------------------------------------------------
+# Sharded compression with parallel ordered writes
+# ---------------------------------------------------------------------------
+
+
+class _RangeReader:
+    """Reads a [start, end) window of a file as a stream."""
+
+    def __init__(self, f: BinaryIO, start: int, end: int):
+        self.f = f
+        self.f.seek(start)
+        self.remaining = end - start
+
+    def read(self, n: int = -1) -> bytes:
+        if self.remaining <= 0:
+            return b""
+        if n is None or n < 0 or n > self.remaining:
+            n = self.remaining
+        data = self.f.read(n)
+        self.remaining -= len(data)
+        return data
+
+
+@dataclass
+class HostSection:
+    """One host's compressed output section."""
+
+    host_id: int
+    payload: bytes  # concatenated blocks (no file header)
+    qual_offset: int
+
+
+def compress_host_section(
+    path: str,
+    start: int,
+    end: int,
+    host_id: int,
+    opts: Optional[api.Options] = None,
+    qual_offset: Optional[int] = None,
+) -> HostSection:
+    """Compress one host's record range into container blocks.
+
+    The file header is emitted only by host 0 at offset 0; every other
+    host contributes bare blocks. The quality-encoding flag is detected by
+    host 0 (first block of the file, compress.go:137-154) and broadcast;
+    non-zero hosts must receive it via ``qual_offset``.
+    """
+    import io
+
+    from ..ops import reference as refops
+    from ..parser.fastq import FastqStreamParser
+    from ..entropy import zstd as zstd_entropy
+    from ..pipeline import blocks as blockcodec
+
+    opts = opts or api.Options()
+    block_size = opts.block_size or api.DEFAULT_BLOCK_SIZE
+    out = io.BytesIO()
+
+    with open(path, "rb") as f:
+        reader = _RangeReader(f, start, end)
+        parser = FastqStreamParser(reader, block_size=block_size)
+        blocks_iter = parser.blocks()
+
+        first = None
+        for blk in blocks_iter:
+            first = blk
+            break
+        if qual_offset is None:
+            qual_offset = refops.PHRED33_OFFSET
+            if first is not None and first.n > 0:
+                qual_offset = refops.detect_encoding(
+                    first.qual, first.lengths
+                )
+
+        def all_blocks():
+            if first is not None:
+                yield first
+            yield from blocks_iter
+
+        codec = zstd_entropy.get_codec()
+        for blk in all_blocks():
+            raw = blockcodec.block_to_raw_streams(blk, qual_offset)
+            out.write(
+                blockcodec.compress_raw_streams(raw, codec, opts.version)
+            )
+
+    return HostSection(host_id=host_id, payload=out.getvalue(),
+                       qual_offset=qual_offset)
+
+
+def exchange_section_sizes(local_size: int) -> np.ndarray:
+    """All-gather per-host section sizes (DCN); local fallback when
+    single-process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return np.array([local_size], dtype=np.int64)
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    sizes = multihost_utils.process_allgather(
+        jnp.asarray([local_size], dtype=jnp.int32)
+    )
+    return np.asarray(sizes).reshape(-1).astype(np.int64)
+
+
+def _section_bytes(
+    section: HostSection, opts: api.Options
+) -> bytes:
+    """Host 0 prepends the file header; other hosts emit bare blocks."""
+    if section.host_id != 0:
+        return section.payload
+    flags = container.FLAG_PHRED64 if section.qual_offset == 64 else 0
+    header = container.FileHeader(
+        version=opts.version,
+        block_size=opts.block_size or api.DEFAULT_BLOCK_SIZE,
+        flags=flags,
+    ).to_bytes()
+    return header + section.payload
+
+
+def _pwrite_section(out_path: str, data: bytes, offset: int) -> None:
+    fd = os.open(out_path, os.O_WRONLY | os.O_CREAT, 0o644)
+    try:
+        os.pwrite(fd, data, offset)
+    finally:
+        os.close(fd)
+
+
+def compress_multihost(
+    in_path: str,
+    out_path: str,
+    opts: Optional[api.Options] = None,
+    qual_offset: Optional[int] = None,
+) -> None:
+    """Data-parallel multi-host compress: this process's share of the file.
+
+    With jax.distributed initialized, every host calls this with its own
+    ``process_index``; section sizes are agreed via all-gather over DCN
+    and each host pwrites its own byte range of the output — the ordered
+    collector with no host-0 serialization.
+
+    The quality-encoding flag is a file-level header bit detected from
+    the file's first block (compress.go:137-154): in a real multi-process
+    run pass the agreed ``qual_offset`` (host 0 detects and broadcasts it
+    out of band, e.g. via ``multihost_utils.broadcast_one_to_all``).
+    """
+    import jax
+
+    opts = opts or api.Options()
+    h = jax.process_index()
+    n = jax.process_count()
+
+    ranges = host_ranges(in_path, n)
+    start, end = ranges[h]
+    section = compress_host_section(
+        in_path, start, end, h, opts, qual_offset=qual_offset
+    )
+    data = _section_bytes(section, opts)
+    sizes = exchange_section_sizes(len(data))
+    _pwrite_section(out_path, data, int(sizes[:h].sum()))
+
+
+def simulate_multihost(
+    in_path: str,
+    out_path: str,
+    num_hosts: int,
+    opts: Optional[api.Options] = None,
+) -> None:
+    """Run every host's multihost logic in one process (cluster-free
+    testing): same sections, same offsets, same parallel pwrites."""
+    opts = opts or api.Options()
+    ranges = host_ranges(in_path, num_hosts)
+
+    sections = []
+    qual_offset = None
+    for h, (start, end) in enumerate(ranges):
+        sec = compress_host_section(
+            in_path, start, end, h, opts, qual_offset=qual_offset
+        )
+        if h == 0:
+            qual_offset = sec.qual_offset  # host 0 broadcast
+        sections.append(sec)
+
+    datas = [_section_bytes(s, opts) for s in sections]
+    sizes = np.array([len(d) for d in datas], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes[:-1])))
+    for d, off in zip(datas, offsets):
+        _pwrite_section(out_path, d, int(off))

@@ -1,0 +1,105 @@
+"""Multi-host orchestration tests (simulated hosts, no cluster).
+
+The analog of the reference's "tests pass without a cluster": byte-range
+alignment, section compression, and ordered parallel writes are exercised
+by running every simulated host's logic in one process.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+import fastqpacker_tpu as fq
+from fastqpacker_tpu.parallel import multihost as mh
+
+
+def _fastq(n, seed=0, tricky_quals=False):
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(n):
+        ln = int(rng.integers(5, 180))
+        s = "".join("ACGTN"[b] for b in rng.integers(0, 5, ln))
+        if tricky_quals:
+            # qualities full of '@' and '+' to stress record alignment
+            q = "".join("@+" [int(b)] for b in rng.integers(0, 2, ln))
+        else:
+            q = "".join(chr(33 + int(b)) for b in rng.integers(0, 42, ln))
+        recs.append(f"@mh_{i} r={i}\n{s}\n+\n{q}\n")
+    return "".join(recs).encode()
+
+
+@pytest.mark.parametrize("tricky", [False, True])
+@pytest.mark.parametrize("hosts", [1, 2, 4, 7])
+def test_host_ranges_align_to_records(tmp_path, hosts, tricky):
+    data = _fastq(300, seed=1, tricky_quals=tricky)
+    p = tmp_path / "in.fq"
+    p.write_bytes(data)
+    ranges = mh.host_ranges(str(p), hosts)
+    assert ranges[0][0] == 0
+    assert ranges[-1][1] == len(data)
+    # contiguous, non-overlapping
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 == s2
+    # every boundary is a true record start
+    for s, e in ranges:
+        if s < len(data):
+            assert data[s:s+1] == b"@"
+            # the line must be a real header: parse one record from here
+            chunk = data[s : s + 4096]
+            lines = chunk.split(b"\n")
+            assert lines[2][:1] == b"+"
+            assert len(lines[1]) == len(lines[3])
+
+
+def test_multihost_output_matches_single_host(tmp_path):
+    data = _fastq(500, seed=2)
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(data)
+    fout = tmp_path / "out.fqz"
+
+    mh.simulate_multihost(str(fin), str(fout), 4, fq.Options(block_size=64))
+    comp = fout.read_bytes()
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_multihost_single_host_equivalent(tmp_path):
+    data = _fastq(200, seed=3)
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(data)
+    fout = tmp_path / "out1.fqz"
+    mh.simulate_multihost(str(fin), str(fout), 1, fq.Options(block_size=50))
+    single = fq.compress_bytes(data, fq.Options(block_size=50, workers=1))
+    assert fout.read_bytes() == single
+
+
+def test_phred64_flag_via_broadcast(tmp_path):
+    q64 = "".join(chr(64 + i % 40) for i in range(60))
+    recs = "".join(f"@p{i}\n{'ACGT' * 15}\n+\n{q64}\n" for i in range(50))
+    data = recs.encode()
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(data)
+    fout = tmp_path / "out.fqz"
+    mh.simulate_multihost(str(fin), str(fout), 2, fq.Options(block_size=10))
+    comp = fout.read_bytes()
+    from fastqpacker_tpu.format import container
+
+    assert container.parse_file_header(comp[:10]).phred64
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_align_rejects_quality_at_lines(tmp_path):
+    """A '@' quality line must not be mistaken for a record start."""
+    # record whose quality line starts with '@' right after a newline
+    data = (
+        b"@r1\nACGTA\n+\n@@@@@\n"
+        b"@r2\nGGGTT\n+\nIIIII\n"
+        b"@r3\nCCCAA\n+\nJJJJJ\n"
+    )
+    p = tmp_path / "t.fq"
+    p.write_bytes(data)
+    # force a split point landing inside record 1
+    with open(p, "rb") as f:
+        pos = mh.align_to_record(f, 5, len(data))
+    assert data[pos:].startswith(b"@r2\n")
