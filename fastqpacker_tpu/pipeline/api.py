@@ -46,14 +46,25 @@ def _resolve_workers(workers: int) -> int:
     return workers if workers > 0 else (os.cpu_count() or 1)
 
 
+def _default_encode_arrays():
+    """Fused native encoder when available, numpy reference otherwise."""
+    from ..runtime import bindings
+
+    if bindings.available():
+        return bindings.encode_block_arrays
+    return refops.encode_block_arrays
+
+
 def compress(
     r: BinaryIO,
     w: BinaryIO,
     opts: Optional[Options] = None,
-    encode_arrays=refops.encode_block_arrays,
+    encode_arrays=None,
 ) -> None:
     """Compress FASTQ from ``r`` into an FQZ container on ``w``."""
     opts = opts or Options()
+    if encode_arrays is None:
+        encode_arrays = _default_encode_arrays()
     block_size = opts.block_size or DEFAULT_BLOCK_SIZE
     workers = _resolve_workers(opts.workers)
     version = opts.version

@@ -283,3 +283,42 @@ def qual_delta_rows(qual: np.ndarray, offset: int) -> np.ndarray:
             out.reshape(-1),
         )
     return out
+
+
+def _bind_encode_block(lib):
+    lib.fq_encode_block.restype = None
+    lib.fq_encode_block.argtypes = [
+        _u8p, _u8p, _i64p, _ll, _ll, _ll, _u8, _u8p, _u8p, _i32p, _u8p,
+    ]
+
+
+def encode_block_arrays(seq, qual, lengths, qual_offset, npos_cap=None):
+    """Fused CPU dense encode (drop-in for refops.encode_block_arrays)."""
+    from ..ops import reference as refops
+
+    lib = _load()
+    if not hasattr(lib, "_enc_bound"):
+        _bind_encode_block(lib)
+        lib._enc_bound = True
+    r, w = seq.shape
+    cap = refops.MAX_SEQUENCE_LENGTH if npos_cap is None else npos_cap
+    pw = -(-w // 4) if w else 0
+    mw = -(-w // 8) if w else 0
+    packed = np.zeros((r, max(pw, 1)), dtype=np.uint8)
+    nmask = np.zeros((r, max(mw, 1)), dtype=np.uint8)
+    ncnt = np.zeros(r, dtype=np.int32)
+    delta = np.zeros((r, max(w, 1)), dtype=np.uint8)
+    if r and w:
+        lib.fq_encode_block(
+            np.ascontiguousarray(seq).reshape(-1),
+            np.ascontiguousarray(qual).reshape(-1),
+            np.ascontiguousarray(lengths, np.int64), r, w, cap,
+            qual_offset, packed.reshape(-1), nmask.reshape(-1), ncnt,
+            delta.reshape(-1),
+        )
+    return refops.EncodedArrays(
+        packed=packed[:, :pw],
+        nmask_bits=nmask[:, :mw],
+        n_counts=ncnt,
+        qual_delta=delta[:, :w],
+    )

@@ -316,3 +316,64 @@ void fq_pack2_rows(const uint8_t* codes, long long r, long long w4,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused dense block encode (CPU twin of the Pallas kernel)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// One sequential pass over a padded (r, w) block: 2-bit pack (LSB-first),
+// ambiguity bitmask (little-endian bits, positions < npos_cap), per-record
+// ambiguity counts, and offset+delta quality coding
+// (reference semantics: sequence.go:58-98, quality.go:53-103).
+// Outputs: packed (r, ceil(w/4)), nmask (r, ceil(w/8)), ncnt (r,),
+// delta (r, w). Rows are independent; w is the padded width, lens[i] the
+// true record length.
+void fq_encode_block(const uint8_t* seq, const uint8_t* qual,
+                     const long long* lens, long long r, long long w,
+                     long long npos_cap, uint8_t qoffset, uint8_t* packed,
+                     uint8_t* nmask, int32_t* ncnt, uint8_t* delta) {
+  const long long pw = (w + 3) / 4;
+  const long long mw = (w + 7) / 8;
+  static uint8_t code_lut[256];
+  static uint8_t valid_lut[256];
+  static int lut_init = 0;
+  if (!lut_init) {
+    for (int i = 0; i < 256; i++) {
+      int u = i & 0xDF;
+      code_lut[i] = (uint8_t)((u == 'C') ? 1 : (u == 'G') ? 2 : (u == 'T') ? 3 : 0);
+      valid_lut[i] = (uint8_t)(u == 'A' || u == 'C' || u == 'G' || u == 'T');
+    }
+    lut_init = 1;
+  }
+  for (long long i = 0; i < r; i++) {
+    const uint8_t* srow = seq + i * w;
+    const uint8_t* qrow = qual + i * w;
+    uint8_t* prow = packed + i * pw;
+    uint8_t* mrow = nmask + i * mw;
+    uint8_t* drow = delta + i * w;
+    const long long len = lens[i];
+    memset(prow, 0, (size_t)pw);
+    memset(mrow, 0, (size_t)mw);
+    int32_t cnt = 0;
+    const long long cap = len < npos_cap ? len : npos_cap;
+    for (long long j = 0; j < len; j++) {
+      uint8_t b = srow[j];
+      prow[j >> 2] = (uint8_t)(prow[j >> 2] | (code_lut[b] << ((j & 3) << 1)));
+      if (j < cap && !valid_lut[b]) {
+        mrow[j >> 3] = (uint8_t)(mrow[j >> 3] | (1u << (j & 7)));
+        cnt++;
+      }
+    }
+    ncnt[i] = cnt;
+    if (len > 0) {
+      drow[0] = (uint8_t)(qrow[0] - qoffset);
+      for (long long j = 1; j < len; j++) {
+        drow[j] = (uint8_t)(qrow[j] - qrow[j - 1]);
+      }
+    }
+  }
+}
+
+}  // extern "C"

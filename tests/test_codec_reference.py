@@ -172,3 +172,31 @@ def test_detect_encoding_ignores_padding():
     q[1, :2] = 70
     lens = np.array([4, 2], dtype=np.int32)
     assert refops.detect_encoding(q, lens) == refops.PHRED64_OFFSET
+
+
+def test_native_fused_encode_matches_reference():
+    from fastqpacker_tpu.runtime import bindings as rt
+
+    if not rt.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(77)
+    for r, l in [(20, 151), (7, 3), (50, 64), (5, 1)]:
+        rows = []
+        lens = rng.integers(0, l + 1, r)
+        lens[0] = l
+        seq = np.zeros((r, l), np.uint8)
+        qual = np.full((r, l), QUAL_PAD, np.uint8)
+        ab = np.frombuffer(b"ACGTNacgt.x", np.uint8)
+        for i in range(r):
+            seq[i, : lens[i]] = ab[rng.integers(0, len(ab), lens[i])]
+            qual[i, : lens[i]] = rng.integers(33, 100, lens[i])
+        lens = lens.astype(np.int32)
+        for off in (33, 64):
+            ref = refops.encode_block_arrays(seq, qual, lens, off)
+            got = rt.encode_block_arrays(seq, qual, lens, off)
+            np.testing.assert_array_equal(got.packed, ref.packed)
+            np.testing.assert_array_equal(got.nmask_bits, ref.nmask_bits)
+            np.testing.assert_array_equal(got.n_counts, ref.n_counts)
+            col = np.arange(l)[None, :]
+            m = col < lens[:, None]
+            np.testing.assert_array_equal(got.qual_delta[m], ref.qual_delta[m])
