@@ -54,17 +54,21 @@ def base_codes(seq: np.ndarray) -> np.ndarray:
     return code
 
 
-def ambiguity_mask(seq: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+def ambiguity_mask(
+    seq: np.ndarray, lengths: np.ndarray, npos_cap: int | None = None
+) -> np.ndarray:
     """True where the byte is not ACGT/acgt and within the record length.
 
-    Positions >= MAX_SEQUENCE_LENGTH are excluded (u16 tracking cap,
-    sequence.go:89-96).
+    Positions >= the tracking cap are excluded — MAX_SEQUENCE_LENGTH for
+    the v1/v2 u16 wire encoding (sequence.go:89-96); FQZ v3 passes an
+    unbounded cap (u32 positions, no 65,536 bp limit).
     """
     upper = seq & 0xDF
     valid = (upper == _A) | (upper == _C) | (upper == _G) | (upper == _T)
     col = np.arange(seq.shape[1], dtype=np.int64)[None, :]
     in_range = col < lengths[:, None].astype(np.int64)
-    tracked = col < MAX_SEQUENCE_LENGTH
+    cap = MAX_SEQUENCE_LENGTH if npos_cap is None else npos_cap
+    tracked = col < cap
     return (~valid) & in_range & tracked
 
 
@@ -148,10 +152,11 @@ def encode_block_arrays(
     qual: np.ndarray,
     lengths: np.ndarray,
     qual_offset: int,
+    npos_cap: int | None = None,
 ) -> EncodedArrays:
     """Full dense encode of a block (the numpy twin of the Pallas kernel)."""
     codes = base_codes(seq)
-    nmask = ambiguity_mask(seq, lengths)
+    nmask = ambiguity_mask(seq, lengths, npos_cap)
     return EncodedArrays(
         packed=pack_codes(codes),
         nmask_bits=pack_nmask_bits(nmask),

@@ -72,13 +72,73 @@ def _exclusive_cumsum(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def build_npos_stream(
-    nmask_bits: np.ndarray, n_counts: np.ndarray, max_len: int
+def _build_npos_numpy(
+    nmask_bits: np.ndarray, n_counts: np.ndarray, max_len: int, dtype: str
 ) -> bytes:
-    """u16 count + u16 positions per record (compress.go:495-498)."""
+    """Numpy fallback for the wide (u32) npos stream build."""
+    r = len(n_counts)
+    counts = n_counts.astype(np.int64)
+    total = r + int(counts.sum())
+    out = np.zeros(total, dtype=dtype)
+    if r == 0:
+        return out.tobytes()
+    count_pos = np.arange(r, dtype=np.int64) + _exclusive_cumsum(counts)
+    out[count_pos] = counts.astype(dtype)
+    nz = np.flatnonzero(counts > 0)
+    if len(nz):
+        bits = np.unpackbits(
+            nmask_bits[nz], axis=1, bitorder="little", count=max_len
+        )
+        rows, cols = np.nonzero(bits)
+        per_row = counts[nz]
+        first = _exclusive_cumsum(per_row)
+        rank = np.arange(len(rows), dtype=np.int64) - np.repeat(first, per_row)
+        dst = count_pos[nz][rows] + 1 + rank
+        out[dst] = cols.astype(dtype)
+    return out.tobytes()
+
+
+def _parse_npos_numpy_wide(
+    data: np.ndarray, count: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    if len(data) % 4 != 0:
+        raise container.FormatError("truncated N position data")
+    u32 = data.view("<u4")
+    counts = np.zeros(count, dtype=np.int64)
+    rows_list, pos_list = [], []
+    off = 0
+    n = len(u32)
+    for i in range(count):
+        if off >= n:
+            raise container.FormatError("truncated N position data")
+        c = int(u32[off])
+        off += 1
+        counts[i] = c
+        if c:
+            if off + c > n:
+                raise container.FormatError("truncated N position data")
+            pos_list.append(u32[off : off + c].astype(np.int64))
+            rows_list.append(np.full(c, i, dtype=np.int64))
+            off += c
+    if pos_list:
+        return counts, np.concatenate(rows_list), np.concatenate(pos_list)
+    return counts, np.empty(0, np.int64), np.empty(0, np.int64)
+
+
+def build_npos_stream(
+    nmask_bits: np.ndarray, n_counts: np.ndarray, max_len: int,
+    wide: bool = False,
+) -> bytes:
+    """N-position stream: u16 count + u16 positions per record
+    (compress.go:495-498) for v1/v2; u32 variants for the v3 long-read
+    extension (``wide=True``)."""
     nat = _native()
     if nat is not None:
+        if wide:
+            return nat.build_npos32(nmask_bits, n_counts, max_len)
         return nat.build_npos(nmask_bits, n_counts, max_len)
+    if wide:
+        return _build_npos_numpy(nmask_bits, n_counts, max_len, "<u4")
     r = len(n_counts)
     counts = n_counts.astype(np.int64)
     total = r + int(counts.sum())
@@ -102,19 +162,24 @@ def build_npos_stream(
 
 
 def parse_npos_stream(
-    data: np.ndarray, count: int
+    data: np.ndarray, count: int, wide: bool = False
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Parse npos stream -> (counts, flat_rows, flat_positions).
 
     Fast path: no N anywhere (stream is exactly `count` zero u16s).
     Otherwise falls back to a sequential walk (compress.go:1055-1078).
+    ``wide=True`` parses the v3 u32 layout.
     """
     nat = _native()
     if nat is not None:
         try:
+            if wide:
+                return nat.parse_npos32(np.ascontiguousarray(data), count)
             return nat.parse_npos(np.ascontiguousarray(data), count)
         except ValueError:
             raise container.FormatError("truncated N position data") from None
+    if wide:
+        return _parse_npos_numpy_wide(data, count)
     if len(data) % 2 != 0:
         raise container.FormatError("truncated N position data")
     u16 = data.view("<u2") if data.dtype == np.uint8 else data
@@ -189,11 +254,23 @@ def block_to_raw_streams(
     block: RecordBlock,
     qual_offset: int,
     encode_arrays: EncodeArraysFn = refops.encode_block_arrays,
+    wide_npos: bool = False,
 ) -> RawStreams:
-    """Dense transforms + host stream assembly for one block."""
+    """Dense transforms + host stream assembly for one block.
+
+    ``wide_npos`` selects the v3 u32 N-position layout: no 65,536 bp
+    tracking cap and no overflow fail-fast (SURVEY.md §5: "do not inherit
+    the u16 cap").
+    """
     lengths = block.lengths.astype(np.int64)
-    refops.check_ambiguous_overflow(block.seq, lengths)
-    enc = encode_arrays(block.seq, block.qual, block.lengths, qual_offset)
+    if wide_npos:
+        enc = encode_arrays(
+            block.seq, block.qual, block.lengths, qual_offset,
+            npos_cap=1 << 62,
+        )
+    else:
+        refops.check_ambiguous_overflow(block.seq, lengths)
+        enc = encode_arrays(block.seq, block.qual, block.lengths, qual_offset)
 
     packed = np.asarray(enc.packed)
     nmask_bits = np.asarray(enc.nmask_bits)
@@ -203,7 +280,9 @@ def block_to_raw_streams(
     plens = packed_lengths(lengths)
     seq_stream = varlen.flatten_rows(packed, plens).tobytes()
     qual_stream = varlen.flatten_rows(qual_delta, lengths).tobytes()
-    npos_stream = build_npos_stream(nmask_bits, n_counts, block.max_len)
+    npos_stream = build_npos_stream(
+        nmask_bits, n_counts, block.max_len, wide=wide_npos
+    )
     lengths_stream = lengths.astype("<u4").tobytes()
 
     return RawStreams(
@@ -330,6 +409,7 @@ def streams_to_fastq(
     ds: DecodedStreams,
     qual_offset: int,
     decode_arrays: DecodeArraysFn = host_decode_arrays,
+    wide_npos: bool = False,
 ) -> bytes:
     """Reconstruct the block's FASTQ text (compress.go:944-1078)."""
     r = ds.num_records
@@ -343,7 +423,7 @@ def streams_to_fastq(
     if int(lengths.sum()) > len(ds.qual):
         raise container.FormatError("truncated quality data")
 
-    n_counts, n_rows, n_pos = parse_npos_stream(ds.npos, r)
+    n_counts, n_rows, n_pos = parse_npos_stream(ds.npos, r, wide=wide_npos)
 
     max_len = int(lengths.max()) if r else 0
     packed_w = -(-max_len // 4)

@@ -76,8 +76,11 @@ def compress_native(
         yield from block_iter
 
     codec = zstd_entropy.get_codec()
+    encode_arrays = api._default_encode_arrays()
     for blk in all_blocks():
-        raw = blockcodec.block_to_raw_streams(blk, qual_offset)
+        raw = blockcodec.block_to_raw_streams(
+            blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
+        )
         ordered = raw.ordered(container.VERSION_2)
         crc = _crc_streams(ordered)
         comp = [
@@ -138,4 +141,4 @@ def decompress_native(
             lengths=np.frombuffer(parts[5], np.uint8),
             num_records=hdr.num_records,
         )
-        w.write(blockcodec.streams_to_fastq(ds, qual_offset))
+        w.write(blockcodec.streams_to_fastq(ds, qual_offset, wide_npos=True))

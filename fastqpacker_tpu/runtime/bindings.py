@@ -322,3 +322,56 @@ def encode_block_arrays(seq, qual, lengths, qual_offset, npos_cap=None):
         n_counts=ncnt,
         qual_delta=delta[:, :w],
     )
+
+
+def _bind_npos32(lib):
+    lib.fq_build_npos32.restype = _ll
+    lib.fq_build_npos32.argtypes = [_u8p, _i32p, _ll, _ll, _ll, _u8p]
+    lib.fq_parse_npos32.restype = _ll
+    lib.fq_parse_npos32.argtypes = [_u8p, _ll, _ll, _i32p, _i32p, _i32p, _ll]
+
+
+def build_npos32(nmask_bits, n_counts, max_len) -> bytes:
+    lib = _load()
+    if not hasattr(lib, "_npos32_bound"):
+        _bind_npos32(lib)
+        lib._npos32_bound = True
+    r, stride = nmask_bits.shape
+    n_counts = np.ascontiguousarray(n_counts, np.int32)
+    total = int(4 * r + 4 * n_counts.sum())
+    out = np.empty(max(total, 1), dtype=np.uint8)
+    if r == 0:
+        return b""
+    n = lib.fq_build_npos32(
+        _nz_u8(np.ascontiguousarray(nmask_bits).reshape(-1)),
+        n_counts, r, stride, max_len, out,
+    )
+    return out[:n].tobytes()
+
+
+def parse_npos32(data: np.ndarray, count: int):
+    lib = _load()
+    if not hasattr(lib, "_npos32_bound"):
+        _bind_npos32(lib)
+        lib._npos32_bound = True
+    counts = np.zeros(max(count, 1), dtype=np.int32)
+    if count == 0:
+        return (
+            np.zeros(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    max_out = max(len(data) // 4, 1)
+    rows = np.empty(max_out, dtype=np.int32)
+    poss = np.empty(max_out, dtype=np.int32)
+    n = lib.fq_parse_npos32(
+        _nz_u8(np.ascontiguousarray(data)), len(data), count, counts, rows,
+        poss, max_out,
+    )
+    if n < 0:
+        raise ValueError("truncated N position data")
+    return (
+        counts[:count].astype(np.int64),
+        rows[:n].astype(np.int64),
+        poss[:n].astype(np.int64),
+    )

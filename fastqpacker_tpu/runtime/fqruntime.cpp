@@ -377,3 +377,65 @@ void fq_encode_block(const uint8_t* seq, const uint8_t* qual,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wide (u32) N-position streams: FQZ v3 long-read extension
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// v3 removes the reference's 65,536 bp N-tracking cap (sequence.go:11,
+// compress.go:477-488) by storing u32 count + u32 positions per record.
+long long fq_build_npos32(const uint8_t* nmask_bits, const int32_t* n_counts,
+                          long long r, long long stride, long long max_len,
+                          uint8_t* out) {
+  long long off = 0;
+  for (long long i = 0; i < r; i++) {
+    uint32_t c = (uint32_t)n_counts[i];
+    memcpy(out + off, &c, 4);
+    off += 4;
+    if (c == 0) continue;
+    const uint8_t* row = nmask_bits + i * stride;
+    for (long long byte = 0; byte < stride; byte++) {
+      uint8_t b = row[byte];
+      if (!b) continue;
+      for (int bit = 0; bit < 8; bit++) {
+        if (b & (1u << bit)) {
+          long long posn = byte * 8 + bit;
+          if (posn >= max_len) break;
+          uint32_t p32 = (uint32_t)posn;
+          memcpy(out + off, &p32, 4);
+          off += 4;
+        }
+      }
+    }
+  }
+  return off;
+}
+
+long long fq_parse_npos32(const uint8_t* data, long long n, long long count,
+                          int32_t* counts, int32_t* rows, int32_t* poss,
+                          long long max_out) {
+  long long off = 0;
+  long long total = 0;
+  for (long long i = 0; i < count; i++) {
+    if (off + 4 > n) return -1;
+    uint32_t c;
+    memcpy(&c, data + off, 4);
+    off += 4;
+    counts[i] = (int32_t)c;
+    if (off + 4LL * c > n) return -1;
+    if (total + c > max_out) return -2;
+    for (uint32_t j = 0; j < c; j++) {
+      uint32_t p32;
+      memcpy(&p32, data + off, 4);
+      off += 4;
+      rows[total] = (int32_t)i;
+      poss[total] = (int32_t)p32;
+      total++;
+    }
+  }
+  return total;
+}
+
+}  // extern "C"

@@ -107,3 +107,15 @@ def test_native_cli(tmp_path):
     )
     assert p.returncode == 0, p.stderr
     assert fout.read_bytes() == data
+
+
+def test_native_long_read_with_far_n():
+    """v3 u32 N positions: ambiguous bases beyond 65,536 bp round-trip
+    (the v2 path must still fail fast, preserving reference semantics)."""
+    ln = 70000
+    seq = "A" * (ln - 2) + "NC"
+    data = f"@long\n{seq}\n+\n{'I' * ln}\n".encode()
+    comp = compress_native_bytes(data)
+    assert fq.decompress_bytes(comp) == data
+    with pytest.raises(ValueError, match="ambiguous bases beyond"):
+        fq.compress_bytes(data)  # v2 keeps the reference fail-fast
