@@ -145,6 +145,20 @@ def main(argv: list[str] | None = None) -> int:
         print(f"fqpack version {__version__}")
         return 0
 
+    # introspection subcommands: fqpack info <file> / fqpack check <file>
+    if args.positional and args.positional[0] in ("info", "check"):
+        from . import inspect as fqinspect
+
+        target = (
+            args.positional[1] if len(args.positional) > 1 else args.input
+        )
+        try:
+            fn = fqinspect.info if args.positional[0] == "info" else fqinspect.check
+            return fn(target)
+        except (container.FormatError, OSError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+
     if args.positional:
         if not args.input:
             args.input = args.positional[0]
@@ -165,7 +179,8 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         execute(args, inp, out)
-    except (container.FormatError, FastqParseError, ValueError, OSError) as e:
+    except (container.FormatError, FastqParseError, ValueError,
+            RuntimeError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
     finally:

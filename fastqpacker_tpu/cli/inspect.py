@@ -1,0 +1,119 @@
+"""fqpack info / check: container introspection and integrity verification.
+
+The reference roadmap plans these as PR-005-style UX commands
+(/root/reference/ROADMAP.md:136-155: `fqpack check`, `fqpack info`);
+implemented here natively:
+
+- ``info``: file header fields + per-block stream-size accounting.
+- ``check``: full decode of every block (zstd frame checksums and, for
+  v3, the explicit block CRC32 are verified on the way) without writing
+  the FASTQ text anywhere.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import BinaryIO
+
+from ..format import container
+from ..entropy.zstd import ZstdError
+from ..pipeline import api
+
+
+def _open(path: str) -> BinaryIO:
+    if path in ("", "-"):
+        return sys.stdin.buffer
+    return open(path, "rb")
+
+
+def _iter_blocks(r: BinaryIO, fh: container.FileHeader):
+    hdr_version = fh.version
+    stream_version = (
+        container.VERSION_2
+        if fh.version == container.VERSION_3_NATIVE
+        else fh.version
+    )
+    while True:
+        hdr = container.read_block_header(r, hdr_version)
+        if hdr is None:
+            return
+        size = sum(hdr.stream_sizes(stream_version))
+        payload = r.read(size)
+        if len(payload) < size:
+            raise container.FormatError("truncated block payload")
+        yield hdr, payload
+
+
+def info(path: str, out=None) -> int:
+    out = out or sys.stdout
+    with _open(path) as r:
+        fh = container.read_file_header(r)
+        names = {1: "v1", 2: "v2 (zstd)", 3: "v3 (native rANS + CRC32)"}
+        print(f"FQZ container: {names.get(fh.version, fh.version)}", file=out)
+        print(f"  block size:  {fh.block_size} records", file=out)
+        print(
+            f"  quality:     Phred+{'64' if fh.phred64 else '33'}",
+            file=out,
+        )
+        flags = []
+        if fh.flags & container.FLAG_PAIRED_END:
+            flags.append("paired-end")
+        if fh.phred64:
+            flags.append("phred64")
+        print(f"  flags:       {', '.join(flags) or '(none)'}", file=out)
+
+        nblocks = 0
+        records = 0
+        comp_bytes = container.FILE_HEADER_SIZE
+        orig_seq = orig_qual = 0
+        per_stream = [0] * 6
+        for hdr, payload in _iter_blocks(r, fh):
+            nblocks += 1
+            records += hdr.num_records
+            comp_bytes += len(payload) + container.block_header_size(
+                fh.version
+            )
+            orig_seq += hdr.original_seq_size
+            orig_qual += hdr.original_qual_size
+            sizes = hdr.stream_sizes(
+                container.VERSION_2
+                if fh.version >= container.VERSION_2
+                else container.VERSION_1
+            )
+            for i, s in enumerate(sizes):
+                per_stream[i] += s
+        print(f"  blocks:      {nblocks}", file=out)
+        print(f"  records:     {records}", file=out)
+        print(f"  compressed:  {comp_bytes:,} bytes", file=out)
+        print(
+            f"  bases:       {orig_seq:,} (quality bytes: {orig_qual:,})",
+            file=out,
+        )
+        labels = ["seq", "qual", "headers", "plus", "npos", "lengths"]
+        if fh.version == container.VERSION_1:
+            labels = ["seq", "qual", "headers", "npos", "lengths"]
+        for lbl, size in zip(labels, per_stream):
+            print(f"    stream {lbl:<8} {size:,} bytes", file=out)
+    return 0
+
+
+class _NullSink:
+    def __init__(self):
+        self.nbytes = 0
+
+    def write(self, b) -> int:
+        self.nbytes += len(b)
+        return len(b)
+
+
+def check(path: str, out=None) -> int:
+    out = out or sys.stdout
+    sink = _NullSink()
+    try:
+        with _open(path) as r:
+            api.decompress(r, sink)
+    except (container.FormatError, ZstdError, ValueError, OSError) as e:
+        print(f"check FAILED: {e}", file=out)
+        return 1
+    print(f"OK: decoded {sink.nbytes:,} bytes of FASTQ", file=out)
+    return 0

@@ -34,6 +34,16 @@ RANS_STREAMS = (True, True, False, False, False, False)
 
 
 def _crc_streams(ordered: list[bytes]) -> int:
+    from . import auto
+
+    if auto.device_worthwhile():
+        # on-chip chunk-parallel CRC + GF(2) combine (ops/crc32.py)
+        from ..ops import crc32 as dcrc
+
+        crc = 0
+        for s in ordered:
+            crc = dcrc.crc32_combine(crc, dcrc.crc32_device(s), len(s))
+        return crc & 0xFFFFFFFF
     crc = 0
     for s in ordered:
         crc = zlib.crc32(s, crc)

@@ -167,3 +167,43 @@ def test_fqscramble_gz_input(tmp_path):
     p = run_cli(["-i", str(fin)], module="fastqpacker_tpu.cli.fqscramble")
     assert p.returncode == 0, p.stderr
     assert len(p.stdout.splitlines()) == len(SAMPLE.splitlines())
+
+
+def test_info_command(tmp_path):
+    fz = tmp_path / "s.fqz"
+    fz.write_bytes(run_cli(["-c"], stdin=SAMPLE).stdout)
+    p = run_cli(["info", str(fz)])
+    assert p.returncode == 0, p.stderr
+    out = p.stdout.decode()
+    assert "v2 (zstd)" in out
+    assert "records:     3" in out
+    assert "stream seq" in out
+
+
+def test_check_command_ok(tmp_path):
+    fz = tmp_path / "s.fqz"
+    fz.write_bytes(run_cli(["-c"], stdin=SAMPLE).stdout)
+    p = run_cli(["check", str(fz)])
+    assert p.returncode == 0, p.stderr
+    assert b"OK: decoded" in p.stdout
+
+
+def test_check_command_detects_corruption(tmp_path):
+    comp = bytearray(run_cli(["-c"], stdin=SAMPLE).stdout)
+    comp[-2] ^= 0xFF  # corrupt inside last zstd frame/checksum
+    fz = tmp_path / "bad.fqz"
+    fz.write_bytes(bytes(comp))
+    p = run_cli(["check", str(fz)])
+    assert p.returncode == 1
+    assert b"FAILED" in p.stdout
+
+
+def test_info_native_format(tmp_path):
+    fin = tmp_path / "in.fq"
+    fin.write_bytes(SAMPLE)
+    fz = tmp_path / "s3.fqz"
+    p = run_cli(["--format", "native", "-i", str(fin), "-o", str(fz)])
+    assert p.returncode == 0, p.stderr
+    p = run_cli(["info", str(fz)])
+    assert p.returncode == 0, p.stderr
+    assert b"v3 (native rANS + CRC32)" in p.stdout
