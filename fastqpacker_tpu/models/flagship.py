@@ -1,0 +1,75 @@
+"""Codec model registry: named end-to-end pipeline configurations.
+
+A "model" here is a complete codec pipeline specification — container
+version, per-stream entropy codecs, dense-transform backend policy — the
+analog of a model family in a training framework. The flagship model is
+the default production pipeline; the compat model is wire-compatible with
+the Go fqpack reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..format import container
+
+
+@dataclass(frozen=True)
+class CodecModel:
+    name: str
+    version: int
+    description: str
+    stream_codecs: tuple[str, ...]  # wire order: seq qual headers plus npos lengths
+    wide_npos: bool  # u32 N positions (no 65,536 bp cap)
+    block_crc32: bool
+
+    def options(self, block_size: int = 0, workers: int = 0):
+        from ..pipeline import api
+
+        return api.Options(
+            block_size=block_size or api.DEFAULT_BLOCK_SIZE,
+            workers=workers,
+            version=self.version,
+        )
+
+
+FQZ_V2_ZSTD = CodecModel(
+    name="fqz-v2-zstd",
+    version=container.VERSION_2,
+    description=(
+        "fqpack-compatible FQZ v2: zstd-1 streams with frame checksums; "
+        "readable by the Go reference implementation"
+    ),
+    stream_codecs=("zstd", "zstd", "zstd", "zstd", "zstd", "zstd"),
+    wide_npos=False,
+    block_crc32=False,
+)
+
+FQZ_V3_NATIVE = CodecModel(
+    name="fqz-v3-native",
+    version=container.VERSION_3_NATIVE,
+    description=(
+        "TPU-native FQZ v3: on-accelerator interleaved-lane rANS for the "
+        "sequence and quality streams, zstd for the LZ-friendly side "
+        "streams, explicit per-block CRC32, u32 N positions (long reads)"
+    ),
+    stream_codecs=("rans", "rans", "zstd", "zstd", "zstd", "zstd"),
+    wide_npos=True,
+    block_crc32=True,
+)
+
+FLAGSHIP = FQZ_V2_ZSTD  # default output format (interop first)
+
+REGISTRY = {m.name: m for m in (FQZ_V2_ZSTD, FQZ_V3_NATIVE)}
+
+# CLI --format aliases
+ALIASES = {"zstd": FQZ_V2_ZSTD.name, "native": FQZ_V3_NATIVE.name}
+
+
+def get_model(name: str) -> CodecModel:
+    key = ALIASES.get(name, name)
+    if key not in REGISTRY:
+        raise KeyError(
+            f"unknown codec model {name!r}; available: {sorted(REGISTRY)}"
+        )
+    return REGISTRY[key]

@@ -119,3 +119,15 @@ def test_native_long_read_with_far_n():
     assert fq.decompress_bytes(comp) == data
     with pytest.raises(ValueError, match="ambiguous bases beyond"):
         fq.compress_bytes(data)  # v2 keeps the reference fail-fast
+
+
+def test_model_registry():
+    from fastqpacker_tpu import models
+
+    assert models.get_model("native").version == container.VERSION_3_NATIVE
+    assert models.get_model("zstd") is models.FLAGSHIP
+    assert models.get_model("fqz-v3-native").wide_npos
+    with pytest.raises(KeyError, match="unknown codec model"):
+        models.get_model("nope")
+    opts = models.FLAGSHIP.options(block_size=10)
+    assert opts.version == container.VERSION_2
