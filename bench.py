@@ -47,16 +47,20 @@ def synth_fastq(target_mb: int, read_len: int = 151, seed: int = 42) -> bytes:
     ).astype(np.uint8)
     qual = qrows[np.arange(n) % pool]
 
-    headers = b"".join(
-        f"@SIM0.{i} {i % 4}:N:0:ACGTACGT length={read_len}\0".encode()
-        for i in range(n)
-    )
-    hbuf = np.frombuffer(headers, np.uint8)
-    hend = np.flatnonzero(hbuf == 0).astype(np.int64)
-    hstart = np.empty(n, np.int64)
-    hstart[0] = 1  # skip '@'
-    hstart[1:] = hend[:-1] + 2
-    hlen = hend - hstart
+    # vectorized header synthesis: fixed-width zero-padded read ids
+    # ("@SIM0.0000123 k:N:0:ACGTACGT length=151")
+    digits = 9
+    ids = np.arange(n, dtype=np.int64)
+    tmpl = f"@SIM0.{'0' * digits} 0:N:0:ACGTACGT length={read_len}"
+    hmat = np.tile(np.frombuffer(tmpl.encode(), np.uint8), (n, 1))
+    col0 = 6  # index of first id digit
+    for d in range(digits):
+        hmat[:, col0 + digits - 1 - d] = (ids // (10 ** d)) % 10 + ord("0")
+    hmat[:, col0 + digits + 1] = (ids % 4).astype(np.uint8) + ord("0")
+    hw = hmat.shape[1]
+    hbuf = np.ascontiguousarray(hmat).reshape(-1)
+    hstart = ids * hw + 1  # skip '@'
+    hlen = np.full(n, hw - 1, dtype=np.int64)
 
     lengths = np.full(n, read_len, dtype=np.int64)
     from fastqpacker_tpu.runtime import bindings as rt

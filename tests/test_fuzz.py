@@ -1,0 +1,138 @@
+"""Robustness fuzzing: corrupt containers and malformed inputs must fail
+cleanly (typed errors), never crash, hang, or silently corrupt.
+
+The reference's planned fuzz coverage (ROADMAP PR-006) realized as seeded
+mutation tests over both container flavors.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+import fastqpacker_tpu as fq
+from fastqpacker_tpu.format import container
+from fastqpacker_tpu.parser.fastq import FastqParseError
+from fastqpacker_tpu.pipeline import native
+from fastqpacker_tpu.entropy.zstd import ZstdError
+from fastqpacker_tpu.ops.rans import RansError
+
+EXPECTED_ERRORS = (
+    container.FormatError,
+    FastqParseError,
+    ZstdError,
+    RansError,
+    ValueError,
+)
+
+
+def _data(n=120, seed=0):
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(n):
+        ln = int(rng.integers(1, 120))
+        s = "".join("ACGTN"[b] for b in rng.integers(0, 5, ln))
+        q = "".join(chr(33 + int(b)) for b in rng.integers(0, 42, ln))
+        recs.append(f"@fz_{i}\n{s}\n+\n{q}\n")
+    return "".join(recs).encode()
+
+
+def test_mutated_v2_containers_never_crash():
+    data = _data()
+    comp = fq.compress_bytes(data, fq.Options(block_size=40))
+    rng = np.random.default_rng(1)
+    for _ in range(60):
+        mut = bytearray(comp)
+        for _ in range(int(rng.integers(1, 4))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            out = fq.decompress_bytes(bytes(mut))
+        except EXPECTED_ERRORS:
+            continue
+        except OverflowError:
+            continue  # absurd size fields may overflow allocations
+        # un-detected mutation (e.g. hit padding) must still be bytes
+        assert isinstance(out, bytes)
+
+
+def test_truncated_v2_containers_never_crash():
+    data = _data(seed=2)
+    comp = fq.compress_bytes(data, fq.Options(block_size=40))
+    for cut in range(0, len(comp), max(len(comp) // 50, 1)):
+        try:
+            fq.decompress_bytes(comp[:cut])
+        except EXPECTED_ERRORS:
+            pass
+
+
+def test_mutated_v3_containers_never_crash():
+    data = _data(seed=3)
+    out = io.BytesIO()
+    native.compress_native(
+        io.BytesIO(data), out,
+        fq.Options(block_size=40, version=container.VERSION_3_NATIVE),
+    )
+    comp = out.getvalue()
+    rng = np.random.default_rng(4)
+    detected = 0
+    for _ in range(40):
+        mut = bytearray(comp)
+        mut[int(rng.integers(10, len(mut)))] ^= 0xFF
+        try:
+            fq.decompress_bytes(bytes(mut))
+        except EXPECTED_ERRORS:
+            detected += 1
+        except (OverflowError, MemoryError):
+            detected += 1
+    # v3 has an explicit CRC: essentially every payload flip is caught
+    assert detected >= 35
+
+
+def test_garbage_inputs_to_compress():
+    rng = np.random.default_rng(5)
+    for _ in range(20):
+        blob = rng.integers(0, 256, int(rng.integers(0, 400))).astype(
+            np.uint8
+        ).tobytes()
+        try:
+            fq.compress_bytes(blob)
+        except EXPECTED_ERRORS:
+            pass
+
+
+def test_random_valid_fastq_always_roundtrips():
+    rng = np.random.default_rng(6)
+    for trial in range(10):
+        n = int(rng.integers(1, 60))
+        recs = []
+        for i in range(n):
+            ln = int(rng.integers(0, 300))
+            s = "".join(
+                chr(c) for c in rng.integers(33, 127, ln)
+                if chr(c) not in "\n\r"
+            )
+            ln = len(s)
+            q = "".join(chr(33 + int(b)) for b in rng.integers(0, 42, ln))
+            hdr = "".join(
+                chr(c) for c in rng.integers(32, 127, int(rng.integers(0, 40)))
+            )
+            plus = "".join(
+                chr(c) for c in rng.integers(32, 127, int(rng.integers(0, 20)))
+            )
+            recs.append(f"@{hdr}\n{s}\n+{plus}\n{q}\n")
+        data = "".join(recs).encode()
+        comp = fq.compress_bytes(data, fq.Options(block_size=16))
+        out = fq.decompress_bytes(comp)
+        # normalization: non-ACGT -> N, lowercase -> uppercase
+        expected_lines = []
+        for line_i, line in enumerate(data.decode().split("\n")):
+            if line_i % 4 == 1:
+                expected_lines.append(
+                    "".join(
+                        c.upper() if c.upper() in "ACGT" else "N"
+                        for c in line
+                    )
+                )
+            else:
+                expected_lines.append(line)
+        assert out.decode() == "\n".join(expected_lines)
