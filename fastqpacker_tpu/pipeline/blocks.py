@@ -392,8 +392,11 @@ def host_decode_arrays(
     """Fast host decode: vectorized unpack + native in-place quality
     integration (falls back to the numpy reference cumsum)."""
     out_len = qual_delta.shape[1]
-    seq_ascii = refops.codes_to_ascii(refops.unpack_codes(packed, out_len))
     nat = _native()
+    if nat is not None:
+        seq_ascii = nat.decode_block_ascii(packed, lengths, out_len)
+    else:
+        seq_ascii = refops.codes_to_ascii(refops.unpack_codes(packed, out_len))
     if nat is not None:
         qd = np.ascontiguousarray(qual_delta)
         if qd is qual_delta:

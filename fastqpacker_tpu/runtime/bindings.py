@@ -375,3 +375,22 @@ def parse_npos32(data: np.ndarray, count: int):
         rows[:n].astype(np.int64),
         poss[:n].astype(np.int64),
     )
+
+
+def decode_block_ascii(packed, lengths, out_width):
+    """Packed rows -> ASCII base rows (r, out_width); N restore is the
+    caller's sparse scatter."""
+    lib = _load()
+    if not hasattr(lib, "_dec_bound"):
+        lib.fq_decode_block.restype = None
+        lib.fq_decode_block.argtypes = [_u8p, _i64p, _ll, _ll, _ll, _u8p]
+        lib._dec_bound = True
+    r, pw = packed.shape
+    out = np.zeros((r, max(out_width, 1)), dtype=np.uint8)
+    if r and out_width:
+        lib.fq_decode_block(
+            np.ascontiguousarray(packed).reshape(-1),
+            np.ascontiguousarray(lengths, np.int64), r, pw, out_width,
+            out.reshape(-1),
+        )
+    return out[:, :out_width]

@@ -439,3 +439,48 @@ long long fq_parse_npos32(const uint8_t* data, long long n, long long count,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused dense block decode: 2-bit unpack to ASCII
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Expand packed rows (r, pw) to ASCII base rows (r, w): LSB-first 2-bit
+// codes -> "ACGT", one u32 LUT store per packed byte (the decode twin of
+// fq_encode_block; reference semantics sequence.go:101-135). N restore is
+// a separate sparse scatter by the caller.
+void fq_decode_block(const uint8_t* packed, const long long* lens,
+                     long long r, long long pw, long long w,
+                     uint8_t* out) {
+  static uint32_t lut[256];
+  static int lut_init = 0;
+  if (!lut_init) {
+    const char bases[4] = {'A', 'C', 'G', 'T'};
+    for (int i = 0; i < 256; i++) {
+      uint32_t v = 0;
+      for (int k = 0; k < 4; k++) {
+        v |= ((uint32_t)(uint8_t)bases[(i >> (2 * k)) & 3]) << (8 * k);
+      }
+      lut[i] = v;
+    }
+    lut_init = 1;
+  }
+  for (long long i = 0; i < r; i++) {
+    const uint8_t* prow = packed + i * pw;
+    uint8_t* orow = out + i * w;
+    const long long len = lens[i];
+    const long long full = len >> 2;
+    for (long long j = 0; j < full; j++) {
+      uint32_t v = lut[prow[j]];
+      memcpy(orow + 4 * j, &v, 4);
+    }
+    const long long rem = len & 3;
+    if (rem) {
+      uint32_t v = lut[prow[full]];
+      memcpy(orow + 4 * full, &v, (size_t)rem);
+    }
+  }
+}
+
+}  // extern "C"
