@@ -131,24 +131,26 @@ class ZstdCodec:
 
     def compress(self, data) -> bytes:
         """Compress bytes-like data into a single zstd frame."""
-        data = bytes(data) if not isinstance(data, (bytes, bytearray, memoryview)) else data
-        src = (ctypes.c_char * len(data)).from_buffer_copy(data) if len(data) else None
+        if not isinstance(data, bytes):
+            data = bytes(data)
         bound = self._lib.ZSTD_compressBound(len(data))
         dst = ctypes.create_string_buffer(bound)
+        # bytes pass zero-copy as a borrowed pointer
         n = _check(
             self._lib,
             self._lib.ZSTD_compress2(
-                self._cctx, dst, bound, src, len(data)
+                self._cctx, dst, bound, data if len(data) else None, len(data)
             ),
         )
         return dst.raw[:n]
 
     def decompress(self, data, expected_size: int | None = None) -> bytes:
         """Decompress a single zstd frame (frame checksum verified)."""
-        data = bytes(data) if not isinstance(data, (bytes, bytearray, memoryview)) else data
+        if not isinstance(data, bytes):
+            data = bytes(data)
         if len(data) == 0:
             return b""
-        src = (ctypes.c_char * len(data)).from_buffer_copy(data)
+        src = data
         size = expected_size
         if size is None:
             got = self._lib.ZSTD_getFrameContentSize(src, len(data))
