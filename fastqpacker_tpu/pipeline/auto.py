@@ -25,7 +25,7 @@ MIN_TRANSFER_MBPS = 1000.0
 
 
 @lru_cache(maxsize=1)
-def transfer_bandwidth_mbps(nbytes: int = 8 << 20) -> float:
+def transfer_bandwidth_mbps(nbytes: int = 2 << 20) -> float:
     """Measured min(host->device, device->host) bandwidth in MB/s."""
     import jax
 
