@@ -14,8 +14,14 @@ Asymmetric Numeral System coder designed for the VPU:
   words per lane per step into a dense matrix; a prefix-sum + one-scatter
   compaction flattens them to **global (step, lane) order** — exactly the
   decoder's consumption order, so the forward-walking decoder reads one
-  contiguous word run per step (dynamic slice + in-register rank gather)
-  instead of chasing per-lane pointers through HBM.
+  contiguous word run per step instead of chasing per-lane pointers
+  through HBM.
+- **Gather-free decode** (default): symbol resolution via 256
+  broadcast-compare accumulations over the cumulative table (monotone
+  cum => sym/f/c are telescoping sums), word distribution via roll-ladder
+  prefix sums and a monotonic shift network — no per-lane table gathers,
+  which de-vectorize on the VPU (PERFORMANCE.md E005/E010/E012).
+  ``FQZ_RANS_DECODE=take`` selects the lookup-table variant.
 - **Division-free encode**: the u32/freq divmod is computed as two small
   exact float32 divisions with integer fix-up (quotient error is provably
   bounded, then corrected) — TPUs have no integer divide or u64.
@@ -282,6 +288,72 @@ def _decode_kernel(
     return out, x, base
 
 
+def _cumsum_rolls(ni: jax.Array, n: int) -> jax.Array:
+    """Inclusive prefix sum over a lane vector via a log-depth shift ladder
+    (XLA's cumsum de-vectorizes in sequential loops on this backend)."""
+    acc = ni
+    shift = 1
+    while shift < n:
+        rolled = jnp.roll(acc, shift)
+        lane = jax.lax.iota(jnp.int32, n)
+        acc = acc + jnp.where(lane >= shift, rolled, 0)
+        shift *= 2
+    return acc
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _decode_kernel_nogather(
+    words: jax.Array,  # (W,) uint16 words in global (step, lane) order
+    states: jax.Array,  # (N,) uint32 initial states
+    steps: jax.Array,  # i32 scalar
+    freq_cum: jax.Array,  # (2, 256) uint32: freq row 0, cum row 1
+    S: int,
+    N: int,
+):
+    """Gather-free forward decode (PERFORMANCE.md E010 design).
+
+    Symbol resolution never touches a lookup table: with cum monotone,
+    ``sym = #\\{k: slot >= cum_k\\} - 1``, ``c = cum_sym`` and
+    ``f = f_sym`` fall out of the same 256 broadcast-compare
+    accumulations (telescoping sums) — pure elementwise work. The renorm
+    word distribution uses the roll-ladder prefix sum and monotonic
+    shift network instead of cumsum + in-register gather.
+    """
+    freqs = freq_cum[0]
+    cums = freq_cum[1]
+    # dcum[k] = cum_k - cum_{k-1} (0 for k=0): sum(ge * dcum) telescopes
+    # to cum_sym
+    dcum = cums - jnp.concatenate([jnp.zeros(1, _u32), cums[:-1]])
+
+    def body(t, carry):
+        x, base, out = carry
+        slot = x & _u32(PROB_SCALE - 1)
+        ge = (slot[:, None] >= cums[None, :]).astype(_u32)  # (N, 256)
+        sym = jnp.sum(ge, axis=1) - 1
+        c = jnp.sum(ge * dcum[None, :], axis=1)
+        cnext = jnp.sum(ge * freqs[None, :], axis=1)
+        f = cnext - c
+        x = f * (x >> PROB_BITS) + slot - c
+        need = x < _u32(RANS_L)
+        ni = need.astype(jnp.int32)
+        incl = _cumsum_rolls(ni, N)
+        rank = incl - ni
+        chunk = jax.lax.dynamic_slice(words, (base,), (N,))
+        w = _monotonic_gather(chunk, rank, N).astype(_u32)
+        x = jnp.where(need, (x << 16) | w, x)
+        base = base + incl[-1]
+        out = jax.lax.dynamic_update_slice(
+            out, sym.astype(jnp.uint8)[None, :], (t, 0)
+        )
+        return x, base, out
+
+    out0 = jnp.zeros((S, N), dtype=jnp.uint8)
+    x, base, out = jax.lax.fori_loop(
+        0, steps, body, (states, jnp.int32(0), out0)
+    )
+    return out, x, base
+
+
 # ---------------------------------------------------------------------------
 # Host-facing stream API
 # ---------------------------------------------------------------------------
@@ -387,14 +459,29 @@ def decode_stream(payload: bytes | np.ndarray) -> bytes:
     words = np.zeros(w_pad, dtype=np.uint16)
     words[:total_words] = words_cat
 
-    slot_tab = pack_slot_table(freq).reshape(16, 256)
-    out_mat, final_x, consumed = _decode_kernel(
-        jnp.asarray(words),
-        jnp.asarray(states),
-        jnp.int32(steps),
-        jnp.asarray(slot_tab),
-        S,
-        N,
-    )
+    import os
+
+    if os.environ.get("FQZ_RANS_DECODE", "nogather") == "nogather":
+        freq_cum = np.stack(
+            [freq.astype(np.uint32), cumulative(freq).astype(np.uint32)]
+        )
+        out_mat, final_x, consumed = _decode_kernel_nogather(
+            jnp.asarray(words),
+            jnp.asarray(states),
+            jnp.int32(steps),
+            jnp.asarray(freq_cum),
+            S,
+            N,
+        )
+    else:
+        slot_tab = pack_slot_table(freq).reshape(16, 256)
+        out_mat, final_x, consumed = _decode_kernel(
+            jnp.asarray(words),
+            jnp.asarray(states),
+            jnp.int32(steps),
+            jnp.asarray(slot_tab),
+            S,
+            N,
+        )
     out = np.asarray(out_mat[:steps]).reshape(-1)[:raw_len]
     return out.tobytes()
