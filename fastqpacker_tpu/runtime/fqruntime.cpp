@@ -358,7 +358,30 @@ void fq_encode_block(const uint8_t* seq, const uint8_t* qual,
     memset(mrow, 0, (size_t)mw);
     int32_t cnt = 0;
     const long long cap = len < npos_cap ? len : npos_cap;
-    for (long long j = 0; j < len; j++) {
+
+    // 8-at-a-time: one packed pair + one full mask byte per iteration,
+    // branchless ambiguity accumulation.
+    long long j = 0;
+    const long long fast = (cap / 8) * 8;
+    for (; j < fast; j += 8) {
+      uint8_t b0 = srow[j], b1 = srow[j + 1], b2 = srow[j + 2],
+              b3 = srow[j + 3], b4 = srow[j + 4], b5 = srow[j + 5],
+              b6 = srow[j + 6], b7 = srow[j + 7];
+      prow[j >> 2] =
+          (uint8_t)(code_lut[b0] | (code_lut[b1] << 2) |
+                    (code_lut[b2] << 4) | (code_lut[b3] << 6));
+      prow[(j >> 2) + 1] =
+          (uint8_t)(code_lut[b4] | (code_lut[b5] << 2) |
+                    (code_lut[b6] << 4) | (code_lut[b7] << 6));
+      uint8_t m =
+          (uint8_t)((!valid_lut[b0]) | ((!valid_lut[b1]) << 1) |
+                    ((!valid_lut[b2]) << 2) | ((!valid_lut[b3]) << 3) |
+                    ((!valid_lut[b4]) << 4) | ((!valid_lut[b5]) << 5) |
+                    ((!valid_lut[b6]) << 6) | ((!valid_lut[b7]) << 7));
+      mrow[j >> 3] = m;
+      cnt += __builtin_popcount(m);
+    }
+    for (; j < len; j++) {
       uint8_t b = srow[j];
       prow[j >> 2] = (uint8_t)(prow[j >> 2] | (code_lut[b] << ((j & 3) << 1)));
       if (j < cap && !valid_lut[b]) {
@@ -369,8 +392,8 @@ void fq_encode_block(const uint8_t* seq, const uint8_t* qual,
     ncnt[i] = cnt;
     if (len > 0) {
       drow[0] = (uint8_t)(qrow[0] - qoffset);
-      for (long long j = 1; j < len; j++) {
-        drow[j] = (uint8_t)(qrow[j] - qrow[j - 1]);
+      for (long long jj = 1; jj < len; jj++) {
+        drow[jj] = (uint8_t)(qrow[jj] - qrow[jj - 1]);
       }
     }
   }
