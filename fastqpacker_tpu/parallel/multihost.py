@@ -319,3 +319,122 @@ def simulate_multihost(
     offsets = np.concatenate(([0], np.cumsum(sizes[:-1])))
     for d, off in zip(datas, offsets):
         _pwrite_section(out_path, d, int(off))
+
+
+# ---------------------------------------------------------------------------
+# Multi-host decompress: block-stripe sharding
+# ---------------------------------------------------------------------------
+
+
+def index_blocks(path: str) -> tuple[container.FileHeader, list[tuple[int, int]]]:
+    """Walk block headers -> [(file_offset, total_block_bytes)].
+
+    Headers are tiny; payloads are seek-skipped, so indexing a multi-GB
+    container reads only a few KB per 100k records. Every host can index
+    independently (read-only).
+    """
+    blocks = []
+    with open(path, "rb") as f:
+        fh = container.read_file_header(f)
+        stream_version = (
+            container.VERSION_2
+            if fh.version == container.VERSION_3_NATIVE
+            else fh.version
+        )
+        hdr_size = container.block_header_size(fh.version)
+        while True:
+            off = f.tell()
+            hdr = container.read_block_header(f, fh.version)
+            if hdr is None:
+                break
+            payload = sum(hdr.stream_sizes(stream_version))
+            f.seek(payload, os.SEEK_CUR)
+            blocks.append((off, hdr_size + payload))
+    return fh, blocks
+
+
+def _stripe(blocks: list[tuple[int, int]], num_hosts: int, host_id: int):
+    """Contiguous block stripes balanced by compressed bytes."""
+    total = sum(b[1] for b in blocks) or 1
+    bounds = [0]
+    acc = 0
+    target_idx = 1
+    for i, (_, size) in enumerate(blocks):
+        acc += size
+        while target_idx < num_hosts and acc >= total * target_idx / num_hosts:
+            bounds.append(i + 1)
+            target_idx += 1
+    while len(bounds) < num_hosts:
+        bounds.append(len(blocks))
+    bounds.append(len(blocks))
+    return blocks[bounds[host_id] : bounds[host_id + 1]]
+
+
+def decompress_host_section(
+    in_path: str,
+    fh: container.FileHeader,
+    my_blocks: list[tuple[int, int]],
+) -> bytes:
+    """Decode this host's stripe of blocks to FASTQ text (in order)."""
+    import io
+
+    from ..ops import reference as refops
+    from ..pipeline import api as papi
+
+    qual_offset = (
+        refops.PHRED64_OFFSET if fh.phred64 else refops.PHRED33_OFFSET
+    )
+    out = io.BytesIO()
+    if not my_blocks:
+        return b""
+    with open(in_path, "rb") as f:
+        if fh.version == container.VERSION_3_NATIVE:
+            from ..pipeline import native as pnative
+
+            start = my_blocks[0][0]
+            end = my_blocks[-1][0] + my_blocks[-1][1]
+            f.seek(start)
+            reader = _RangeReader(f, start, end)
+            pnative.decompress_native(reader, out, fh, qual_offset, 0)
+        else:
+            from ..entropy import zstd as zstd_entropy
+            from ..pipeline import blocks as blockcodec
+
+            codec = zstd_entropy.get_codec()
+            for off, size in my_blocks:
+                f.seek(off)
+                raw = f.read(size)
+                hdr_size = container.block_header_size(fh.version)
+                hdr = container.parse_block_header(raw[:hdr_size], fh.version)
+                ds = blockcodec.decode_streams(
+                    hdr, raw[hdr_size:], fh.version, codec
+                )
+                out.write(blockcodec.streams_to_fastq(ds, qual_offset))
+    return out.getvalue()
+
+
+def decompress_multihost(in_path: str, out_path: str) -> None:
+    """This process's share of a multi-host decompress (jax.distributed)."""
+    import jax
+
+    h = jax.process_index()
+    n = jax.process_count()
+    fh, blocks = index_blocks(in_path)
+    text = decompress_host_section(in_path, fh, _stripe(blocks, n, h))
+    sizes = exchange_section_sizes(len(text))
+    _pwrite_section(out_path, text, int(sizes[:h].sum()))
+
+
+def simulate_multihost_decompress(
+    in_path: str, out_path: str, num_hosts: int
+) -> None:
+    """All simulated hosts' decompress logic in one process (tests)."""
+    fh, blocks = index_blocks(in_path)
+    texts = [
+        decompress_host_section(in_path, fh, _stripe(blocks, num_hosts, h))
+        for h in range(num_hosts)
+    ]
+    sizes = np.array([len(t) for t in texts], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(sizes[:-1])))
+    for t, off in zip(texts, offsets):
+        _pwrite_section(out_path, t, int(off))

@@ -103,3 +103,45 @@ def test_align_rejects_quality_at_lines(tmp_path):
     with open(p, "rb") as f:
         pos = mh.align_to_record(f, 5, len(data))
     assert data[pos:].startswith(b"@r2\n")
+
+
+@pytest.mark.parametrize("hosts", [1, 3, 5])
+def test_multihost_decompress(tmp_path, hosts):
+    data = _fastq(400, seed=9)
+    fin = tmp_path / "in.fq"
+    fz = tmp_path / "c.fqz"
+    fout = tmp_path / "out.fq"
+    fin.write_bytes(data)
+    comp = fq.compress_bytes(data, fq.Options(block_size=37))
+    fz.write_bytes(comp)
+    mh.simulate_multihost_decompress(str(fz), str(fout), hosts)
+    assert fout.read_bytes() == data
+
+
+def test_multihost_decompress_native(tmp_path):
+    import io
+    from fastqpacker_tpu.format import container
+    from fastqpacker_tpu.pipeline import native
+
+    data = _fastq(200, seed=10)
+    out = io.BytesIO()
+    native.compress_native(
+        io.BytesIO(data), out,
+        fq.Options(block_size=50, version=container.VERSION_3_NATIVE),
+    )
+    fz = tmp_path / "c3.fqz"
+    fz.write_bytes(out.getvalue())
+    fout = tmp_path / "out.fq"
+    mh.simulate_multihost_decompress(str(fz), str(fout), 3)
+    assert fout.read_bytes() == data
+
+
+def test_index_blocks(tmp_path):
+    data = _fastq(100, seed=11)
+    comp = fq.compress_bytes(data, fq.Options(block_size=30))
+    fz = tmp_path / "c.fqz"
+    fz.write_bytes(comp)
+    fh, blocks = mh.index_blocks(str(fz))
+    assert len(blocks) == 4  # 30+30+30+10
+    assert blocks[0][0] == 10  # first block after file header
+    assert sum(b[1] for b in blocks) == len(comp) - 10
