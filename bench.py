@@ -174,6 +174,8 @@ def main() -> int:
     )
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a JAX/XLA profiler trace to DIR")
     args = ap.parse_args()
 
     from fastqpacker_tpu.utils import malloc_tuning
@@ -204,6 +206,13 @@ def main() -> int:
     data = synth_fastq(args.mb)
     log(f"generated {len(data)/1e6:.1f} MB in {time.perf_counter()-t0:.2f}s")
 
+    from fastqpacker_tpu.utils.profiling import trace as profile_trace
+
+    with profile_trace(args.profile):
+        return _run_metric(args, data, device)
+
+
+def _run_metric(args, data, device) -> int:
     if args.metric == "kernel":
         mbps = bench_kernel()
         result = {
