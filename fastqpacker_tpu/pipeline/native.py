@@ -29,8 +29,32 @@ from ..entropy import zstd as zstd_entropy
 from . import api
 from . import blocks as blockcodec
 
-# stream index -> uses rANS (True) or zstd (False), in v2+ wire order
+# stream index -> eligible for rANS (True) or always zstd (False), v2+ order
 RANS_STREAMS = (True, True, False, False, False, False)
+
+# Below this size the rANS per-stream overhead (lane state table + freq
+# table, ~1.5 KB at 256 lanes) dominates; fall back to zstd. Each
+# rANS-eligible stream carries a 1-byte codec tag so the decoder knows.
+RANS_MIN_BYTES = 16384
+TAG_RANS = 0
+TAG_ZSTD = 1
+
+
+def _encode_tagged(s: bytes, codec) -> bytes:
+    if len(s) >= RANS_MIN_BYTES:
+        return bytes([TAG_RANS]) + rans.encode_stream(s)
+    return bytes([TAG_ZSTD]) + codec.compress(s)
+
+
+def _decode_tagged(chunk: bytes, codec) -> bytes:
+    if len(chunk) == 0:
+        raise container.FormatError("truncated block payload")
+    tag, payload = chunk[0], chunk[1:]
+    if tag == TAG_RANS:
+        return rans.decode_stream(payload)
+    if tag == TAG_ZSTD:
+        return codec.decompress(payload)
+    raise container.FormatError(f"unknown stream codec tag: {tag}")
 
 
 def _crc_streams(ordered: list[bytes]) -> int:
@@ -94,7 +118,7 @@ def compress_native(
         ordered = raw.ordered(container.VERSION_2)
         crc = _crc_streams(ordered)
         comp = [
-            rans.encode_stream(s) if use_rans else codec.compress(s)
+            _encode_tagged(s, codec) if use_rans else codec.compress(s)
             for s, use_rans in zip(ordered, RANS_STREAMS)
         ]
         hdr = container.BlockHeader(
@@ -134,7 +158,7 @@ def decompress_native(
             chunk = payload[off : off + size]
             off += size
             parts.append(
-                rans.decode_stream(chunk)
+                _decode_tagged(chunk, codec)
                 if use_rans
                 else codec.decompress(chunk)
             )

@@ -131,3 +131,33 @@ def test_model_registry():
         models.get_model("nope")
     opts = models.FLAGSHIP.options(block_size=10)
     assert opts.version == container.VERSION_2
+
+
+def test_small_streams_fall_back_to_zstd():
+    """Tiny rANS-eligible streams carry the zstd tag (overhead guard)."""
+    data = _fastq(3, seed=20)
+    comp = compress_native_bytes(data)
+    # small input -> whole container stays small (no kB-scale state tables)
+    assert len(comp) < 900  # ~250B/stream zstd frames, no kB state tables
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_large_streams_use_rans_tag():
+    import struct
+
+    rng = np.random.default_rng(21)
+    recs = []
+    for i in range(600):
+        s = "".join("ACGT"[b] for b in rng.integers(0, 4, 150))
+        q = "".join(chr(33 + int(b)) for b in rng.integers(0, 40, 150))
+        recs.append(f"@r{i}\n{s}\n+\n{q}\n")
+    data = "".join(recs).encode()
+    comp = compress_native_bytes(data)
+    fh = container.parse_file_header(comp[:10])
+    hdr = container.parse_block_header(
+        comp[10 : 10 + container.BLOCK_HEADER_SIZE_V3],
+        container.VERSION_3_NATIVE,
+    )
+    seq_stream = comp[10 + container.BLOCK_HEADER_SIZE_V3 :][: hdr.seq_data_size]
+    assert seq_stream[0] == native.TAG_RANS  # 90KB seq stream -> rANS
+    assert fq.decompress_bytes(comp) == data
