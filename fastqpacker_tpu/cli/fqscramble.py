@@ -23,7 +23,6 @@ from typing import BinaryIO
 import numpy as np
 
 from ..parser.fastq import FastqStreamParser
-from ..utils import varlen
 
 
 def scramble_stream(

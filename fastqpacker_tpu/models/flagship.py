@@ -9,7 +9,7 @@ the Go fqpack reference.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..format import container
 

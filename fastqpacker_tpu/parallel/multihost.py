@@ -379,7 +379,6 @@ def decompress_host_section(
     import io
 
     from ..ops import reference as refops
-    from ..pipeline import api as papi
 
     qual_offset = (
         refops.PHRED64_OFFSET if fh.phred64 else refops.PHRED33_OFFSET
