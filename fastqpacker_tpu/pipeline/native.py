@@ -40,10 +40,35 @@ TAG_RANS = 0
 TAG_ZSTD = 1
 
 
+def _rans_size_estimate(s: bytes) -> int:
+    """Exact order-0 rANS output size from the histogram (pre-encode).
+
+    rANS emits sum(count_k * log2(PROB_SCALE / freq_k)) bits to within
+    lane-padding noise; adding the table/state overhead gives a faithful
+    estimate without running the coder.
+    """
+    hist = np.bincount(np.frombuffer(s, np.uint8), minlength=256).astype(
+        np.int64
+    )
+    freq = rans.normalize_freqs(hist.copy()).astype(np.float64)
+    nz = hist > 0
+    bits = float(
+        np.sum(hist[nz] * (np.log2(rans.PROB_SCALE) - np.log2(freq[nz])))
+    )
+    lanes = rans._pick_lanes(len(s))
+    overhead = 8 + 512 + 4 * lanes + 4  # header + freqs + states + total
+    return int(bits / 8) + overhead
+
+
 def _encode_tagged(s: bytes, codec) -> bytes:
-    if len(s) >= RANS_MIN_BYTES:
-        return bytes([TAG_RANS]) + rans.encode_stream(s)
-    return bytes([TAG_ZSTD]) + codec.compress(s)
+    """Per-stream empirical codec pick: zstd always runs (fast, and the
+    LZ candidate), rANS only when its exact size estimate beats it."""
+    z = codec.compress(s)
+    if len(s) >= RANS_MIN_BYTES and _rans_size_estimate(s) < len(z):
+        r = rans.encode_stream(s)
+        if len(r) < len(z):
+            return bytes([TAG_RANS]) + r
+    return bytes([TAG_ZSTD]) + z
 
 
 def _decode_tagged(chunk: bytes, codec) -> bytes:

@@ -61,11 +61,15 @@ def test_native_compresses():
 
 
 def test_native_crc_catches_corruption():
+    from fastqpacker_tpu.entropy.zstd import ZstdError
+
     data = _fastq(200, seed=4)
     comp = bytearray(compress_native_bytes(data))
-    # flip a byte deep in the payload (past file+block header)
+    # flip a byte deep in the payload (past file+block header); depending
+    # on which stream it lands in, either the zstd frame checksum, the
+    # rANS validity checks, or the block CRC32 must catch it
     comp[len(comp) // 2] ^= 0x01
-    with pytest.raises(container.FormatError):
+    with pytest.raises((container.FormatError, ZstdError)):
         fq.decompress_bytes(bytes(comp))
 
 
@@ -142,22 +146,51 @@ def test_small_streams_fall_back_to_zstd():
     assert fq.decompress_bytes(comp) == data
 
 
-def test_large_streams_use_rans_tag():
-    import struct
-
-    rng = np.random.default_rng(21)
-    recs = []
-    for i in range(600):
-        s = "".join("ACGT"[b] for b in rng.integers(0, 4, 150))
-        q = "".join(chr(33 + int(b)) for b in rng.integers(0, 40, 150))
-        recs.append(f"@r{i}\n{s}\n+\n{q}\n")
-    data = "".join(recs).encode()
-    comp = compress_native_bytes(data)
-    fh = container.parse_file_header(comp[:10])
+def _first_block_streams(comp):
     hdr = container.parse_block_header(
         comp[10 : 10 + container.BLOCK_HEADER_SIZE_V3],
         container.VERSION_3_NATIVE,
     )
-    seq_stream = comp[10 + container.BLOCK_HEADER_SIZE_V3 :][: hdr.seq_data_size]
-    assert seq_stream[0] == native.TAG_RANS  # 90KB seq stream -> rANS
+    payload = comp[10 + container.BLOCK_HEADER_SIZE_V3 :]
+    sizes = hdr.stream_sizes(container.VERSION_2)
+    out = []
+    off = 0
+    for s in sizes:
+        out.append(payload[off : off + s])
+        off += s
+    return out
+
+
+def test_empirical_pick_chooses_rans_on_skewed_bytes():
+    """Skewed, match-free bytes: zstd's Huffman literal floor (1 bit)
+    loses to rANS's fractional bits and the pick tags the stream rANS;
+    the size estimate must also be faithful (within 10%)."""
+    from fastqpacker_tpu.entropy import zstd as z
+    from fastqpacker_tpu.ops import rans as rans_mod
+
+    rng = np.random.default_rng(21)
+    q = np.where(
+        rng.random(90000) < 0.93, ord("I"), 34 + rng.integers(0, 8, 90000)
+    ).astype(np.uint8)
+    s = q.tobytes()
+    est = native._rans_size_estimate(s)
+    actual = len(rans_mod.encode_stream(s))
+    assert abs(est - actual) < actual * 0.10
+    tagged = native._encode_tagged(s, z.get_codec())
+    assert tagged[0] == native.TAG_RANS
+    assert len(tagged) - 1 < len(z.compress(s))
+    assert native._decode_tagged(tagged, z.get_codec()) == s
+
+
+def test_zstd_picked_for_lz_structured_streams():
+    """Repeating records: LZ wins and the pick keeps zstd (v3 should
+    never lose to v2 by much on any input)."""
+    data = b"".join(b"@r%d\nACGTACGTAAAA\n+\nIIIIIIIIIIII\n" % i
+                    for i in range(5000))
+    comp = compress_native_bytes(data)
+    streams = _first_block_streams(comp)
+    assert streams[0][0] == native.TAG_ZSTD
+    assert streams[1][0] == native.TAG_ZSTD
+    v2 = fq.compress_bytes(data)
+    assert len(comp) < len(v2) * 1.05
     assert fq.decompress_bytes(comp) == data
