@@ -47,28 +47,61 @@ class FastqParseError(ValueError):
     pass
 
 
-@dataclass
 class RecordBlock:
     """A block of parsed FASTQ records in dense, device-friendly layout.
 
-    ``seq``/``qual`` are ``(n, max_len)`` uint8 padded matrices;
+    ``seq``/``qual`` are ``(n, max_len)`` uint8 padded matrices, built
+    lazily from ``text`` + scan ``offsets`` when the parser took the
+    native path (the single-pass C++ stream builder never needs them);
     ``lengths`` holds per-record sequence lengths. Headers and plus-line
     payloads stay on host as raw byte runs referenced into ``text``.
     """
 
-    n: int
-    seq: np.ndarray  # (n, L) uint8, padded with SEQ_PAD
-    qual: np.ndarray  # (n, L) uint8, padded with QUAL_PAD
-    lengths: np.ndarray  # (n,) int32 sequence (== quality) lengths
-    text: np.ndarray  # underlying chunk bytes (uint8)
-    header_starts: np.ndarray  # (n,) offsets into text (after '@')
-    header_lengths: np.ndarray
-    plus_starts: np.ndarray  # (n,) offsets into text (after '+')
-    plus_lengths: np.ndarray
+    def __init__(
+        self,
+        n: int,
+        lengths: np.ndarray,
+        text: np.ndarray,
+        header_starts: np.ndarray,
+        header_lengths: np.ndarray,
+        plus_starts: np.ndarray,
+        plus_lengths: np.ndarray,
+        seq: np.ndarray | None = None,
+        qual: np.ndarray | None = None,
+        offsets: np.ndarray | None = None,  # (n, 8) native scan offsets
+    ):
+        self.n = n
+        self.lengths = lengths
+        self.text = text
+        self.header_starts = header_starts
+        self.header_lengths = header_lengths
+        self.plus_starts = plus_starts
+        self.plus_lengths = plus_lengths
+        self.offsets = offsets
+        self._seq = seq
+        self._qual = qual
+
+    @property
+    def seq(self) -> np.ndarray:
+        if self._seq is None:
+            self._seq = varlen.gather_rows(
+                self.text, self.offsets[:, 2], self.offsets[:, 3],
+                fill=SEQ_PAD,
+            )
+        return self._seq
+
+    @property
+    def qual(self) -> np.ndarray:
+        if self._qual is None:
+            self._qual = varlen.gather_rows(
+                self.text, self.offsets[:, 6], self.offsets[:, 3],
+                fill=QUAL_PAD,
+            )
+        return self._qual
 
     @property
     def max_len(self) -> int:
-        return self.seq.shape[1]
+        return int(self.lengths.max()) if self.n else 0
 
     def header_stream(self) -> bytes:
         """u16 length-prefixed header stream (compress.go:514-515)."""
@@ -207,21 +240,22 @@ def _native():
 
 
 def _block_from_offsets(data: np.ndarray, offs: np.ndarray) -> RecordBlock:
-    """Build a RecordBlock from native scan offsets (n, 8)."""
+    """Build a RecordBlock from native scan offsets (n, 8); the padded
+    seq/qual matrices are materialized lazily only if a consumer needs
+    them (device backends, detection on the first block)."""
     n = len(offs)
     seq_lens = offs[:, 3] if n else np.empty(0, np.int64)
-    seq = varlen.gather_rows(data, offs[:, 2], seq_lens, fill=SEQ_PAD) if n else np.zeros((0, 0), np.uint8)
-    qual = varlen.gather_rows(data, offs[:, 6], seq_lens, fill=QUAL_PAD) if n else np.zeros((0, 0), np.uint8)
     return RecordBlock(
         n=n,
-        seq=seq,
-        qual=qual,
         lengths=seq_lens.astype(np.int32),
         text=data,
         header_starts=offs[:, 0] if n else np.empty(0, np.int64),
         header_lengths=offs[:, 1] if n else np.empty(0, np.int64),
         plus_starts=offs[:, 4] if n else np.empty(0, np.int64),
         plus_lengths=offs[:, 5] if n else np.empty(0, np.int64),
+        offsets=offs if n else None,
+        seq=None if n else np.zeros((0, 0), np.uint8),
+        qual=None if n else np.zeros((0, 0), np.uint8),
     )
 
 

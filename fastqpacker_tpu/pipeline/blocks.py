@@ -263,6 +263,18 @@ def block_to_raw_streams(
     the u16 cap").
     """
     lengths = block.lengths.astype(np.int64)
+
+    nat = _native()
+    if (
+        nat is not None
+        and getattr(block, "offsets", None) is not None
+        and encode_arrays in (refops.encode_block_arrays, nat.encode_block_arrays)
+    ):
+        # single-pass native fast path: text+offsets -> streams directly
+        if not wide_npos and block.max_len > refops.MAX_SEQUENCE_LENGTH:
+            refops.check_ambiguous_overflow(block.seq, lengths)
+        return nat.build_raw_streams(block, qual_offset, wide_npos)
+
     if wide_npos:
         enc = encode_arrays(
             block.seq, block.qual, block.lengths, qual_offset,

@@ -394,3 +394,64 @@ def decode_block_ascii(packed, lengths, out_width):
             out.reshape(-1),
         )
     return out[:, :out_width]
+
+
+def _bind_build_streams(lib):
+    lib.fq_build_streams.restype = ctypes.c_int
+    lib.fq_build_streams.argtypes = [
+        _u8p, _i64p, _ll, _u8, ctypes.c_int, _ll,
+        _u8p, _u8p, _u8p, _u8p, _u8p, _u8p,
+        _i64p, ctypes.POINTER(ctypes.c_int32),
+    ]
+
+
+def build_raw_streams(block, qual_offset: int, wide_npos: bool):
+    """Single-pass: FASTQ text + scan offsets -> RawStreams (no padded
+    matrices, no intermediate copies)."""
+    from ..ops import reference as refops
+    from ..pipeline.blocks import RawStreams
+
+    lib = _load()
+    if not hasattr(lib, "_bs_bound"):
+        _bind_build_streams(lib)
+        lib._bs_bound = True
+
+    offs = np.ascontiguousarray(block.offsets, np.int64)
+    n = block.n
+    lens = offs[:, 3]
+    cap = (1 << 62) if wide_npos else refops.MAX_SEQUENCE_LENGTH
+    total_len = int(lens.sum())
+    seq_cap = int(((lens + 3) // 4).sum())
+    hdr_cap = int(2 * n + offs[:, 1].sum())
+    plus_cap = int(2 * n + offs[:, 5].sum())
+    unit = 4 if wide_npos else 2
+    npos_cap_bytes = int(unit * (n + np.minimum(lens, cap).sum()))
+
+    seq_out = np.empty(max(seq_cap, 1), np.uint8)
+    qual_out = np.empty(max(total_len, 1), np.uint8)
+    hdr_out = np.empty(max(hdr_cap, 1), np.uint8)
+    plus_out = np.empty(max(plus_cap, 1), np.uint8)
+    npos_out = np.empty(max(npos_cap_bytes, 1), np.uint8)
+    len_out = np.empty(max(4 * n, 1), np.uint8)
+    sizes = np.zeros(6, np.int64)
+    minq = ctypes.c_int32(255)
+
+    rc = lib.fq_build_streams(
+        _nz_u8(np.ascontiguousarray(block.text)), offs.reshape(-1), n,
+        qual_offset, int(wide_npos), cap,
+        seq_out, qual_out, hdr_out, plus_out, npos_out, len_out,
+        sizes, ctypes.byref(minq),
+    )
+    if rc != 0:
+        raise ValueError("record field longer than 65535 bytes")
+    return RawStreams(
+        seq=seq_out[: sizes[0]].tobytes(),
+        qual=qual_out[: sizes[1]].tobytes(),
+        headers=hdr_out[: sizes[2]].tobytes(),
+        plus=plus_out[: sizes[3]].tobytes(),
+        npos=npos_out[: sizes[4]].tobytes(),
+        lengths=len_out[: sizes[5]].tobytes(),
+        num_records=n,
+        original_seq_size=total_len,
+        original_qual_size=total_len,
+    )

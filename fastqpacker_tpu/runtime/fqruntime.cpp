@@ -507,3 +507,129 @@ void fq_decode_block(const uint8_t* packed, const long long* lens,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Single-pass stream builder: FASTQ text + scan offsets -> all six wire
+// streams (no padded-matrix intermediate)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// offs: (n, 8) from fq_scan_records. Writes the six raw streams in wire
+// layout (compress.go:490-519): seq 2-bit packed, qual offset+delta,
+// headers/plus u16-length-prefixed, npos u16 (wide=0) or u32 (wide=1),
+// lengths u32. sizes_out[0..5] receive byte counts; min_qual_out gets the
+// minimum quality byte (for Phred detection); returns 0, or 1 if a
+// header/plus field exceeds 65535 bytes.
+int fq_build_streams(const uint8_t* text, const long long* offs,
+                     long long n, uint8_t qoffset, int wide,
+                     long long npos_cap, uint8_t* seq_out, uint8_t* qual_out,
+                     uint8_t* hdr_out, uint8_t* plus_out, uint8_t* npos_out,
+                     uint8_t* len_out, long long* sizes_out,
+                     int32_t* min_qual_out) {
+  static uint8_t code_lut[256];
+  static uint8_t valid_lut[256];
+  static int lut_init = 0;
+  if (!lut_init) {
+    for (int i = 0; i < 256; i++) {
+      int u = i & 0xDF;
+      code_lut[i] = (uint8_t)((u == 'C') ? 1 : (u == 'G') ? 2 : (u == 'T') ? 3 : 0);
+      valid_lut[i] = (uint8_t)(u == 'A' || u == 'C' || u == 'G' || u == 'T');
+    }
+    lut_init = 1;
+  }
+  long long so = 0, qo = 0, ho = 0, po = 0, no = 0, lo = 0;
+  int32_t minq = 255;
+  for (long long i = 0; i < n; i++) {
+    const long long* o = offs + i * 8;
+    const uint8_t* seq = text + o[2];
+    const uint8_t* qual = text + o[6];
+    const long long len = o[3];
+
+    // sequence: 2-bit pack + N positions inline
+    long long j = 0;
+    const long long cap = len < npos_cap ? len : npos_cap;
+    long long npos_cnt_off = no;  // reserve count slot
+    no += wide ? 4 : 2;
+    uint32_t cnt = 0;
+    for (; j + 4 <= len; j += 4) {
+      uint8_t b0 = seq[j], b1 = seq[j + 1], b2 = seq[j + 2], b3 = seq[j + 3];
+      seq_out[so++] =
+          (uint8_t)(code_lut[b0] | (code_lut[b1] << 2) |
+                    (code_lut[b2] << 4) | (code_lut[b3] << 6));
+      // rare branch: any ambiguous base in this quad
+      if (!(valid_lut[b0] & valid_lut[b1] & valid_lut[b2] & valid_lut[b3])) {
+        for (int k = 0; k < 4; k++) {
+          long long pos = j + k;
+          if (pos < cap && !valid_lut[seq[pos]]) {
+            if (wide) {
+              uint32_t p32 = (uint32_t)pos;
+              memcpy(npos_out + no, &p32, 4);
+              no += 4;
+            } else {
+              npos_out[no++] = (uint8_t)(pos & 0xFF);
+              npos_out[no++] = (uint8_t)(pos >> 8);
+            }
+            cnt++;
+          }
+        }
+      }
+    }
+    if (j < len) {
+      uint8_t b = 0;
+      for (long long k = j; k < len; k++) {
+        b = (uint8_t)(b | (code_lut[seq[k]] << ((k - j) << 1)));
+        if (k < cap && !valid_lut[seq[k]]) {
+          if (wide) {
+            uint32_t p32 = (uint32_t)k;
+            memcpy(npos_out + no, &p32, 4);
+            no += 4;
+          } else {
+            npos_out[no++] = (uint8_t)(k & 0xFF);
+            npos_out[no++] = (uint8_t)(k >> 8);
+          }
+          cnt++;
+        }
+      }
+      seq_out[so++] = b;
+    }
+    if (wide) {
+      memcpy(npos_out + npos_cnt_off, &cnt, 4);
+    } else {
+      npos_out[npos_cnt_off] = (uint8_t)(cnt & 0xFF);
+      npos_out[npos_cnt_off + 1] = (uint8_t)((cnt >> 8) & 0xFF);
+    }
+
+    // quality: offset + delta, plus running min for Phred detection
+    if (len > 0) {
+      qual_out[qo++] = (uint8_t)(qual[0] - qoffset);
+      if (qual[0] < minq) minq = qual[0];
+      for (long long k = 1; k < len; k++) {
+        qual_out[qo++] = (uint8_t)(qual[k] - qual[k - 1]);
+        if (qual[k] < minq) minq = qual[k];
+      }
+    }
+
+    // header / plus: u16 length prefix + bytes
+    if (o[1] > 0xFFFF || o[5] > 0xFFFF) return 1;
+    hdr_out[ho++] = (uint8_t)(o[1] & 0xFF);
+    hdr_out[ho++] = (uint8_t)(o[1] >> 8);
+    memcpy(hdr_out + ho, text + o[0], (size_t)o[1]);
+    ho += o[1];
+    plus_out[po++] = (uint8_t)(o[5] & 0xFF);
+    plus_out[po++] = (uint8_t)(o[5] >> 8);
+    memcpy(plus_out + po, text + o[4], (size_t)o[5]);
+    po += o[5];
+
+    // length: u32le
+    uint32_t l32 = (uint32_t)len;
+    memcpy(len_out + lo, &l32, 4);
+    lo += 4;
+  }
+  sizes_out[0] = so; sizes_out[1] = qo; sizes_out[2] = ho;
+  sizes_out[3] = po; sizes_out[4] = no; sizes_out[5] = lo;
+  *min_qual_out = minq;
+  return 0;
+}
+
+}  // extern "C"
