@@ -428,6 +428,15 @@ def streams_to_fastq(
 ) -> bytes:
     """Reconstruct the block's FASTQ text (compress.go:944-1078)."""
     r = ds.num_records
+
+    nat = _native()
+    if nat is not None and decode_arrays is host_decode_arrays:
+        # single-pass native decode: streams -> FASTQ text directly
+        try:
+            return nat.decode_block_full(ds, qual_offset, wide_npos)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
+
     if len(ds.lengths) < 4 * r:
         raise container.FormatError("truncated length data")
     lengths = ds.lengths[: 4 * r].view("<u4").astype(np.int64)

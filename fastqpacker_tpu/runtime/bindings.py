@@ -455,3 +455,54 @@ def build_raw_streams(block, qual_offset: int, wide_npos: bool):
         original_seq_size=total_len,
         original_qual_size=total_len,
     )
+
+
+_DECODE_STREAM_ERRORS = {
+    -1: "truncated sequence data",
+    -2: "truncated quality data",
+    -3: "truncated header data",
+    -4: "truncated plus-line payload data",
+    -5: "truncated N position data",
+    -6: "truncated length data",
+}
+
+
+def _bind_decode_full(lib):
+    lib.fq_decode_block_full.restype = _ll
+    lib.fq_decode_block_full.argtypes = [
+        _u8p, _ll, _u8p, _ll, _u8p, _ll, _u8p, _ll, _u8p, _ll, _u8p, _ll,
+        _ll, _u8, ctypes.c_int, ctypes.c_int, _u8p,
+    ]
+
+
+def decode_block_full(ds, qual_offset: int, wide: bool) -> bytes:
+    """Six raw streams -> FASTQ text in one native pass.
+
+    ``ds`` is a pipeline.blocks.DecodedStreams; raises ValueError with
+    the reference-style "truncated ..." message on malformed data
+    (an N position past the record length also reports as N-position
+    data corruption).
+    """
+    lib = _load()
+    if not hasattr(lib, "_df_bound"):
+        _bind_decode_full(lib)
+        lib._df_bound = True
+    n = ds.num_records
+    cap = (
+        6 * n + len(ds.headers) + len(ds.plus) + 2 * len(ds.qual) + 16
+    )
+    out = np.empty(max(cap, 1), np.uint8)
+    written = lib.fq_decode_block_full(
+        _nz_u8(np.ascontiguousarray(ds.seq)), len(ds.seq),
+        _nz_u8(np.ascontiguousarray(ds.qual)), len(ds.qual),
+        _nz_u8(np.ascontiguousarray(ds.headers)), len(ds.headers),
+        _nz_u8(np.ascontiguousarray(ds.plus)), len(ds.plus),
+        _nz_u8(np.ascontiguousarray(ds.npos)), len(ds.npos),
+        _nz_u8(np.ascontiguousarray(ds.lengths)), len(ds.lengths),
+        n, qual_offset, int(wide), int(len(ds.plus) > 0), out,
+    )
+    if written < 0:
+        raise ValueError(
+            _DECODE_STREAM_ERRORS.get(int(written), "corrupted block data")
+        )
+    return out[:written].tobytes()

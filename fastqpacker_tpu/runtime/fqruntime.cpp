@@ -633,3 +633,130 @@ int fq_build_streams(const uint8_t* text, const long long* offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Single-pass block decode: six raw streams -> FASTQ text
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Inverse of fq_build_streams composed with assembly
+// (compress.go:944-1078 as one walk): per record reads the length, the
+// N positions, unpacks 2-bit bases straight into the output (LUT u32
+// stores, then sparse 'N' patch), delta-decodes quality in place, and
+// emits '@hdr\nseq\n+plus\nqual\n'. has_plus=0 emits bare '+' (v1).
+// Returns bytes written, or a negative stream index (-1..-6) on
+// truncation/bounds error.
+long long fq_decode_block_full(
+    const uint8_t* seq_s, long long seq_n, const uint8_t* qual_s,
+    long long qual_n, const uint8_t* hdr_s, long long hdr_n,
+    const uint8_t* plus_s, long long plus_n, const uint8_t* npos_s,
+    long long npos_n, const uint8_t* len_s, long long len_n,
+    long long n, uint8_t qoffset, int wide, int has_plus, uint8_t* out) {
+  static uint32_t lut[256];
+  static int lut_init = 0;
+  if (!lut_init) {
+    const char bases[4] = {'A', 'C', 'G', 'T'};
+    for (int i = 0; i < 256; i++) {
+      uint32_t v = 0;
+      for (int k = 0; k < 4; k++)
+        v |= ((uint32_t)(uint8_t)bases[(i >> (2 * k)) & 3]) << (8 * k);
+      lut[i] = v;
+    }
+    lut_init = 1;
+  }
+  long long so = 0, qo = 0, ho = 0, po = 0, no = 0, lo = 0, oo = 0;
+  for (long long i = 0; i < n; i++) {
+    // length (u32le)
+    if (lo + 4 > len_n) return -6;
+    uint32_t len32;
+    memcpy(&len32, len_s + lo, 4);
+    lo += 4;
+    const long long len = (long long)len32;
+
+    // header
+    if (ho + 2 > hdr_n) return -3;
+    long long hl = (long long)hdr_s[ho] | ((long long)hdr_s[ho + 1] << 8);
+    ho += 2;
+    if (ho + hl > hdr_n) return -3;
+    out[oo++] = '@';
+    memcpy(out + oo, hdr_s + ho, (size_t)hl);
+    oo += hl;
+    ho += hl;
+    out[oo++] = '\n';
+
+    // sequence: unpack + patch Ns
+    const long long plen = (len + 3) / 4;
+    if (so + plen > seq_n) return -1;
+    uint8_t* seq_dst = out + oo;
+    {
+      const long long full = len >> 2;
+      for (long long j = 0; j < full; j++) {
+        uint32_t v = lut[seq_s[so + j]];
+        memcpy(seq_dst + 4 * j, &v, 4);
+      }
+      const long long rem = len & 3;
+      if (rem) {
+        uint32_t v = lut[seq_s[so + full]];
+        memcpy(seq_dst + 4 * full, &v, (size_t)rem);
+      }
+    }
+    so += plen;
+    // N positions
+    if (wide) {
+      if (no + 4 > npos_n) return -5;
+      uint32_t cnt;
+      memcpy(&cnt, npos_s + no, 4);
+      no += 4;
+      if (no + 4LL * cnt > npos_n) return -5;
+      for (uint32_t k = 0; k < cnt; k++) {
+        uint32_t p;
+        memcpy(&p, npos_s + no, 4);
+        no += 4;
+        if ((long long)p >= len) return -5;
+        seq_dst[p] = 'N';
+      }
+    } else {
+      if (no + 2 > npos_n) return -5;
+      long long cnt = (long long)npos_s[no] | ((long long)npos_s[no + 1] << 8);
+      no += 2;
+      if (no + 2 * cnt > npos_n) return -5;
+      for (long long k = 0; k < cnt; k++) {
+        long long p = (long long)npos_s[no] | ((long long)npos_s[no + 1] << 8);
+        no += 2;
+        if (p >= len) return -5;
+        seq_dst[p] = 'N';
+      }
+    }
+    oo += len;
+    out[oo++] = '\n';
+
+    // plus line
+    out[oo++] = '+';
+    if (has_plus) {
+      if (po + 2 > plus_n) return -4;
+      long long pl = (long long)plus_s[po] | ((long long)plus_s[po + 1] << 8);
+      po += 2;
+      if (po + pl > plus_n) return -4;
+      memcpy(out + oo, plus_s + po, (size_t)pl);
+      oo += pl;
+      po += pl;
+    }
+    out[oo++] = '\n';
+
+    // quality: delta integrate + denormalize
+    if (qo + len > qual_n) return -2;
+    uint8_t acc = 0;
+    uint8_t* qdst = out + oo;
+    for (long long j = 0; j < len; j++) {
+      acc = (uint8_t)(acc + qual_s[qo + j]);
+      qdst[j] = (uint8_t)(acc + qoffset);
+    }
+    qo += len;
+    oo += len;
+    out[oo++] = '\n';
+  }
+  return oo;
+}
+
+}  // extern "C"
