@@ -166,7 +166,7 @@ def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=256)
+    ap.add_argument("--mb", type=int, default=128)
     ap.add_argument(
         "--metric",
         choices=["compress", "decompress", "kernel"],
@@ -181,7 +181,7 @@ def main() -> int:
     from fastqpacker_tpu.utils import malloc_tuning
 
     malloc_tuning.tune()
-    malloc_tuning.warm_heap(min(args.mb * 6, 1024) << 20)
+    malloc_tuning.warm_heap(min(args.mb * 5, 768) << 20)
 
     import jax
 
