@@ -169,7 +169,7 @@ def main() -> int:
     ap.add_argument("--mb", type=int, default=128)
     ap.add_argument(
         "--metric",
-        choices=["compress", "decompress", "kernel"],
+        choices=["compress", "decompress", "kernel", "micro"],
         default="compress",
     )
     ap.add_argument("--repeats", type=int, default=3)
@@ -212,7 +212,60 @@ def main() -> int:
         return _run_metric(args, data, device)
 
 
+def bench_micro(data: bytes):
+    """Stage microbenchmarks (reference analog: BenchmarkReadBatch,
+    BenchmarkCompressBlock, pack/delta micro-benches). Reports each
+    stage's throughput to stderr; the JSON line carries the parser rate."""
+    import io
+
+    from fastqpacker_tpu.parser.fastq import FastqStreamParser
+    from fastqpacker_tpu.pipeline import blocks as blockcodec
+    from fastqpacker_tpu.entropy import zstd as z
+    from fastqpacker_tpu.runtime import bindings as rt
+
+    results = {}
+
+    t0 = time.perf_counter()
+    blocks = list(FastqStreamParser(io.BytesIO(data), block_size=100000).blocks())
+    dt = time.perf_counter() - t0
+    results["parse"] = len(data) / 1e6 / dt
+    blk = blocks[0]
+
+    if rt.available():
+        t0 = time.perf_counter()
+        raw = rt.build_raw_streams(blk, 33, False)
+        dt = time.perf_counter() - t0
+        results["build_streams"] = (
+            2 * int(blk.lengths.sum()) / 1e6 / dt
+        )
+        codec = z.get_codec()
+        total = sum(len(s) for s in raw.ordered(2))
+        t0 = time.perf_counter()
+        comp = [codec.compress(s) for s in raw.ordered(2)]
+        dt = time.perf_counter() - t0
+        results["zstd_encode"] = total / 1e6 / dt
+        t0 = time.perf_counter()
+        for c, s in zip(comp, raw.ordered(2)):
+            codec.decompress(c)
+        results["zstd_decode"] = total / 1e6 / (time.perf_counter() - t0)
+
+    for name, mbps in results.items():
+        log(f"  micro {name:<14} {mbps:8.0f} MB/s")
+    return results
+
+
 def _run_metric(args, data, device) -> int:
+    if args.metric == "micro":
+        results = bench_micro(data)
+        mbps = results.get("parse", 0.0)
+        result = {
+            "metric": "parse_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_COMPRESS_MBPS, 3),
+        }
+        print(json.dumps(result))
+        return 0
     if args.metric == "kernel":
         mbps = bench_kernel()
         result = {
