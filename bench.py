@@ -166,7 +166,7 @@ def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=128)
+    ap.add_argument("--mb", type=int, default=64)
     ap.add_argument(
         "--metric",
         choices=["compress", "decompress", "kernel", "micro"],
@@ -181,7 +181,10 @@ def main() -> int:
     from fastqpacker_tpu.utils import malloc_tuning
 
     malloc_tuning.tune()
-    malloc_tuning.warm_heap(min(args.mb * 5, 768) << 20)
+    log("tuning allocator + pre-faulting heap ...")
+    t0 = time.perf_counter()
+    malloc_tuning.warm_heap(min(args.mb * 4, 512) << 20)
+    log(f"heap warm in {time.perf_counter()-t0:.1f}s")
 
     import jax
 
