@@ -29,8 +29,11 @@ from ..entropy import zstd as zstd_entropy
 from . import api
 from . import blocks as blockcodec
 
-# stream index -> eligible for rANS (True) or always zstd (False), v2+ order
-RANS_STREAMS = (True, True, False, False, False, False)
+# Per-stream codec policy in v2+ wire order (seq, qual, headers, plus,
+# npos, lengths): "rans" streams carry a 1-byte tag choosing rANS or zstd
+# empirically; "tok" streams choose token-delta+zstd or plain zstd; "zstd"
+# streams are untagged zstd.
+STREAM_CODECS = ("rans", "rans", "tok", "zstd", "zstd", "zstd")
 
 # Below this size the rANS per-stream overhead (lane state table + freq
 # table, ~1.5 KB at 256 lanes) dominates; fall back to zstd. Each
@@ -38,6 +41,27 @@ RANS_STREAMS = (True, True, False, False, False, False)
 RANS_MIN_BYTES = 16384
 TAG_RANS = 0
 TAG_ZSTD = 1
+TAG_TOK = 2  # header token-delta transform (ops/tokenize.py) + zstd
+
+
+def _tok_encode(stream: bytes, count: int) -> bytes:
+    from ..runtime import bindings
+
+    if bindings.available():
+        return bindings.tok_encode(stream, count)
+    from ..ops import tokenize
+
+    return tokenize.encode(stream, count)
+
+
+def _tok_decode(data: bytes, count: int) -> bytes:
+    from ..runtime import bindings
+
+    if bindings.available():
+        return bindings.tok_decode(data, count)
+    from ..ops import tokenize
+
+    return tokenize.decode(data, count)
 
 
 def _rans_size_estimate(s: bytes) -> int:
@@ -71,7 +95,25 @@ def _encode_tagged(s: bytes, codec) -> bytes:
     return bytes([TAG_ZSTD]) + z
 
 
-def _decode_tagged(chunk: bytes, codec) -> bytes:
+def _encode_tagged_headers(s: bytes, count: int, codec) -> bytes:
+    """Header stream pick: token-delta transform vs raw, both zstd-coded.
+
+    The transform wins whenever headers share structure between records
+    (the overwhelmingly common case); degenerate inputs (every header
+    unique noise) fall back to plain zstd by measured size.
+    """
+    z = codec.compress(s)
+    try:
+        tok = _tok_encode(s, count)
+    except ValueError:
+        return bytes([TAG_ZSTD]) + z
+    zt = codec.compress(tok)
+    if len(zt) < len(z):
+        return bytes([TAG_TOK]) + zt
+    return bytes([TAG_ZSTD]) + z
+
+
+def _decode_tagged(chunk: bytes, codec, count: int = 0) -> bytes:
     if len(chunk) == 0:
         raise container.FormatError("truncated block payload")
     tag, payload = chunk[0], chunk[1:]
@@ -79,6 +121,11 @@ def _decode_tagged(chunk: bytes, codec) -> bytes:
         return rans.decode_stream(payload)
     if tag == TAG_ZSTD:
         return codec.decompress(payload)
+    if tag == TAG_TOK:
+        try:
+            return _tok_decode(codec.decompress(payload), count)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
     raise container.FormatError(f"unknown stream codec tag: {tag}")
 
 
@@ -142,10 +189,16 @@ def compress_native(
         )
         ordered = raw.ordered(container.VERSION_2)
         crc = _crc_streams(ordered)
-        comp = [
-            _encode_tagged(s, codec) if use_rans else codec.compress(s)
-            for s, use_rans in zip(ordered, RANS_STREAMS)
-        ]
+        comp = []
+        for s, policy in zip(ordered, STREAM_CODECS):
+            if policy == "rans":
+                comp.append(_encode_tagged(s, codec))
+            elif policy == "tok":
+                comp.append(
+                    _encode_tagged_headers(s, raw.num_records, codec)
+                )
+            else:
+                comp.append(codec.compress(s))
         hdr = container.BlockHeader(
             num_records=raw.num_records,
             seq_data_size=len(comp[0]),
@@ -179,14 +232,15 @@ def decompress_native(
             raise container.FormatError("truncated block payload")
         parts = []
         off = 0
-        for size, use_rans in zip(sizes, RANS_STREAMS):
+        for size, policy in zip(sizes, STREAM_CODECS):
             chunk = payload[off : off + size]
             off += size
-            parts.append(
-                _decode_tagged(chunk, codec)
-                if use_rans
-                else codec.decompress(chunk)
-            )
+            if policy == "zstd":
+                parts.append(codec.decompress(chunk))
+            else:
+                parts.append(
+                    _decode_tagged(chunk, codec, hdr.num_records)
+                )
         if _crc_streams(parts) != hdr.crc32:
             raise container.FormatError(
                 "block CRC32 mismatch: corrupted data"

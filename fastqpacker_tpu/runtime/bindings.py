@@ -506,3 +506,47 @@ def decode_block_full(ds, qual_offset: int, wide: bool) -> bytes:
             _DECODE_STREAM_ERRORS.get(int(written), "corrupted block data")
         )
     return out[:written].tobytes()
+
+
+def _bind_tok(lib):
+    lib.fq_tok_encode.restype = _ll
+    lib.fq_tok_encode.argtypes = [_u8p, _ll, _ll, _u8p, _ll]
+    lib.fq_tok_decoded_size.restype = _ll
+    lib.fq_tok_decoded_size.argtypes = [_u8p, _ll]
+    lib.fq_tok_decode.restype = _ll
+    lib.fq_tok_decode.argtypes = [_u8p, _ll, _ll, _u8p, _ll]
+
+
+def tok_encode(stream: bytes, count: int) -> bytes:
+    """Header token-delta encode (native twin of ops/tokenize.encode)."""
+    from ..ops import tokenize
+
+    lib = _load()
+    if not hasattr(lib, "_tok_bound"):
+        _bind_tok(lib)
+        lib._tok_bound = True
+    data = np.frombuffer(stream, np.uint8)
+    cap = tokenize.encode_bound(len(stream), count)
+    out = np.empty(cap, np.uint8)
+    n = lib.fq_tok_encode(_nz_u8(data), len(data), count, out, cap)
+    if n < 0:
+        raise ValueError("malformed header stream")
+    return out[:n].tobytes()
+
+
+def tok_decode(data: bytes, count: int) -> bytes:
+    """Inverse of tok_encode; raises ValueError on corrupt input."""
+    lib = _load()
+    if not hasattr(lib, "_tok_bound"):
+        _bind_tok(lib)
+        lib._tok_bound = True
+    arr = np.frombuffer(data, np.uint8)
+    cap = lib.fq_tok_decoded_size(_nz_u8(arr), len(arr))
+    # structural maximum: count records of <= 65535 bytes + u16 prefixes
+    if cap < 0 or cap > count * 0xFFFF + 2 * count + 16:
+        raise ValueError("corrupted tokenized header data")
+    out = np.empty(max(cap, 1), np.uint8)
+    n = lib.fq_tok_decode(_nz_u8(arr), len(arr), count, out, cap)
+    if n < 0:
+        raise ValueError("corrupted tokenized header data")
+    return out[:n].tobytes()

@@ -12,7 +12,9 @@
 // Build: g++ -O3 -shared -fPIC (see build.py). Pure C ABI for ctypes.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -756,6 +758,245 @@ long long fq_decode_block_full(
     oo += len;
     out[oo++] = '\n';
   }
+  return oo;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Header token-delta codec (FQZ v3 header stream transform)
+// ---------------------------------------------------------------------------
+// Native twin of ops/tokenize.py (the semantics reference; wire layout
+// documented there). Headers split into digit / non-digit runs; each token
+// codes against the previous record's same-index token as MATCH / numeric
+// DELTA (zigzag varint) / LITERAL. Exactly invertible on the
+// u16-length-prefixed wire stream.
+
+namespace {
+
+enum TokOp {
+  TOK_END = 0x00,
+  TOK_MATCH = 0x01,
+  TOK_DELTA = 0x02,
+  TOK_DELTA_PAD = 0x03,
+  TOK_LIT = 0x04
+};
+
+struct TokSpan {
+  const uint8_t* p;
+  long long len;
+};
+
+inline bool tok_write_varint(uint8_t* out, long long cap, long long& off,
+                             unsigned long long v) {
+  while (v >= 0x80) {
+    if (off >= cap) return false;
+    out[off++] = (uint8_t)((v & 0x7F) | 0x80);
+    v >>= 7;
+  }
+  if (off >= cap) return false;
+  out[off++] = (uint8_t)v;
+  return true;
+}
+
+inline bool tok_read_varint(const uint8_t* data, long long n, long long& off,
+                            unsigned long long& v) {
+  v = 0;
+  int shift = 0;
+  for (;;) {
+    if (off >= n || shift > 63) return false;
+    uint8_t b = data[off++];
+    v |= ((unsigned long long)(b & 0x7F)) << shift;
+    if (!(b & 0x80)) return true;
+    shift += 7;
+  }
+}
+
+inline unsigned long long tok_zigzag(long long v) {
+  return ((unsigned long long)v << 1) ^ (unsigned long long)(v >> 63);
+}
+
+inline long long tok_unzigzag(unsigned long long v) {
+  return (long long)(v >> 1) ^ -(long long)(v & 1);
+}
+
+inline bool tok_is_digit(uint8_t b) { return b >= '0' && b <= '9'; }
+
+// numeric := all digits, 1..18 of them (fits int64); returns value or -1
+inline long long tok_numeric_value(const uint8_t* p, long long len) {
+  if (len < 1 || len > 18) return -1;
+  long long v = 0;
+  for (long long i = 0; i < len; i++) {
+    if (!tok_is_digit(p[i])) return -1;
+    v = v * 10 + (p[i] - '0');
+  }
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode a u16-length-prefixed headers stream (count records) into the
+// tokenized form. Returns bytes written, or -1 on malformed input /
+// insufficient out_cap (callers size out with encode_bound).
+long long fq_tok_encode(const uint8_t* data, long long n, long long count,
+                        uint8_t* out, long long out_cap) {
+  long long oo = 0;
+  if (!tok_write_varint(out, out_cap, oo, (unsigned long long)n)) return -1;
+  std::vector<TokSpan> prev, cur;
+  prev.reserve(32);
+  cur.reserve(32);
+  long long off = 0;
+  for (long long rec = 0; rec < count; rec++) {
+    if (off + 2 > n) return -1;
+    long long hlen = (long long)data[off] | ((long long)data[off + 1] << 8);
+    off += 2;
+    if (off + hlen > n) return -1;
+    const uint8_t* h = data + off;
+    off += hlen;
+    cur.clear();
+    // split into maximal digit / non-digit runs
+    for (long long i = 0; i < hlen;) {
+      bool d = tok_is_digit(h[i]);
+      long long j = i + 1;
+      while (j < hlen && tok_is_digit(h[j]) == d) j++;
+      cur.push_back({h + i, j - i});
+      i = j;
+    }
+    for (size_t i = 0; i < cur.size(); i++) {
+      const TokSpan& t = cur[i];
+      const TokSpan* p = (i < prev.size()) ? &prev[i] : nullptr;
+      if (p && p->len == t.len && memcmp(p->p, t.p, (size_t)t.len) == 0) {
+        if (oo >= out_cap) return -1;
+        out[oo++] = TOK_MATCH;
+        continue;
+      }
+      if (p) {
+        long long tv = tok_numeric_value(t.p, t.len);
+        long long pv = tok_numeric_value(p->p, p->len);
+        if (tv >= 0 && pv >= 0) {
+          char buf[24];
+          int sl = snprintf(buf, sizeof buf, "%lld", tv);
+          bool plain = (sl == (int)t.len &&
+                        memcmp(buf, t.p, (size_t)sl) == 0);
+          bool padded = false;
+          if (!plain && t.len == p->len && sl <= (int)t.len) {
+            // token == str(tv) zero-padded to the field width
+            padded = true;
+            long long pad = t.len - sl;
+            for (long long k = 0; k < pad && padded; k++)
+              if (t.p[k] != '0') padded = false;
+            if (padded && memcmp(buf, t.p + (t.len - sl), (size_t)sl) != 0)
+              padded = false;
+          }
+          if (plain || padded) {
+            if (oo >= out_cap) return -1;
+            out[oo++] = plain ? TOK_DELTA : TOK_DELTA_PAD;
+            if (!tok_write_varint(out, out_cap, oo, tok_zigzag(tv - pv)))
+              return -1;
+            continue;
+          }
+        }
+      }
+      if (oo >= out_cap) return -1;
+      out[oo++] = TOK_LIT;
+      if (!tok_write_varint(out, out_cap, oo, (unsigned long long)t.len))
+        return -1;
+      if (oo + t.len > out_cap) return -1;
+      memcpy(out + oo, t.p, (size_t)t.len);
+      oo += t.len;
+    }
+    if (oo >= out_cap) return -1;
+    out[oo++] = TOK_END;
+    prev.swap(cur);
+  }
+  if (off != n) return -1;  // trailing bytes after last record
+  return oo;
+}
+
+// Decoded (original) stream size from the varint prefix; -1 on error.
+long long fq_tok_decoded_size(const uint8_t* data, long long n) {
+  long long off = 0;
+  unsigned long long v;
+  if (!tok_read_varint(data, n, off, v)) return -1;
+  if (v > (1ULL << 62)) return -1;
+  return (long long)v;
+}
+
+// Decode the tokenized stream back to the u16-length-prefixed original.
+// Returns bytes written (== fq_tok_decoded_size), or -1 on corrupt data.
+long long fq_tok_decode(const uint8_t* data, long long n, long long count,
+                        uint8_t* out, long long out_cap) {
+  long long off = 0;
+  unsigned long long total;
+  if (!tok_read_varint(data, n, off, total)) return -1;
+  // prev tokens point into `out` (already-written bytes are stable)
+  std::vector<TokSpan> prev, cur;
+  prev.reserve(32);
+  cur.reserve(32);
+  long long oo = 0;
+  for (long long rec = 0; rec < count; rec++) {
+    if (oo + 2 > out_cap) return -1;
+    long long len_slot = oo;  // u16 prefix backfilled after the tokens
+    oo += 2;
+    long long hstart = oo;
+    cur.clear();
+    for (;;) {
+      if (off >= n) return -1;
+      uint8_t op = data[off++];
+      if (op == TOK_END) break;
+      size_t i = cur.size();
+      if (op == TOK_MATCH) {
+        if (i >= prev.size()) return -1;
+        const TokSpan& p = prev[i];
+        if (oo + p.len > out_cap) return -1;
+        memcpy(out + oo, p.p, (size_t)p.len);
+        cur.push_back({out + oo, p.len});
+        oo += p.len;
+      } else if (op == TOK_DELTA || op == TOK_DELTA_PAD) {
+        if (i >= prev.size()) return -1;
+        const TokSpan& p = prev[i];
+        long long pv = tok_numeric_value(p.p, p.len);
+        if (pv < 0) return -1;
+        unsigned long long zz;
+        if (!tok_read_varint(data, n, off, zz)) return -1;
+        long long v = pv + tok_unzigzag(zz);
+        if (v < 0) return -1;
+        char buf[24];
+        int sl = snprintf(buf, sizeof buf, "%lld", v);
+        long long tlen = sl;
+        long long pad = 0;
+        if (op == TOK_DELTA_PAD) {
+          if (sl > (int)p.len) return -1;
+          tlen = p.len;
+          pad = p.len - sl;
+        }
+        if (oo + tlen > out_cap) return -1;
+        memset(out + oo, '0', (size_t)pad);
+        memcpy(out + oo + pad, buf, (size_t)sl);
+        cur.push_back({out + oo, tlen});
+        oo += tlen;
+      } else if (op == TOK_LIT) {
+        unsigned long long ln;
+        if (!tok_read_varint(data, n, off, ln)) return -1;
+        if (ln > (unsigned long long)(n - off)) return -1;
+        if (oo + (long long)ln > out_cap) return -1;
+        memcpy(out + oo, data + off, (size_t)ln);
+        cur.push_back({out + oo, (long long)ln});
+        off += (long long)ln;
+        oo += (long long)ln;
+      } else {
+        return -1;
+      }
+    }
+    long long hlen = oo - hstart;
+    if (hlen > 0xFFFF) return -1;
+    out[len_slot] = (uint8_t)(hlen & 0xFF);
+    out[len_slot + 1] = (uint8_t)(hlen >> 8);
+    prev.swap(cur);
+  }
+  if ((unsigned long long)oo != total) return -1;
   return oo;
 }
 
