@@ -52,8 +52,52 @@ def build_argparser() -> argparse.ArgumentParser:
                    dest="wire_format",
                    help="container flavor: zstd (fqpack-compatible v2) or "
                         "native (TPU rANS v3)")
+    p.add_argument("-r", "--records", dest="records", default="",
+                   help="record range START:STOP for the cat subcommand "
+                        "(0-based, half-open; either side may be empty)")
     p.add_argument("positional", nargs="*", default=[])
     return p
+
+
+def _parse_record_range(spec: str) -> tuple[int, int | None]:
+    if not spec:
+        return 0, None
+    head, sep, tail = spec.partition(":")
+    try:
+        start = int(head) if head else 0
+        stop = int(tail) if tail else None
+        if not sep and head:  # bare N means the single record N
+            stop = start + 1
+    except ValueError:
+        raise RuntimeError(f"invalid record range: {spec!r}") from None
+    if start < 0 or (stop is not None and stop < start):
+        raise RuntimeError(f"invalid record range: {spec!r}")
+    return start, stop
+
+
+def _run_bench(bench_args: list[str]) -> int:
+    """`fqpack bench` wraps the repo benchmark entry point (bench.py)."""
+    import runpy
+
+    bench_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "bench.py"
+    )
+    if not os.path.exists(bench_path):
+        print("error: bench.py not found", file=sys.stderr)
+        return 1
+    sys.argv = [bench_path] + bench_args
+    runpy.run_path(bench_path, run_name="__main__")
+    return 0
+
+
+def cat(target: str, records: str, out: BinaryIO) -> int:
+    """Random-access decode of a record sub-range (pipeline/ranges.py)."""
+    from ..pipeline import ranges
+
+    start, stop = _parse_record_range(records)
+    out.write(ranges.read_record_range(target, start, stop))
+    return 0
 
 
 def open_input(path: str, decompress: bool) -> tuple[BinaryIO, Callable[[], None]]:
@@ -135,6 +179,11 @@ def _tpu_available() -> bool:
 
 
 def main(argv: list[str] | None = None) -> int:
+    raw_argv = sys.argv[1:] if argv is None else argv
+    if raw_argv and raw_argv[0] == "bench":
+        # `fqpack bench [...]` forwards everything to the repo bench
+        # entry point; bench owns its own flags (--mb, --metric, ...).
+        return _run_bench(raw_argv[1:])
     parser = build_argparser()
     args = parser.parse_args(argv)
 
@@ -145,17 +194,24 @@ def main(argv: list[str] | None = None) -> int:
         print(f"fqpack version {__version__}")
         return 0
 
-    # introspection subcommands: fqpack info <file> / fqpack check <file>
-    if args.positional and args.positional[0] in ("info", "check"):
-        from . import inspect as fqinspect
-
+    # subcommands: fqpack info|check|cat <file> / fqpack bench [...]
+    if args.positional and args.positional[0] in ("info", "check", "cat"):
+        sub = args.positional[0]
         target = (
             args.positional[1] if len(args.positional) > 1 else args.input
         )
         try:
-            fn = fqinspect.info if args.positional[0] == "info" else fqinspect.check
+            if sub == "cat":
+                out, close_out = open_output(args.output, args.to_stdout)
+                try:
+                    return cat(target, args.records, out)
+                finally:
+                    close_out()
+            from . import inspect as fqinspect
+
+            fn = fqinspect.info if sub == "info" else fqinspect.check
             return fn(target)
-        except (container.FormatError, OSError) as e:
+        except (container.FormatError, ValueError, RuntimeError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
 

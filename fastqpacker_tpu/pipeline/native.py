@@ -214,6 +214,40 @@ def compress_native(
         w.write(hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp))
 
 
+def decode_block_payload(
+    hdr: container.BlockHeader,
+    payload: bytes,
+    codec,
+    qual_offset: int,
+) -> bytes:
+    """Decode one v3 block payload (streams after the header) to FASTQ
+    text, verifying the block CRC32."""
+    sizes = hdr.stream_sizes(container.VERSION_2)
+    if len(payload) < sum(sizes):
+        raise container.FormatError("truncated block payload")
+    parts = []
+    off = 0
+    for size, policy in zip(sizes, STREAM_CODECS):
+        chunk = payload[off : off + size]
+        off += size
+        if policy == "zstd":
+            parts.append(codec.decompress(chunk))
+        else:
+            parts.append(_decode_tagged(chunk, codec, hdr.num_records))
+    if _crc_streams(parts) != hdr.crc32:
+        raise container.FormatError("block CRC32 mismatch: corrupted data")
+    ds = blockcodec.DecodedStreams(
+        seq=np.frombuffer(parts[0], np.uint8),
+        qual=np.frombuffer(parts[1], np.uint8),
+        headers=np.frombuffer(parts[2], np.uint8),
+        plus=np.frombuffer(parts[3], np.uint8),
+        npos=np.frombuffer(parts[4], np.uint8),
+        lengths=np.frombuffer(parts[5], np.uint8),
+        num_records=hdr.num_records,
+    )
+    return blockcodec.streams_to_fastq(ds, qual_offset, wide_npos=True)
+
+
 def decompress_native(
     r: BinaryIO,
     w: BinaryIO,
@@ -226,32 +260,6 @@ def decompress_native(
         hdr = container.read_block_header(r, container.VERSION_3_NATIVE)
         if hdr is None:
             return
-        sizes = hdr.stream_sizes(container.VERSION_2)
-        payload = r.read(sum(sizes))
-        if len(payload) < sum(sizes):
-            raise container.FormatError("truncated block payload")
-        parts = []
-        off = 0
-        for size, policy in zip(sizes, STREAM_CODECS):
-            chunk = payload[off : off + size]
-            off += size
-            if policy == "zstd":
-                parts.append(codec.decompress(chunk))
-            else:
-                parts.append(
-                    _decode_tagged(chunk, codec, hdr.num_records)
-                )
-        if _crc_streams(parts) != hdr.crc32:
-            raise container.FormatError(
-                "block CRC32 mismatch: corrupted data"
-            )
-        ds = blockcodec.DecodedStreams(
-            seq=np.frombuffer(parts[0], np.uint8),
-            qual=np.frombuffer(parts[1], np.uint8),
-            headers=np.frombuffer(parts[2], np.uint8),
-            plus=np.frombuffer(parts[3], np.uint8),
-            npos=np.frombuffer(parts[4], np.uint8),
-            lengths=np.frombuffer(parts[5], np.uint8),
-            num_records=hdr.num_records,
-        )
-        w.write(blockcodec.streams_to_fastq(ds, qual_offset, wide_npos=True))
+        payload_size = sum(hdr.stream_sizes(container.VERSION_2))
+        payload = r.read(payload_size)
+        w.write(decode_block_payload(hdr, payload, codec, qual_offset))
