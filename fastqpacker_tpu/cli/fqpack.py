@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    dest="wire_format",
                    help="container flavor: zstd (fqpack-compatible v2) or "
                         "native (TPU rANS v3)")
+    p.add_argument("--pair", dest="pair", default="",
+                   help="paired-end mate file: on compress, the R2 input "
+                        "(records interleave R1,R2,...; sets FlagPairedEnd); "
+                        "on decompress, the R2 output (-o/-c gets R1)")
     p.add_argument("-r", "--records", dest="records", default="",
                    help="record range START:STOP for the cat subcommand "
                         "(0-based, half-open; either side may be empty)")
@@ -131,6 +135,9 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
     use_device = args.backend == "tpu" or (
         args.backend == "auto" and _tpu_available()
     )
+    if args.pair:
+        _execute_paired(args, inp, out)
+        return
     if args.decompress:
         dopts = api.DecompressOptions(workers=args.workers)
         if use_device:
@@ -165,6 +172,39 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
             block_size=args.block_size, workers=args.workers, version=version
         ),
     )
+
+
+def _execute_paired(args, inp: BinaryIO, out: BinaryIO) -> None:
+    """--pair handling: R1 comes from -i/-o as usual, R2 from --pair."""
+    if args.decompress:
+        try:
+            w2 = open(args.pair, "wb", buffering=BUFFER_SIZE)
+        except OSError as e:
+            raise RuntimeError(f"cannot create output: {e}") from e
+        try:
+            api.decompress_paired(
+                inp, out, w2, api.DecompressOptions(workers=args.workers)
+            )
+        finally:
+            w2.close()
+        return
+    r2, close_r2 = open_input(args.pair, decompress=False)
+    try:
+        version = (
+            container.VERSION_3_NATIVE
+            if args.wire_format == "native"
+            else container.CURRENT_VERSION
+        )
+        api.compress_paired(
+            inp, r2, out,
+            api.Options(
+                block_size=args.block_size,
+                workers=args.workers,
+                version=version,
+            ),
+        )
+    finally:
+        close_r2()
 
 
 def _tpu_available() -> bool:

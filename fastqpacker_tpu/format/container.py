@@ -71,6 +71,10 @@ class FileHeader:
     def phred64(self) -> bool:
         return bool(self.flags & FLAG_PHRED64)
 
+    @property
+    def paired(self) -> bool:
+        return bool(self.flags & FLAG_PAIRED_END)
+
 
 def read_file_header(r: BinaryIO) -> FileHeader:
     """Read and validate a file header (container.go:48-67)."""

@@ -35,6 +35,9 @@ class Options:
     block_size: int = DEFAULT_BLOCK_SIZE
     workers: int = 0  # 0 -> os.cpu_count()
     version: int = container.CURRENT_VERSION
+    # Extra file-header flags OR'd with the detected ones (e.g.
+    # FLAG_PAIRED_END for interleaved mate input, utils/pairing.py).
+    flags: int = 0
 
 
 @dataclass
@@ -84,7 +87,7 @@ def compress(
             first_block.qual, first_block.lengths
         )
 
-    flags = 0
+    flags = opts.flags
     if qual_offset == refops.PHRED64_OFFSET:
         flags |= container.FLAG_PHRED64
     container.FileHeader(
@@ -185,6 +188,70 @@ def decompress(
                 w.write(pending.pop(0).result())
         for fut in pending:
             w.write(fut.result())
+
+
+class _ChainedReader:
+    """Replays already-consumed head bytes, then continues on the stream."""
+
+    def __init__(self, head: bytes, rest: BinaryIO):
+        self._head = head
+        self._rest = rest
+
+    def read(self, n: int = -1) -> bytes:
+        if self._head:
+            if n < 0 or n >= len(self._head):
+                data, self._head = self._head, b""
+                if n < 0 or n > len(data):
+                    rem = self._rest.read(-1 if n < 0 else n - len(data))
+                    return data + rem
+                return data
+            data, self._head = self._head[:n], self._head[n:]
+            return data
+        return self._rest.read(n)
+
+
+def compress_paired(
+    r1: BinaryIO, r2: BinaryIO, w: BinaryIO, opts: Optional[Options] = None
+) -> None:
+    """Compress R1/R2 mate files as one record-interleaved container.
+
+    Sets FLAG_PAIRED_END (container.go:14-17 — defined by the reference
+    format but never produced by its compressor); records interleave
+    R1[0], R2[0], R1[1], ... via :mod:`fastqpacker_tpu.utils.pairing`.
+    """
+    from dataclasses import replace
+
+    from ..utils import pairing
+
+    opts = opts or Options()
+    opts = replace(opts, flags=opts.flags | container.FLAG_PAIRED_END)
+    reader = pairing.InterleavedPairReader(r1, r2)
+    if opts.version == container.VERSION_3_NATIVE:
+        from . import native
+
+        native.compress_native(reader, w, opts)
+    else:
+        compress(reader, w, opts)
+
+
+def decompress_paired(
+    r: BinaryIO,
+    w1: BinaryIO,
+    w2: BinaryIO,
+    opts: Optional[DecompressOptions] = None,
+) -> None:
+    """Split a paired-end container back into R1/R2 mate outputs."""
+    from ..utils import pairing
+
+    head = r.read(container.FILE_HEADER_SIZE)
+    fh = container.parse_file_header(head)
+    if not fh.paired:
+        raise container.FormatError(
+            "container is not paired-end (FlagPairedEnd not set)"
+        )
+    dw = pairing.DeinterleavingWriter(w1, w2)
+    decompress(_ChainedReader(head, r), dw, opts)
+    dw.close()
 
 
 def compress_bytes(data: bytes, opts: Optional[Options] = None) -> bytes:

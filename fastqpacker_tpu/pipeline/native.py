@@ -164,7 +164,7 @@ def compress_native(
         qual_offset = refops.detect_encoding(
             first_block.qual, first_block.lengths
         )
-    flags = (
+    flags = opts.flags | (
         container.FLAG_PHRED64
         if qual_offset == refops.PHRED64_OFFSET
         else 0
