@@ -52,6 +52,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    dest="wire_format",
                    help="container flavor: zstd (fqpack-compatible v2) or "
                         "native (TPU rANS v3)")
+    p.add_argument("--max-ratio", action="store_true", dest="max_ratio",
+                   help="spend more compute on ratio: enables the order-1 "
+                        "context-modeled quality coder (implies "
+                        "--format native)")
     p.add_argument("--pair", dest="pair", default="",
                    help="paired-end mate file: on compress, the R2 input "
                         "(records interleave R1,R2,...; sets FlagPairedEnd); "
@@ -149,29 +153,21 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
         return
     version = (
         container.VERSION_3_NATIVE
-        if args.wire_format == "native"
+        if args.wire_format == "native" or args.max_ratio
         else container.CURRENT_VERSION
+    )
+    opts = api.Options(
+        block_size=args.block_size,
+        workers=args.workers,
+        version=version,
+        order1_qual=args.max_ratio,
     )
     if use_device or version == container.VERSION_3_NATIVE:
         from ..pipeline import device
 
-        device.compress_device(
-            inp,
-            out,
-            api.Options(
-                block_size=args.block_size,
-                workers=args.workers,
-                version=version,
-            ),
-        )
+        device.compress_device(inp, out, opts)
         return
-    api.compress(
-        inp,
-        out,
-        api.Options(
-            block_size=args.block_size, workers=args.workers, version=version
-        ),
-    )
+    api.compress(inp, out, opts)
 
 
 def _execute_paired(args, inp: BinaryIO, out: BinaryIO) -> None:
@@ -192,7 +188,7 @@ def _execute_paired(args, inp: BinaryIO, out: BinaryIO) -> None:
     try:
         version = (
             container.VERSION_3_NATIVE
-            if args.wire_format == "native"
+            if args.wire_format == "native" or args.max_ratio
             else container.CURRENT_VERSION
         )
         api.compress_paired(
@@ -201,6 +197,7 @@ def _execute_paired(args, inp: BinaryIO, out: BinaryIO) -> None:
                 block_size=args.block_size,
                 workers=args.workers,
                 version=version,
+                order1_qual=args.max_ratio,
             ),
         )
     finally:

@@ -38,6 +38,10 @@ class Options:
     # Extra file-header flags OR'd with the detected ones (e.g.
     # FLAG_PAIRED_END for interleaved mate input, utils/pairing.py).
     flags: int = 0
+    # v3 only: allow the order-1 context-modeled quality coder
+    # (ops/qualctx.py) when its estimated size wins. Slower compress,
+    # better ratio (CLI: --max-ratio).
+    order1_qual: bool = False
 
 
 @dataclass

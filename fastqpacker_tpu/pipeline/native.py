@@ -42,6 +42,7 @@ RANS_MIN_BYTES = 16384
 TAG_RANS = 0
 TAG_ZSTD = 1
 TAG_TOK = 2  # header token-delta transform (ops/tokenize.py) + zstd
+TAG_QCTX = 3  # order-1 context-modeled quality rANS (ops/qualctx.py)
 
 
 def _tok_encode(stream: bytes, count: int) -> bytes:
@@ -113,7 +114,9 @@ def _encode_tagged_headers(s: bytes, count: int, codec) -> bytes:
     return bytes([TAG_ZSTD]) + z
 
 
-def _decode_tagged(chunk: bytes, codec, count: int = 0) -> bytes:
+def _decode_tagged(
+    chunk: bytes, codec, count: int = 0, lengths=None
+) -> bytes:
     if len(chunk) == 0:
         raise container.FormatError("truncated block payload")
     tag, payload = chunk[0], chunk[1:]
@@ -126,7 +129,55 @@ def _decode_tagged(chunk: bytes, codec, count: int = 0) -> bytes:
             return _tok_decode(codec.decompress(payload), count)
         except ValueError as e:
             raise container.FormatError(str(e)) from None
+    if tag == TAG_QCTX:
+        from ..ops import qualctx
+
+        if lengths is None:
+            raise container.FormatError(
+                "qctx stream outside the quality slot"
+            )
+        try:
+            return qualctx.decode(payload, lengths)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
     raise container.FormatError(f"unknown stream codec tag: {tag}")
+
+
+def _encode_tagged_qual(
+    s: bytes, lengths: np.ndarray, codec, order1: bool
+) -> bytes:
+    """Quality-stream pick: zstd vs order-0 rANS vs order-1 context
+    model, by estimated-then-verified size.
+
+    The order-1 candidate is always allowed to replace a would-be order-0
+    rANS pick (it is then both smaller and faster to decode on host);
+    with ``order1`` (--max-ratio) it may also replace zstd on estimated
+    size alone — the speed-for-ratio trade the user asked for.
+    """
+    z = codec.compress(s)
+    if len(s) < RANS_MIN_BYTES:
+        return bytes([TAG_ZSTD]) + z
+    r0 = _rans_size_estimate(s)
+    if order1 or r0 < len(z):
+        from ..ops import qualctx
+
+        try:
+            raw, hist = qualctx.prepare(
+                np.frombuffer(s, np.uint8), lengths
+            )
+            est1 = qualctx.estimate_size(hist)
+        except ValueError:
+            est1 = None
+        bar = min(len(z), r0)
+        if est1 is not None and est1 < bar:
+            q = qualctx.encode_prepared(raw, lengths, hist)
+            if len(q) < bar:
+                return bytes([TAG_QCTX]) + q
+    if r0 < len(z):
+        r = rans.encode_stream(s)
+        if len(r) < len(z):
+            return bytes([TAG_RANS]) + r
+    return bytes([TAG_ZSTD]) + z
 
 
 def _crc_streams(ordered: list[bytes]) -> int:
@@ -190,8 +241,13 @@ def compress_native(
         ordered = raw.ordered(container.VERSION_2)
         crc = _crc_streams(ordered)
         comp = []
-        for s, policy in zip(ordered, STREAM_CODECS):
-            if policy == "rans":
+        for i, (s, policy) in enumerate(zip(ordered, STREAM_CODECS)):
+            if i == 1 and policy == "rans":
+                lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
+                comp.append(
+                    _encode_tagged_qual(s, lengths, codec, opts.order1_qual)
+                )
+            elif policy == "rans":
                 comp.append(_encode_tagged(s, codec))
             elif policy == "tok":
                 comp.append(
@@ -225,13 +281,26 @@ def decode_block_payload(
     sizes = hdr.stream_sizes(container.VERSION_2)
     if len(payload) < sum(sizes):
         raise container.FormatError("truncated block payload")
+    offs = [0]
+    for size in sizes:
+        offs.append(offs[-1] + size)
+    chunks = [payload[offs[i] : offs[i + 1]] for i in range(len(sizes))]
+    # lengths (slot 5, plain zstd) decode first: the quality slot's
+    # order-1 codec needs record boundaries
+    lengths_bytes = codec.decompress(chunks[5])
+    if len(lengths_bytes) % 4:
+        raise container.FormatError("truncated sequence length data")
+    lengths = np.frombuffer(lengths_bytes, "<u4").astype(np.int64)
     parts = []
-    off = 0
-    for size, policy in zip(sizes, STREAM_CODECS):
-        chunk = payload[off : off + size]
-        off += size
-        if policy == "zstd":
+    for i, (chunk, policy) in enumerate(zip(chunks, STREAM_CODECS)):
+        if i == 5:
+            parts.append(lengths_bytes)
+        elif policy == "zstd":
             parts.append(codec.decompress(chunk))
+        elif i == 1:
+            parts.append(
+                _decode_tagged(chunk, codec, hdr.num_records, lengths)
+            )
         else:
             parts.append(_decode_tagged(chunk, codec, hdr.num_records))
     if _crc_streams(parts) != hdr.crc32:

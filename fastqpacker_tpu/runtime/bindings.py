@@ -550,3 +550,92 @@ def tok_decode(data: bytes, count: int) -> bytes:
     if n < 0:
         raise ValueError("corrupted tokenized header data")
     return out[:n].tobytes()
+
+
+def _bind_qctx(lib):
+    _u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.fq_qctx_prepare.restype = ctypes.c_int
+    lib.fq_qctx_prepare.argtypes = [_u8p, _ll, _i64p, _ll, _u8p, _i64p]
+    lib.fq_qctx_encode.restype = ctypes.c_int
+    lib.fq_qctx_encode.argtypes = [
+        _u8p, _ll, _i64p, _ll, _u16p, _u32p, _u16p, _u32p, _i64p,
+    ]
+    lib.fq_qctx_decode.restype = ctypes.c_int
+    lib.fq_qctx_decode.argtypes = [
+        _u16p, _i64p, _i64p, _u32p, _ll, _i64p, _ll, _u16p, _u8p,
+    ]
+    lib._qctx_bound = True
+
+
+def _qctx_lib():
+    lib = _load()
+    if lib is not None and not hasattr(lib, "_qctx_bound"):
+        _bind_qctx(lib)
+    return lib
+
+
+def qctx_prepare(delta: np.ndarray, lengths: np.ndarray):
+    """Integrate + context histogram: -> (raw u8[n], hist (384,256) i64)."""
+    from ..ops import qualctx
+
+    lib = _qctx_lib()
+    n = len(delta)
+    raw = np.empty(max(n, 1), np.uint8)
+    hist = np.zeros((qualctx.NUM_CTX, 256), dtype=np.int64)
+    rc = lib.fq_qctx_prepare(
+        _nz_u8(delta), n, _nz_i64(lengths), len(lengths),
+        raw, hist.reshape(-1),
+    )
+    if rc != 0:
+        raise ValueError("qual stream length does not match record lengths")
+    return raw[:n], hist
+
+
+def qctx_encode_chunks(
+    raw: np.ndarray, lengths: np.ndarray,
+    freq: np.ndarray, cum: np.ndarray,
+):
+    """Backward-encode all chunks: -> (states u32[4], word_runs list)."""
+    from ..ops import qualctx
+
+    lib = _qctx_lib()
+    n = len(raw)
+    words = np.empty(max(n, 1), np.uint16)
+    states = np.zeros(qualctx.NUM_CHUNKS, np.uint32)
+    nwords = np.zeros(qualctx.NUM_CHUNKS, np.int64)
+    rc = lib.fq_qctx_encode(
+        _nz_u8(raw), n, _nz_i64(lengths), len(lengths),
+        np.ascontiguousarray(freq.reshape(-1)),
+        np.ascontiguousarray(cum.reshape(-1).astype(np.uint32)),
+        words, states, nwords,
+    )
+    if rc != 0:
+        raise ValueError("invalid qctx frequency table")
+    _, sb = qualctx.chunk_bounds(lengths)
+    runs = [
+        words[sb[k + 1] - int(nwords[k]) : sb[k + 1]].copy()
+        for k in range(qualctx.NUM_CHUNKS)
+    ]
+    return states, runs
+
+
+def qctx_decode(
+    words_cat: np.ndarray, wcounts: np.ndarray, states: np.ndarray,
+    total: int, lengths: np.ndarray, freq: np.ndarray,
+) -> bytes:
+    """Forward-decode to the delta stream; raises on corrupt input."""
+    lib = _qctx_lib()
+    wstarts = np.zeros(len(wcounts), np.int64)
+    np.cumsum(wcounts[:-1], out=wstarts[1:])
+    out = np.empty(max(total, 1), np.uint8)
+    rc = lib.fq_qctx_decode(
+        words_cat if words_cat.size else np.zeros(1, np.uint16),
+        wstarts, np.ascontiguousarray(wcounts.astype(np.int64)),
+        np.ascontiguousarray(states.astype(np.uint32)),
+        total, _nz_i64(lengths), len(lengths),
+        np.ascontiguousarray(freq.reshape(-1)), out,
+    )
+    if rc != 0:
+        raise ValueError("corrupted qctx quality data")
+    return out[:total].tobytes()

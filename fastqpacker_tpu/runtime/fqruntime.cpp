@@ -1001,3 +1001,200 @@ long long fq_tok_decode(const uint8_t* data, long long n, long long count,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Order-1 context-modeled quality rANS (FQZ v3 TAG_QCTX)
+//
+// Semantics are defined by the numpy reference in ops/qualctx.py (context
+// layout, chunk balancing, table normalization all happen there / in
+// Python); this is the production walk: one sequential pass integrates
+// the delta stream and builds the (384, 256) context histogram, a second
+// backward pass encodes with reciprocal-multiplication division
+// (Granlund-Montgomery round-up method, exact for 32-bit dividends), and
+// the decoder walks forward with per-context 4096-slot tables.
+// rANS conventions match ops/rans.py: 32-bit state, 16-bit renorm words,
+// 12-bit probabilities, L = 1<<16.
+
+namespace {
+
+constexpr int QCTX_QBINS = 48;
+constexpr int QCTX_PBUCKETS = 8;
+constexpr int QCTX_NCTX = QCTX_QBINS * QCTX_PBUCKETS;  // 384
+constexpr int QCTX_CHUNKS = 4;
+constexpr int QCTX_PROB_BITS = 12;
+constexpr uint32_t QCTX_SCALE = 1u << QCTX_PROB_BITS;
+constexpr uint32_t QCTX_L = 1u << 16;
+
+inline int qctx_ctx(long long p, int prev) {
+  int qbin = (p == 0) ? (QCTX_QBINS - 1) : (prev < 46 ? prev : 46);
+  long long pb = p >> 4;
+  if (pb > QCTX_PBUCKETS - 1) pb = QCTX_PBUCKETS - 1;
+  return (int)pb * QCTX_QBINS + qbin;
+}
+
+// Record/symbol chunk bounds; must match ops/qualctx.py chunk_bounds.
+inline void qctx_chunks(const long long* lengths, long long nrec,
+                        long long* rb, long long* sb) {
+  long long total = 0;
+  for (long long r = 0; r < nrec; r++) total += lengths[r];
+  rb[0] = 0;
+  sb[0] = 0;
+  long long csum = 0, r = 0;
+  for (int k = 1; k < QCTX_CHUNKS; k++) {
+    long long target = total * k / QCTX_CHUNKS;
+    long long b;
+    if (total == 0) {
+      b = 0;
+    } else {
+      // first record index whose cumulative sum >= target, then +1
+      while (r < nrec && csum + lengths[r] < target) csum += lengths[r++];
+      b = (r < nrec) ? r + 1 : nrec;
+    }
+    if (b < rb[k - 1]) b = rb[k - 1];
+    if (b > nrec) b = nrec;
+    rb[k] = b;
+  }
+  rb[QCTX_CHUNKS] = nrec;
+  // symbol bounds from record bounds
+  long long cs = 0, rr = 0;
+  for (int k = 1; k <= QCTX_CHUNKS; k++) {
+    while (rr < rb[k]) cs += lengths[rr++];
+    sb[k] = cs;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1: integrate delta -> raw, build (384, 256) histogram.
+// Returns 0, or -1 if sum(lengths) != n.
+int fq_qctx_prepare(const uint8_t* delta, long long n,
+                    const long long* lengths, long long nrec,
+                    uint8_t* raw, long long* hist) {
+  memset(hist, 0, sizeof(long long) * (size_t)QCTX_NCTX * 256);
+  long long j = 0;
+  for (long long r = 0; r < nrec; r++) {
+    long long L = lengths[r];
+    if (L < 0 || j + L > n) return -1;
+    uint8_t q = 0;
+    int prev = 0;
+    for (long long p = 0; p < L; p++, j++) {
+      q = (uint8_t)(q + delta[j]);
+      raw[j] = q;
+      hist[(size_t)qctx_ctx(p, prev) * 256 + q]++;
+      prev = q;
+    }
+  }
+  return (j == n) ? 0 : -1;
+}
+
+// Pass 2: backward rANS encode of every chunk.
+// words has capacity n; chunk k's words end up at
+// words[sb[k+1]-nwords[k] .. sb[k+1]) in forward (decoder) order.
+// Returns 0, or -1 on invalid tables (freq==0 for a present symbol).
+int fq_qctx_encode(const uint8_t* raw, long long n, const long long* lengths,
+                   long long nrec, const uint16_t* freq, const uint32_t* cum,
+                   uint16_t* words, uint32_t* states, long long* nwords) {
+  // Reciprocal tables for the used (ctx, sym) entries: exact
+  // floor(x / f) = (x * M) >> (32 + s) with s = ceil_log2(f),
+  // M = ceil(2^(32+s) / f)  (x < 2^32, f <= 4096).
+  std::vector<uint64_t> M((size_t)QCTX_NCTX * 256, 0);
+  std::vector<uint8_t> SH((size_t)QCTX_NCTX * 256, 0);
+  for (size_t i = 0; i < (size_t)QCTX_NCTX * 256; i++) {
+    uint32_t f = freq[i];
+    if (!f) continue;
+    int s = 0;
+    while ((1u << s) < f) s++;
+    unsigned __int128 num = ((unsigned __int128)1) << (32 + s);
+    M[i] = (uint64_t)((num + f - 1) / f);
+    SH[i] = (uint8_t)(32 + s);
+  }
+
+  long long rb[QCTX_CHUNKS + 1], sb[QCTX_CHUNKS + 1];
+  qctx_chunks(lengths, nrec, rb, sb);
+
+  for (int k = 0; k < QCTX_CHUNKS; k++) {
+    uint32_t x = QCTX_L;
+    long long wpos = sb[k + 1];
+    long long j = sb[k + 1];
+    for (long long r = rb[k + 1] - 1; r >= rb[k]; r--) {
+      long long L = lengths[r];
+      for (long long p = L - 1; p >= 0; p--) {
+        j--;
+        int prev = (p > 0) ? raw[j - 1] : 0;
+        size_t e = (size_t)qctx_ctx(p, prev) * 256 + raw[j];
+        uint32_t f = freq[e];
+        if (!f) return -1;
+        if ((x >> 20) >= f) {
+          words[--wpos] = (uint16_t)(x & 0xFFFF);
+          x >>= 16;
+        }
+        uint32_t q = (uint32_t)(((unsigned __int128)x * M[e]) >> SH[e]);
+        x = (q << QCTX_PROB_BITS) + (x - q * f) + cum[e];
+      }
+    }
+    states[k] = x;
+    nwords[k] = sb[k + 1] - wpos;
+  }
+  return 0;
+}
+
+// Forward decode: words runs are concatenated per chunk (wstarts[k] is
+// chunk k's first word index, nwords[k] its count). Emits the *delta*
+// stream directly. Returns 0, or a negative error on corrupt input.
+int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
+                   const long long* nwords, const uint32_t* states,
+                   long long n, const long long* lengths, long long nrec,
+                   const uint16_t* freq, uint8_t* delta_out) {
+  // slot -> symbol tables and cumulative freqs for used contexts
+  std::vector<uint8_t> slot((size_t)QCTX_NCTX * QCTX_SCALE, 0);
+  std::vector<uint32_t> cum((size_t)QCTX_NCTX * 256, 0);
+  for (int c = 0; c < QCTX_NCTX; c++) {
+    uint32_t acc = 0;
+    uint8_t* sl = slot.data() + (size_t)c * QCTX_SCALE;
+    for (int s = 0; s < 256; s++) {
+      uint32_t f = freq[(size_t)c * 256 + s];
+      cum[(size_t)c * 256 + s] = acc;
+      if (acc + f > QCTX_SCALE) return -4;
+      for (uint32_t i = 0; i < f; i++) sl[acc + i] = (uint8_t)s;
+      acc += f;
+    }
+  }
+
+  long long rb[QCTX_CHUNKS + 1], sb[QCTX_CHUNKS + 1];
+  qctx_chunks(lengths, nrec, rb, sb);
+
+  long long total = 0;
+  for (long long r = 0; r < nrec; r++) total += lengths[r];
+  if (total != n) return -1;
+
+  for (int k = 0; k < QCTX_CHUNKS; k++) {
+    uint32_t x = states[k];
+    long long wi = wstarts[k];
+    long long wend = wi + nwords[k];
+    long long j = sb[k];
+    for (long long r = rb[k]; r < rb[k + 1]; r++) {
+      long long L = lengths[r];
+      int prev = 0;
+      for (long long p = 0; p < L; p++, j++) {
+        size_t cbase = (size_t)qctx_ctx(p, prev) * 256;
+        uint32_t sl = x & (QCTX_SCALE - 1);
+        uint8_t s = slot[(cbase / 256) * QCTX_SCALE + sl];
+        uint32_t f = freq[cbase + s];
+        if (!f) return -5;
+        x = f * (x >> QCTX_PROB_BITS) + sl - cum[cbase + s];
+        if (x < QCTX_L) {
+          if (wi >= wend) return -2;
+          x = (x << 16) | words[wi++];
+        }
+        delta_out[j] = (uint8_t)(s - prev * (p > 0 ? 1 : 0));
+        prev = s;
+      }
+    }
+    if (wi != wend) return -3;
+  }
+  return 0;
+}
+
+}  // extern "C"
