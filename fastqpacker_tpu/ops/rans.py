@@ -363,6 +363,30 @@ def _pick_lanes(n: int) -> int:
     return 4096 if n >= (2 << 20) else 256
 
 
+def _use_host_backend() -> bool:
+    """Route stream coding to the sequential C++ twin when it will win.
+
+    The XLA lane coder is the TPU path; run on host CPU it de-vectorizes
+    catastrophically (~5 MB/s decode, PERFORMANCE.md E017). The C++
+    backend produces byte-identical streams, so the choice is purely a
+    speed decision. ``FQZ_RANS_BACKEND=host|device`` overrides.
+    """
+    import os
+
+    force = os.environ.get("FQZ_RANS_BACKEND", "").lower()
+    from ..runtime import bindings
+
+    if force in ("host", "cpu", "native"):
+        return bindings.available()
+    if force in ("device", "tpu", "xla"):
+        return False
+    if not bindings.available():
+        return False
+    from ..pipeline import auto
+
+    return not auto.device_worthwhile()
+
+
 def _pick_smax(steps: int) -> int:
     s = 4096
     while s < steps:
@@ -400,19 +424,29 @@ def encode_stream(data: bytes | np.ndarray, lanes: int | None = None) -> bytes:
     freq = normalize_freqs(hist)
     cum = cumulative(freq)
 
-    mat = np.full(steps * N, pad_sym, dtype=np.uint8)
-    mat[:n] = raw
-    padded = np.zeros((S, N), dtype=np.uint8)
-    padded[:steps] = mat.reshape(steps, N)
+    if _use_host_backend():
+        from ..runtime import bindings
 
-    freq_cum = np.stack([freq.astype(np.uint32), cum.astype(np.uint32)])
-    emits, emask, states = _encode_kernel(
-        jnp.asarray(padded), jnp.int32(steps), jnp.asarray(freq_cum), S, N
-    )
-    flat, total = _compact_global(emits, emask, S, N)
-    total_h = int(np.asarray(total))
-    words_h = np.asarray(flat[:total_h]) if total_h else np.zeros(0, np.uint16)
-    states_h = np.asarray(states)
+        words_h, states_h = bindings.rans_encode_kernel(
+            raw, N, pad_sym, freq, cum
+        )
+        total_h = len(words_h)
+    else:
+        mat = np.full(steps * N, pad_sym, dtype=np.uint8)
+        mat[:n] = raw
+        padded = np.zeros((S, N), dtype=np.uint8)
+        padded[:steps] = mat.reshape(steps, N)
+
+        freq_cum = np.stack([freq.astype(np.uint32), cum.astype(np.uint32)])
+        emits, emask, states = _encode_kernel(
+            jnp.asarray(padded), jnp.int32(steps), jnp.asarray(freq_cum), S, N
+        )
+        flat, total = _compact_global(emits, emask, S, N)
+        total_h = int(np.asarray(total))
+        words_h = (
+            np.asarray(flat[:total_h]) if total_h else np.zeros(0, np.uint16)
+        )
+        states_h = np.asarray(states)
 
     out = bytearray()
     out += struct.pack(HEADER_FMT, n, N.bit_length() - 1)
@@ -454,6 +488,21 @@ def decode_stream(payload: bytes | np.ndarray) -> bytes:
 
     if int(freq.astype(np.int64).sum()) != PROB_SCALE:
         raise RansError("invalid rANS frequency table")
+
+    if _use_host_backend():
+        from ..runtime import bindings
+
+        try:
+            out = bindings.rans_decode_kernel(
+                np.ascontiguousarray(words_cat),
+                np.ascontiguousarray(states),
+                N,
+                freq,
+                raw_len,
+            )
+        except ValueError as e:
+            raise RansError(str(e)) from None
+        return out.tobytes()
 
     w_pad = _pow2ceil(total_words + N, 2 * N)
     words = np.zeros(w_pad, dtype=np.uint16)

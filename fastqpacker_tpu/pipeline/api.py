@@ -70,6 +70,13 @@ def compress(
 ) -> None:
     """Compress FASTQ from ``r`` into an FQZ container on ``w``."""
     opts = opts or Options()
+    if opts.version == container.VERSION_3_NATIVE:
+        # v3 streams carry per-stream codec tags; only the native
+        # pipeline writes them (untagged v3 output would not decode).
+        from . import native
+
+        native.compress_native(r, w, opts)
+        return
     if encode_arrays is None:
         encode_arrays = _default_encode_arrays()
     block_size = opts.block_size or DEFAULT_BLOCK_SIZE

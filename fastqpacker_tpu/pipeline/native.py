@@ -232,9 +232,10 @@ def compress_native(
         yield first_block
         yield from block_iter
 
-    codec = zstd_entropy.get_codec()
     encode_arrays = api._default_encode_arrays()
-    for blk in all_blocks():
+
+    def encode_one(blk: RecordBlock) -> bytes:
+        codec = zstd_entropy.get_codec()
         raw = blockcodec.block_to_raw_streams(
             blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
         )
@@ -267,7 +268,27 @@ def compress_native(
             original_qual_size=raw.original_qual_size,
             crc32=crc,
         )
-        w.write(hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp))
+        return hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp)
+
+    workers = api._resolve_workers(opts.workers)
+    if workers <= 1:
+        for blk in all_blocks():
+            w.write(encode_one(blk))
+        return
+
+    # Same bounded in-flight window as api.compress: ordered output,
+    # capped memory (the reference's buffered channels, compress.go:241).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        max_inflight = workers * 2
+        for blk in all_blocks():
+            pending.append(pool.submit(encode_one, blk))
+            while len(pending) >= max_inflight:
+                w.write(pending.pop(0).result())
+        for fut in pending:
+            w.write(fut.result())
 
 
 def decode_block_payload(
@@ -324,11 +345,33 @@ def decompress_native(
     qual_offset: int,
     workers: int,
 ) -> None:
-    codec = zstd_entropy.get_codec()
-    while True:
-        hdr = container.read_block_header(r, container.VERSION_3_NATIVE)
-        if hdr is None:
-            return
-        payload_size = sum(hdr.stream_sizes(container.VERSION_2))
-        payload = r.read(payload_size)
-        w.write(decode_block_payload(hdr, payload, codec, qual_offset))
+    def read_jobs():
+        while True:
+            hdr = container.read_block_header(r, container.VERSION_3_NATIVE)
+            if hdr is None:
+                return
+            payload_size = sum(hdr.stream_sizes(container.VERSION_2))
+            payload = r.read(payload_size)
+            yield hdr, payload
+
+    def decode_one(job) -> bytes:
+        hdr, payload = job
+        codec = zstd_entropy.get_codec()
+        return decode_block_payload(hdr, payload, codec, qual_offset)
+
+    if workers <= 1:
+        for job in read_jobs():
+            w.write(decode_one(job))
+        return
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        max_inflight = workers * 2
+        for job in read_jobs():
+            pending.append(pool.submit(decode_one, job))
+            while len(pending) >= max_inflight:
+                w.write(pending.pop(0).result())
+        for fut in pending:
+            w.write(fut.result())

@@ -639,3 +639,67 @@ def qctx_decode(
     if rc != 0:
         raise ValueError("corrupted qctx quality data")
     return out[:total].tobytes()
+
+
+def _bind_rans(lib):
+    _u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.fq_rans_encode.restype = _ll
+    lib.fq_rans_encode.argtypes = [
+        _u8p, _ll, ctypes.c_int, ctypes.c_int, _u16p, _u32p, _u16p, _u32p,
+    ]
+    lib.fq_rans_decode.restype = ctypes.c_int
+    lib.fq_rans_decode.argtypes = [
+        _u16p, _ll, _u32p, ctypes.c_int, _u16p, _ll, _u8p,
+    ]
+    lib._rans_bound = True
+
+
+def _rans_lib():
+    lib = _load()
+    if lib is not None and not hasattr(lib, "_rans_bound"):
+        _bind_rans(lib)
+    return lib
+
+
+def rans_encode_kernel(
+    raw: np.ndarray, lanes: int, pad_sym: int,
+    freq: np.ndarray, cum: np.ndarray,
+):
+    """Sequential host twin of ops/rans.py's XLA encode kernels.
+
+    Returns (words u16[total] in global (step, lane) order, states u32[N]);
+    byte-identical to the device path for the same table.
+    """
+    lib = _rans_lib()
+    n = len(raw)
+    steps = -(-n // lanes)
+    words = np.empty(max(steps * lanes, 1), np.uint16)
+    states = np.zeros(lanes, np.uint32)
+    total = lib.fq_rans_encode(
+        _nz_u8(np.ascontiguousarray(raw)), n, lanes, pad_sym,
+        np.ascontiguousarray(freq.astype(np.uint16)),
+        np.ascontiguousarray(cum.astype(np.uint32)),
+        words, states,
+    )
+    if total < 0:
+        raise ValueError("invalid rANS frequency table")
+    return words[:total], states
+
+
+def rans_decode_kernel(
+    words: np.ndarray, states: np.ndarray, lanes: int,
+    freq: np.ndarray, raw_len: int,
+) -> np.ndarray:
+    """Sequential host rANS decode; raises ValueError on corrupt input."""
+    lib = _rans_lib()
+    out = np.empty(max(raw_len, 1), np.uint8)
+    rc = lib.fq_rans_decode(
+        words if words.size else np.zeros(1, np.uint16),
+        len(words),
+        np.ascontiguousarray(states.astype(np.uint32)), lanes,
+        np.ascontiguousarray(freq.astype(np.uint16)), raw_len, out,
+    )
+    if rc != 0:
+        raise ValueError("corrupted rANS stream data")
+    return out[:raw_len]

@@ -1198,3 +1198,113 @@ int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Order-0 interleaved-lane rANS (FQZ v3 TAG_RANS streams), host backend.
+//
+// Wire semantics are defined by ops/rans.py (the XLA lane coder): N lanes,
+// lane l codes symbols l, l+N, l+2N, ...; 32-bit state, 16-bit renorm
+// words, 12-bit probabilities; encode walks backward, words land in global
+// (step, lane) order — exactly the forward decoder's consumption order, so
+// this sequential decoder advances one pointer through the word stream.
+// Both directions are byte-identical to the XLA kernels (tested), letting
+// host and device backends read each other's containers.
+
+extern "C" {
+
+// Backward encode of all lanes. `words` capacity ceil(n/N)*N; N must be a
+// power of two; `pad_sym` fills the final partial row (included in `freq`).
+// Returns total emitted words, or -1 if a present symbol has freq 0.
+long long fq_rans_encode(const uint8_t* data, long long n, int N, int pad_sym,
+                         const uint16_t* freq, const uint32_t* cum,
+                         uint16_t* words, uint32_t* states) {
+  long long steps = (n + N - 1) / N;
+  long long total_slots = steps * (long long)N;
+  // Reciprocal division (Granlund-Montgomery round-up, exact for u32):
+  // floor(x / f) = (x * M[s]) >> SH[s].
+  uint64_t M[256];
+  uint8_t SH[256];
+  for (int s = 0; s < 256; s++) {
+    uint32_t f = freq[s];
+    if (!f) { M[s] = 0; SH[s] = 0; continue; }
+    int sh = 0;
+    while ((1u << sh) < f) sh++;
+    unsigned __int128 num = ((unsigned __int128)1) << (32 + sh);
+    M[s] = (uint64_t)((num + f - 1) / f);
+    SH[s] = (uint8_t)(32 + sh);
+  }
+  // The backward walk visits slots in descending global (step, lane)
+  // order, so filling `words` from the end leaves the emitted words in
+  // exactly the forward (decoder) order — no emit matrix, no compaction.
+  std::vector<uint32_t> x((size_t)N, 1u << 16);
+  long long wpos = total_slots;
+  for (long long idx = total_slots - 1; idx >= n; idx--) {
+    int l = (int)(idx & (long long)(N - 1));
+    uint8_t s = (uint8_t)pad_sym;
+    uint32_t f = freq[s];
+    if (!f) return -1;
+    uint32_t xs = x[l];
+    if ((xs >> 20) >= f) {
+      words[--wpos] = (uint16_t)(xs & 0xFFFF);
+      xs >>= 16;
+    }
+    uint32_t q = (uint32_t)(((unsigned __int128)xs * M[s]) >> SH[s]);
+    x[l] = (q << 12) + (xs - q * f) + cum[s];
+  }
+  for (long long idx = n - 1; idx >= 0; idx--) {
+    int l = (int)(idx & (long long)(N - 1));
+    uint8_t s = data[idx];
+    uint32_t f = freq[s];
+    if (!f) return -1;
+    uint32_t xs = x[l];
+    if ((xs >> 20) >= f) {
+      words[--wpos] = (uint16_t)(xs & 0xFFFF);
+      xs >>= 16;
+    }
+    uint32_t q = (uint32_t)(((unsigned __int128)xs * M[s]) >> SH[s]);
+    x[l] = (q << 12) + (xs - q * f) + cum[s];
+  }
+  long long total = total_slots - wpos;
+  if (wpos > 0) memmove(words, words + wpos, sizeof(uint16_t) * (size_t)total);
+  memcpy(states, x.data(), sizeof(uint32_t) * (size_t)N);
+  return total;
+}
+
+// Forward decode. `states_in` are the encoder's final states. Writes
+// raw_len bytes to `out`. Returns 0, or a negative error on corrupt input.
+int fq_rans_decode(const uint16_t* words, long long total_words,
+                   const uint32_t* states_in, int N, const uint16_t* freq,
+                   long long raw_len, uint8_t* out) {
+  long long steps = (raw_len + N - 1) / N;
+  uint8_t slot_sym[4096];
+  uint32_t cum[256];
+  uint32_t acc = 0;
+  for (int s = 0; s < 256; s++) {
+    cum[s] = acc;
+    uint32_t f = freq[s];
+    if (acc + f > 4096u) return -4;
+    for (uint32_t i = 0; i < f; i++) slot_sym[acc + i] = (uint8_t)s;
+    acc += f;
+  }
+  if (acc != 4096u) return -4;
+  std::vector<uint32_t> x(states_in, states_in + N);
+  long long wi = 0;
+  long long total_slots = steps * (long long)N;
+  for (long long idx = 0; idx < total_slots; idx++) {
+    int l = (int)(idx & (long long)(N - 1));
+    uint32_t xs = x[l];
+    uint32_t sl = xs & 4095u;
+    uint8_t s = slot_sym[sl];
+    xs = (uint32_t)freq[s] * (xs >> 12) + sl - cum[s];
+    if (xs < (1u << 16)) {
+      if (wi >= total_words) return -2;
+      xs = (xs << 16) | words[wi++];
+    }
+    x[l] = xs;
+    if (idx < raw_len) out[idx] = s;
+  }
+  if (wi != total_words) return -3;
+  return 0;
+}
+
+}  // extern "C"

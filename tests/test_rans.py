@@ -140,3 +140,55 @@ def test_monotonic_gather_matches_take():
                 _monotonic_gather(jnp.asarray(chunk), jnp.asarray(rank.astype(np.int32)), n)
             )
             np.testing.assert_array_equal(got, chunk[rank])
+
+
+# ---------------------------------------------------------------------------
+# Host (C++) vs device (XLA) backend equivalence: the two coders must be
+# byte-identical in both directions so containers written by either
+# backend decode on the other (PERFORMANCE.md E018).
+# ---------------------------------------------------------------------------
+
+
+def _cases():
+    rng = np.random.default_rng(7)
+    yield b"A"
+    yield b"\x00" * 5000
+    yield bytes(range(256)) * 20
+    yield rng.integers(0, 256, 100_000).astype(np.uint8).tobytes()
+    yield rng.integers(0, 8, 4097).astype(np.uint8).tobytes()
+
+
+@pytest.fixture
+def _native_runtime():
+    from fastqpacker_tpu.runtime import bindings
+
+    if not bindings.available():
+        pytest.skip("native runtime unavailable")
+
+
+def test_backend_byte_identity(monkeypatch, _native_runtime):
+    for data in _cases():
+        monkeypatch.setenv("FQZ_RANS_BACKEND", "device")
+        enc_dev = rans.encode_stream(data)
+        monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
+        enc_host = rans.encode_stream(data)
+        assert enc_host == enc_dev
+
+
+def test_backend_cross_decode(monkeypatch, _native_runtime):
+    for data in _cases():
+        monkeypatch.setenv("FQZ_RANS_BACKEND", "device")
+        enc = rans.encode_stream(data)
+        monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
+        assert rans.decode_stream(enc) == data
+        enc2 = rans.encode_stream(data)
+        monkeypatch.setenv("FQZ_RANS_BACKEND", "device")
+        assert rans.decode_stream(enc2) == data
+
+
+def test_host_backend_corrupt_words_rejected(monkeypatch, _native_runtime):
+    monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
+    enc = bytearray(rans.encode_stream(b"host backend corruption" * 200))
+    # truncate the word payload but keep the header/total intact
+    with pytest.raises(rans.RansError, match="truncated"):
+        rans.decode_stream(bytes(enc[:-7]))
