@@ -216,6 +216,19 @@ def _tpu_available() -> bool:
 
 
 def main(argv: list[str] | None = None) -> int:
+    try:
+        return _main(argv)
+    except BrokenPipeError:
+        # stdout consumer went away (e.g. `fqpack info | head`): exit
+        # silently with the conventional 128+SIGPIPE status.
+        try:
+            sys.stderr.close()
+        except OSError:
+            pass
+        return 141
+
+
+def _main(argv: list[str] | None = None) -> int:
     raw_argv = sys.argv[1:] if argv is None else argv
     if raw_argv and raw_argv[0] == "bench":
         # `fqpack bench [...]` forwards everything to the repo bench
@@ -248,6 +261,8 @@ def main(argv: list[str] | None = None) -> int:
 
             fn = fqinspect.info if sub == "info" else fqinspect.check
             return fn(target)
+        except BrokenPipeError:
+            raise
         except (container.FormatError, ValueError, RuntimeError, OSError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 1
@@ -272,6 +287,8 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         execute(args, inp, out)
+    except BrokenPipeError:
+        raise
     except (container.FormatError, FastqParseError, ValueError,
             RuntimeError, OSError) as e:
         print(f"error: {e}", file=sys.stderr)

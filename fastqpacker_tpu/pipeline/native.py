@@ -30,10 +30,10 @@ from . import api
 from . import blocks as blockcodec
 
 # Per-stream codec policy in v2+ wire order (seq, qual, headers, plus,
-# npos, lengths): "rans" streams carry a 1-byte tag choosing rANS or zstd
-# empirically; "tok" streams choose token-delta+zstd or plain zstd; "zstd"
-# streams are untagged zstd.
-STREAM_CODECS = ("rans", "rans", "tok", "zstd", "zstd", "zstd")
+# npos, lengths): "seq"/"rans" streams carry a 1-byte tag choosing their
+# codec empirically; "tok" streams choose token-delta+zstd or plain zstd;
+# "zstd" streams are untagged zstd.
+STREAM_CODECS = ("seq", "rans", "tok", "zstd", "zstd", "zstd")
 
 # Below this size the rANS per-stream overhead (lane state table + freq
 # table, ~1.5 KB at 256 lanes) dominates; fall back to zstd. Each
@@ -43,6 +43,7 @@ TAG_RANS = 0
 TAG_ZSTD = 1
 TAG_TOK = 2  # header token-delta transform (ops/tokenize.py) + zstd
 TAG_QCTX = 3  # order-1 context-modeled quality rANS (ops/qualctx.py)
+TAG_SCTX = 4  # order-k context-modeled sequence rANS (ops/seqctx.py)
 
 
 def _tok_encode(stream: bytes, count: int) -> bytes:
@@ -96,6 +97,39 @@ def _encode_tagged(s: bytes, codec) -> bytes:
     return bytes([TAG_ZSTD]) + z
 
 
+def _encode_tagged_seq(s: bytes, lengths: np.ndarray, codec) -> bytes:
+    """Sequence-stream pick: zstd vs order-0 rANS vs order-k context
+    model over the unpacked bases, by estimated-then-verified size.
+
+    The 2-bit pack makes packed bytes near-uniform, so the order-0
+    candidates floor at ~2 bits/base; the context model is the only one
+    that can go below on real (correlated) DNA. Its histogram pass is
+    one cheap sweep, so it is always estimated; the coder only runs
+    when the estimate beats the measured/estimated competition.
+    """
+    z = codec.compress(s)
+    if len(s) < RANS_MIN_BYTES:
+        return bytes([TAG_ZSTD]) + z
+    r0 = _rans_size_estimate(s)
+    bar = min(len(z), r0)
+    from ..ops import seqctx
+
+    try:
+        bases, hist6 = seqctx.prepare(np.frombuffer(s, np.uint8), lengths)
+        _, est_s = seqctx.pick_order(hist6)
+    except ValueError:
+        est_s = None
+    if est_s is not None and est_s < bar:
+        q = seqctx.encode_prepared(bases, lengths, hist6)
+        if len(q) < bar:
+            return bytes([TAG_SCTX]) + q
+    if r0 < len(z):
+        r = rans.encode_stream(s)
+        if len(r) < len(z):
+            return bytes([TAG_RANS]) + r
+    return bytes([TAG_ZSTD]) + z
+
+
 def _encode_tagged_headers(s: bytes, count: int, codec) -> bytes:
     """Header stream pick: token-delta transform vs raw, both zstd-coded.
 
@@ -138,6 +172,17 @@ def _decode_tagged(
             )
         try:
             return qualctx.decode(payload, lengths)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
+    if tag == TAG_SCTX:
+        from ..ops import seqctx
+
+        if lengths is None:
+            raise container.FormatError(
+                "sctx stream outside the sequence slot"
+            )
+        try:
+            return seqctx.decode(payload, lengths)
         except ValueError as e:
             raise container.FormatError(str(e)) from None
     raise container.FormatError(f"unknown stream codec tag: {tag}")
@@ -248,6 +293,9 @@ def compress_native(
                 comp.append(
                     _encode_tagged_qual(s, lengths, codec, opts.order1_qual)
                 )
+            elif policy == "seq":
+                lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
+                comp.append(_encode_tagged_seq(s, lengths, codec))
             elif policy == "rans":
                 comp.append(_encode_tagged(s, codec))
             elif policy == "tok":
@@ -318,7 +366,8 @@ def decode_block_payload(
             parts.append(lengths_bytes)
         elif policy == "zstd":
             parts.append(codec.decompress(chunk))
-        elif i == 1:
+        elif i in (0, 1):
+            # seq and qual context codecs need record boundaries
             parts.append(
                 _decode_tagged(chunk, codec, hdr.num_records, lengths)
             )

@@ -703,3 +703,109 @@ def rans_decode_kernel(
     if rc != 0:
         raise ValueError("corrupted rANS stream data")
     return out[:raw_len]
+
+
+def _bind_sctx(lib):
+    _u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.fq_sctx_prepare.restype = ctypes.c_int
+    lib.fq_sctx_prepare.argtypes = [_u8p, _ll, _i64p, _ll, _u8p, _i64p]
+    lib.fq_sctx_encode.restype = ctypes.c_int
+    lib.fq_sctx_encode.argtypes = [
+        _u8p, _ll, _i64p, _ll, ctypes.c_int, _u16p, _u32p, _u16p, _u32p,
+        _i64p,
+    ]
+    lib.fq_sctx_decode.restype = ctypes.c_int
+    lib.fq_sctx_decode.argtypes = [
+        _u16p, _i64p, _i64p, _u32p, _ll, _i64p, _ll, ctypes.c_int, _u16p,
+        _u8p, _ll,
+    ]
+    lib._sctx_bound = True
+
+
+def _sctx_lib():
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_sctx_bound"):
+        try:
+            _bind_sctx(lib)
+        except AttributeError:
+            return None
+    return lib
+
+
+def sctx_available() -> bool:
+    return _sctx_lib() is not None
+
+
+def sctx_prepare(packed: np.ndarray, lengths: np.ndarray):
+    """Unpack + max-order context histogram: -> (bases u8[n], hist
+    (4**6, 4) i64)."""
+    from ..ops import seqctx
+
+    lib = _sctx_lib()
+    n = int(lengths.sum())
+    bases = np.empty(max(n, 1), np.uint8)
+    hist = np.zeros((4**seqctx.MAX_ORDER, 4), dtype=np.int64)
+    rc = lib.fq_sctx_prepare(
+        _nz_u8(np.ascontiguousarray(packed)), len(packed),
+        _nz_i64(lengths), len(lengths), bases, hist.reshape(-1),
+    )
+    if rc != 0:
+        raise ValueError("packed sequence data does not match lengths")
+    return bases[:n], hist
+
+
+def sctx_encode_chunks(
+    bases: np.ndarray, lengths: np.ndarray, order: int,
+    freq: np.ndarray, cum: np.ndarray,
+):
+    """Backward-encode all chunks: -> (states u32[4], word run list)."""
+    from ..ops import seqctx
+    from ..ops.qualctx import chunk_bounds
+
+    lib = _sctx_lib()
+    n = len(bases)
+    words = np.empty(max(n, 1), np.uint16)
+    states = np.zeros(seqctx.NUM_CHUNKS, np.uint32)
+    nwords = np.zeros(seqctx.NUM_CHUNKS, np.int64)
+    rc = lib.fq_sctx_encode(
+        _nz_u8(bases), n, _nz_i64(lengths), len(lengths), order,
+        np.ascontiguousarray(freq.reshape(-1).astype(np.uint16)),
+        np.ascontiguousarray(cum.reshape(-1).astype(np.uint32)),
+        words, states, nwords,
+    )
+    if rc != 0:
+        raise ValueError("invalid sctx frequency table")
+    _, sb = chunk_bounds(lengths, seqctx.NUM_CHUNKS)
+    runs = [
+        words[sb[k + 1] - int(nwords[k]) : sb[k + 1]].copy()
+        for k in range(seqctx.NUM_CHUNKS)
+    ]
+    return states, runs
+
+
+def sctx_decode(
+    words_cat: np.ndarray, wcounts: np.ndarray, states: np.ndarray,
+    total: int, lengths: np.ndarray, order: int, freq: np.ndarray,
+) -> bytes:
+    """Forward-decode straight to packed seq stream bytes."""
+    from ..ops import seqctx
+
+    lib = _sctx_lib()
+    wstarts = np.zeros(len(wcounts), np.int64)
+    np.cumsum(wcounts[:-1], out=wstarts[1:])
+    plen = int(seqctx.packed_row_lengths(lengths).sum())
+    out = np.zeros(max(plen, 1), np.uint8)
+    rc = lib.fq_sctx_decode(
+        words_cat if words_cat.size else np.zeros(1, np.uint16),
+        wstarts, np.ascontiguousarray(wcounts.astype(np.int64)),
+        np.ascontiguousarray(states.astype(np.uint32)),
+        total, _nz_i64(lengths), len(lengths), order,
+        np.ascontiguousarray(freq.reshape(-1).astype(np.uint16)),
+        out, plen,
+    )
+    if rc != 0:
+        raise ValueError("corrupted sctx sequence data")
+    return out[:plen].tobytes()

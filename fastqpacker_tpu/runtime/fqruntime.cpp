@@ -1308,3 +1308,169 @@ int fq_rans_decode(const uint16_t* words, long long total_words,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Order-k context-modeled sequence coder (FQZ v3 TAG_SCTX)
+//
+// Semantics defined by the numpy reference in ops/seqctx.py: 2-bit base
+// symbols, context = previous `order` bases of the record packed
+// little-endian (missing predecessors = 0), per-context 12-bit rANS
+// tables over the 4-symbol alphabet, 4 record-aligned chunks (same
+// balancing as qctx), rANS conventions as ops/rans.py. The decoder
+// resolves symbols with 3 compares (no slot tables) and re-packs the
+// wire's packed-row layout byte-identically (zero padding bits).
+
+namespace {
+constexpr int SCTX_MAX_ORDER = 6;
+constexpr int SCTX_CHUNKS = 4;
+constexpr uint32_t SCTX_SCALE = 1u << 12;
+constexpr uint32_t SCTX_L = 1u << 16;
+}  // namespace
+
+extern "C" {
+
+// Pass 1: unpack packed rows -> flat base symbols + max-order histogram
+// ((4^6, 4) int64). Returns 0, or -1 if packed size mismatches lengths.
+int fq_sctx_prepare(const uint8_t* packed, long long packed_len,
+                    const long long* lengths, long long nrec,
+                    uint8_t* bases, long long* hist) {
+  memset(hist, 0, sizeof(long long) * (size_t)(1 << (2 * SCTX_MAX_ORDER)) * 4);
+  const uint32_t mask = (1u << (2 * SCTX_MAX_ORDER)) - 1;
+  long long j = 0, pi = 0;
+  for (long long r = 0; r < nrec; r++) {
+    long long L = lengths[r];
+    if (L < 0 || pi + ((L + 3) >> 2) > packed_len) return -1;
+    uint32_t ctx = 0;
+    for (long long p = 0; p < L; p++, j++) {
+      uint8_t s = (packed[pi + (p >> 2)] >> ((p & 3) * 2)) & 3;
+      bases[j] = s;
+      hist[(size_t)ctx * 4 + s]++;
+      ctx = ((ctx << 2) | s) & mask;
+    }
+    pi += (L + 3) >> 2;
+  }
+  return (pi == packed_len) ? 0 : -1;
+}
+
+// Pass 2: backward rANS encode of every chunk at the picked order.
+// words has capacity n; chunk k's words end at words[sb[k+1]) as in qctx.
+// Returns 0, or -1 on invalid tables.
+int fq_sctx_encode(const uint8_t* bases, long long n, const long long* lengths,
+                   long long nrec, int order, const uint16_t* freq,
+                   const uint32_t* cum, uint16_t* words, uint32_t* states,
+                   long long* nwords) {
+  const int nctx = 1 << (2 * order);
+  const uint32_t mask = (uint32_t)nctx - 1;
+  std::vector<uint64_t> M((size_t)nctx * 4, 0);
+  std::vector<uint8_t> SH((size_t)nctx * 4, 0);
+  for (size_t i = 0; i < (size_t)nctx * 4; i++) {
+    uint32_t f = freq[i];
+    if (!f) continue;
+    int s = 0;
+    while ((1u << s) < f) s++;
+    unsigned __int128 num = ((unsigned __int128)1) << (32 + s);
+    M[i] = (uint64_t)((num + f - 1) / f);
+    SH[i] = (uint8_t)(32 + s);
+  }
+  // forward pass: per-symbol context ids (low 2*order bits of rolling ctx)
+  std::vector<uint16_t> ctxv((size_t)(n > 0 ? n : 1));
+  {
+    long long j = 0;
+    for (long long r = 0; r < nrec; r++) {
+      long long L = lengths[r];
+      uint32_t ctx = 0;
+      for (long long p = 0; p < L; p++, j++) {
+        ctxv[j] = (uint16_t)ctx;
+        ctx = ((ctx << 2) | bases[j]) & mask;
+      }
+    }
+    if (j != n) return -1;
+  }
+
+  long long rb[SCTX_CHUNKS + 1], sb[SCTX_CHUNKS + 1];
+  qctx_chunks(lengths, nrec, rb, sb);
+
+  for (int k = 0; k < SCTX_CHUNKS; k++) {
+    uint32_t x = SCTX_L;
+    long long wpos = sb[k + 1];
+    for (long long j = sb[k + 1] - 1; j >= sb[k]; j--) {
+      size_t e = (size_t)ctxv[j] * 4 + bases[j];
+      uint32_t f = freq[e];
+      if (!f) return -1;
+      if ((x >> 20) >= f) {
+        words[--wpos] = (uint16_t)(x & 0xFFFF);
+        x >>= 16;
+      }
+      uint32_t q = (uint32_t)(((unsigned __int128)x * M[e]) >> SH[e]);
+      x = (q << 12) + (x - q * f) + cum[e];
+    }
+    states[k] = x;
+    nwords[k] = sb[k + 1] - wpos;
+  }
+  return 0;
+}
+
+// Forward decode straight into the packed-row wire layout.
+// Returns 0, or a negative error on corrupt input.
+int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
+                   const long long* nwords, const uint32_t* states,
+                   long long n, const long long* lengths, long long nrec,
+                   int order, const uint16_t* freq, uint8_t* packed_out,
+                   long long packed_cap) {
+  const int nctx = 1 << (2 * order);
+  const uint32_t mask = (uint32_t)nctx - 1;
+  long long total = 0;
+  for (long long r = 0; r < nrec; r++) total += lengths[r];
+  if (total != n) return -1;
+
+  long long rb[SCTX_CHUNKS + 1], sb[SCTX_CHUNKS + 1];
+  qctx_chunks(lengths, nrec, rb, sb);
+
+  // packed byte offset of each chunk's first record
+  long long pstart = 0, rr = 0;
+  for (int k = 0; k < SCTX_CHUNKS; k++) {
+    while (rr < rb[k]) pstart += (lengths[rr++] + 3) >> 2;
+    uint32_t x = states[k];
+    long long wi = wstarts[k];
+    long long wend = wi + nwords[k];
+    long long po = pstart;
+    for (long long r = rb[k]; r < rb[k + 1]; r++) {
+      long long L = lengths[r];
+      uint32_t ctx = 0;
+      uint8_t acc = 0;
+      for (long long p = 0; p < L; p++) {
+        uint32_t slot = x & (SCTX_SCALE - 1);
+        // cumulative boundaries from the freq row (3 adds, 3 compares)
+        const uint16_t* fr = freq + (size_t)ctx * 4;
+        uint32_t c1 = fr[0];
+        uint32_t c2 = c1 + fr[1];
+        uint32_t c3 = c2 + fr[2];
+        uint32_t s = (slot >= c1) + (slot >= c2) + (slot >= c3);
+        uint32_t f = fr[s];
+        uint32_t cs = s == 0 ? 0 : (s == 1 ? c1 : (s == 2 ? c2 : c3));
+        if (!f) return -5;
+        x = f * (x >> 12) + slot - cs;
+        if (x < SCTX_L) {
+          if (wi >= wend) return -2;
+          x = (x << 16) | words[wi++];
+        }
+        acc |= (uint8_t)(s << ((p & 3) * 2));
+        if ((p & 3) == 3) {
+          if (po >= packed_cap) return -6;
+          packed_out[po++] = acc;
+          acc = 0;
+        }
+        ctx = ((ctx << 2) | s) & mask;
+      }
+      if (L & 3) {
+        if (po >= packed_cap) return -6;
+        packed_out[po++] = acc;
+      }
+    }
+    if (wi != wend) return -3;
+    while (rr < rb[k + 1]) pstart += (lengths[rr++] + 3) >> 2;
+  }
+  return 0;
+}
+
+}  // extern "C"
