@@ -43,6 +43,8 @@ NUM_QBINS = 48  # prev-quality bins; 47 doubles as the record-start sentinel
 NUM_PBUCKETS = 8
 NUM_CTX = NUM_PBUCKETS * NUM_QBINS  # 384
 NUM_CHUNKS = 4
+NUM_STATES = 4  # interleaved rANS states per chunk (breaks the serial
+# x-update dependency chain; symbol t of a chunk belongs to state t%4)
 PROB_BITS = rans.PROB_BITS
 PROB_SCALE = rans.PROB_SCALE
 RANS_L = rans.RANS_L
@@ -145,7 +147,7 @@ def estimate_size(hist: np.ndarray, freq: np.ndarray | None = None) -> int:
     table_syms = int(nz.sum())
     # serialized tables compress well; approximate post-zstd at 60%
     table_bytes = int((NUM_CTX * 2 + table_syms * 3) * 0.6)
-    overhead = 8 + 4 + table_bytes + NUM_CHUNKS * 8
+    overhead = 8 + 4 + table_bytes + NUM_CHUNKS * (4 * NUM_STATES + 4)
     return int(bits / 8) + overhead
 
 
@@ -195,11 +197,15 @@ def deserialize_tables(blob: bytes) -> np.ndarray:
 def _encode_chunk(
     raw: np.ndarray, ctx: np.ndarray, lo: int, hi: int,
     freq: np.ndarray, cum: np.ndarray,
-) -> tuple[int, np.ndarray]:
-    """Backward-encode symbols [lo, hi): returns (final_state, words)."""
-    x = RANS_L
+) -> tuple[list[int], np.ndarray]:
+    """Backward-encode symbols [lo, hi) over NUM_STATES interleaved
+    states (symbol at chunk-local index t belongs to state t % 4);
+    returns (final_states, words in forward consumption order)."""
+    xs = [RANS_L] * NUM_STATES
     words = []
     for j in range(hi - 1, lo - 1, -1):
+        si = (j - lo) & (NUM_STATES - 1)
+        x = xs[si]
         c = int(ctx[j])
         s = int(raw[j])
         f = int(freq[c, s])
@@ -207,22 +213,26 @@ def _encode_chunk(
         if x >= (f << 20):
             words.append(x & 0xFFFF)
             x >>= 16
-        x = ((x // f) << PROB_BITS) + (x % f) + cm
-    return x, np.array(words[::-1], dtype=np.uint16)
+        xs[si] = ((x // f) << PROB_BITS) + (x % f) + cm
+    return xs, np.array(words[::-1], dtype=np.uint16)
 
 
 def _decode_chunk(
     out_raw: np.ndarray, lengths: np.ndarray, rec_lo: int, rec_hi: int,
-    sym_lo: int, state: int, words: np.ndarray,
+    sym_lo: int, state, words: np.ndarray,
     freq: np.ndarray, cum: np.ndarray, slot_sym: np.ndarray,
 ) -> None:
     """Forward-decode records [rec_lo, rec_hi) into out_raw[sym_lo:]."""
-    x = state
+    # Python ints: numpy scalars would turn the slot compares into
+    # np.bool_ (whose + is logical OR in numpy 2) and wrap at 32 bits
+    xs = [int(v) for v in state]
     wi = 0
     j = sym_lo
     for r in range(rec_lo, rec_hi):
         prev = 0
         for p in range(int(lengths[r])):
+            si = (j - sym_lo) & (NUM_STATES - 1)
+            x = xs[si]
             if p == 0:
                 qbin = NUM_QBINS - 1
             else:
@@ -238,6 +248,7 @@ def _decode_chunk(
                     raise QctxError("truncated qctx words")
                 x = (x << 16) | int(words[wi])
                 wi += 1
+            xs[si] = x
             out_raw[j] = s
             prev = s
             j += 1
@@ -278,8 +289,10 @@ def _assemble_payload(total, blob, states, word_runs) -> bytes:
     out += struct.pack("<IB3x", total, NUM_CHUNKS)
     out += struct.pack("<I", len(blob))
     out += blob
-    for x, words in zip(states, word_runs):
-        out += struct.pack("<II", int(x), len(words))
+    for xs, words in zip(states, word_runs):
+        xs = np.asarray(xs).reshape(NUM_STATES)
+        out += xs.astype("<u4").tobytes()
+        out += struct.pack("<I", len(words))
     for words in word_runs:
         out += np.asarray(words).astype("<u2").tobytes()
     return bytes(out)
@@ -357,13 +370,17 @@ def decode(
 
     states = []
     counts = []
+    step = 4 * NUM_STATES + 4
     for _ in range(nchunks):
-        if len(buf) < off + 8:
+        if len(buf) < off + step:
             raise QctxError("truncated qctx stream")
-        x, nw = struct.unpack_from("<II", buf, off)
-        states.append(x)
+        xs = np.frombuffer(
+            buf[off : off + 4 * NUM_STATES], "<u4"
+        ).astype(np.uint32)
+        (nw,) = struct.unpack_from("<I", buf, off + 4 * NUM_STATES)
+        states.append(xs)
         counts.append(nw)
-        off += 8
+        off += step
     total_words = sum(counts)
     if len(buf) < off + 2 * total_words:
         raise QctxError("truncated qctx words")
@@ -377,7 +394,7 @@ def decode(
             return nat.qctx_decode(
                 words_cat,
                 np.asarray(counts, np.int64),
-                np.asarray(states, np.uint32),
+                np.concatenate(states).astype(np.uint32),
                 total,
                 lengths,
                 freq,

@@ -52,6 +52,7 @@ from .qualctx import chunk_bounds
 MAX_ORDER = 6
 ORDERS = (2, 4, 6)
 NUM_CHUNKS = 4
+NUM_STATES = 4  # interleaved rANS states per chunk (symbol t -> state t%4)
 PROB_BITS = rans.PROB_BITS
 PROB_SCALE = rans.PROB_SCALE
 RANS_L = rans.RANS_L
@@ -189,7 +190,10 @@ def _table_overhead(order: int, freq: np.ndarray) -> int:
     """Approximate serialized+zstd table size for the estimate."""
     used = int((freq.sum(axis=1) > 0).sum())
     # dense u16 blob compresses to roughly 40% (mostly zero rows drop out)
-    return 12 + 4 + int((used * 8 + 4**order // 8) * 0.5) + NUM_CHUNKS * 8
+    return (
+        12 + 4 + int((used * 8 + 4**order // 8) * 0.5)
+        + NUM_CHUNKS * (4 * NUM_STATES + 4)
+    )
 
 
 def estimate_size(hist6: np.ndarray, order: int) -> int:
@@ -245,15 +249,16 @@ def _encode_chunk(
     bases: np.ndarray, lengths: np.ndarray, rec_lo: int, rec_hi: int,
     sym_lo: int, sym_hi: int, order: int,
     freq: np.ndarray, cum: np.ndarray,
-) -> tuple[int, np.ndarray]:
-    mask = (1 << (2 * order)) - 1
-    x = RANS_L
+) -> tuple[list[int], np.ndarray]:
+    xs = [RANS_L] * NUM_STATES
     words = []
     j = sym_hi
     for r in range(rec_hi - 1, rec_lo - 1, -1):
         L = int(lengths[r])
         for p in range(L - 1, -1, -1):
             j -= 1
+            si = (j - sym_lo) & (NUM_STATES - 1)
+            x = xs[si]
             ctx = 0
             for i in range(1, order + 1):
                 if p - i >= 0:
@@ -266,23 +271,27 @@ def _encode_chunk(
             if x >= (f << 20):
                 words.append(x & 0xFFFF)
                 x >>= 16
-            x = ((x // f) << PROB_BITS) + (x % f) + cm
+            xs[si] = ((x // f) << PROB_BITS) + (x % f) + cm
     assert j == sym_lo
-    return x, np.array(words[::-1], dtype=np.uint16)
+    return xs, np.array(words[::-1], dtype=np.uint16)
 
 
 def _decode_chunk(
     out: np.ndarray, lengths: np.ndarray, rec_lo: int, rec_hi: int,
-    sym_lo: int, state: int, words: np.ndarray, order: int,
+    sym_lo: int, state, words: np.ndarray, order: int,
     freq: np.ndarray, cum: np.ndarray,
 ) -> None:
-    x = state
+    # Python ints: numpy scalars would turn the slot compares into
+    # np.bool_ (whose + is logical OR in numpy 2) and wrap at 32 bits
+    xs = [int(v) for v in state]
     wi = 0
     j = sym_lo
     for r in range(rec_lo, rec_hi):
         ctx = 0
         mask = (1 << (2 * order)) - 1
         for p in range(int(lengths[r])):
+            si = (j - sym_lo) & (NUM_STATES - 1)
+            x = xs[si]
             slot = x & (PROB_SCALE - 1)
             c1 = int(cum[ctx, 1])
             c2 = int(cum[ctx, 2])
@@ -297,6 +306,7 @@ def _decode_chunk(
                     raise SctxError("truncated sctx words")
                 x = (x << 16) | int(words[wi])
                 wi += 1
+            xs[si] = x
             out[j] = s
             j += 1
             ctx = ((ctx << 2) | s) & mask
@@ -361,8 +371,9 @@ def encode_prepared(
     out += struct.pack(HEADER_FMT, len(bases), order, NUM_CHUNKS)
     out += struct.pack("<I", len(blob))
     out += blob
-    for x, words in zip(states, word_runs):
-        out += struct.pack("<II", int(x), len(words))
+    for xs, words in zip(states, word_runs):
+        out += np.asarray(xs).reshape(NUM_STATES).astype("<u4").tobytes()
+        out += struct.pack("<I", len(words))
     for words in word_runs:
         out += np.asarray(words).astype("<u2").tobytes()
     return bytes(out)
@@ -413,13 +424,17 @@ def decode(
     off += blob_size
 
     states, counts = [], []
+    step = 4 * NUM_STATES + 4
     for _ in range(nchunks):
-        if len(buf) < off + 8:
+        if len(buf) < off + step:
             raise SctxError("truncated sctx stream")
-        x, nw = struct.unpack_from("<II", buf, off)
-        states.append(x)
+        xs = np.frombuffer(
+            buf[off : off + 4 * NUM_STATES], "<u4"
+        ).astype(np.uint32)
+        (nw,) = struct.unpack_from("<I", buf, off + 4 * NUM_STATES)
+        states.append(xs)
         counts.append(nw)
-        off += 8
+        off += step
     total_words = sum(counts)
     if len(buf) < off + 2 * total_words:
         raise SctxError("truncated sctx words")
@@ -433,7 +448,7 @@ def decode(
             return nat.sctx_decode(
                 words_cat,
                 np.asarray(counts, np.int64),
-                np.asarray(states, np.uint32),
+                np.concatenate(states).astype(np.uint32),
                 total,
                 lengths,
                 order,

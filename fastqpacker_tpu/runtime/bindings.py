@@ -602,7 +602,7 @@ def qctx_encode_chunks(
     lib = _qctx_lib()
     n = len(raw)
     words = np.empty(max(n, 1), np.uint16)
-    states = np.zeros(qualctx.NUM_CHUNKS, np.uint32)
+    states = np.zeros(qualctx.NUM_CHUNKS * qualctx.NUM_STATES, np.uint32)
     nwords = np.zeros(qualctx.NUM_CHUNKS, np.int64)
     rc = lib.fq_qctx_encode(
         _nz_u8(raw), n, _nz_i64(lengths), len(lengths),
@@ -617,7 +617,7 @@ def qctx_encode_chunks(
         words[sb[k + 1] - int(nwords[k]) : sb[k + 1]].copy()
         for k in range(qualctx.NUM_CHUNKS)
     ]
-    return states, runs
+    return states.reshape(qualctx.NUM_CHUNKS, qualctx.NUM_STATES), runs
 
 
 def qctx_decode(
@@ -768,7 +768,7 @@ def sctx_encode_chunks(
     lib = _sctx_lib()
     n = len(bases)
     words = np.empty(max(n, 1), np.uint16)
-    states = np.zeros(seqctx.NUM_CHUNKS, np.uint32)
+    states = np.zeros(seqctx.NUM_CHUNKS * seqctx.NUM_STATES, np.uint32)
     nwords = np.zeros(seqctx.NUM_CHUNKS, np.int64)
     rc = lib.fq_sctx_encode(
         _nz_u8(bases), n, _nz_i64(lengths), len(lengths), order,
@@ -783,7 +783,7 @@ def sctx_encode_chunks(
         words[sb[k + 1] - int(nwords[k]) : sb[k + 1]].copy()
         for k in range(seqctx.NUM_CHUNKS)
     ]
-    return states, runs
+    return states.reshape(seqctx.NUM_CHUNKS, seqctx.NUM_STATES), runs
 
 
 def sctx_decode(

@@ -1114,14 +1114,20 @@ int fq_qctx_encode(const uint8_t* raw, long long n, const long long* lengths,
   long long rb[QCTX_CHUNKS + 1], sb[QCTX_CHUNKS + 1];
   qctx_chunks(lengths, nrec, rb, sb);
 
+  // 4 interleaved states per chunk: symbol at chunk-local index t
+  // belongs to state t & 3 (breaks the serial x-update chain; the
+  // backward walk emits words from the end so they land in the forward
+  // decoder's consumption order, as in fq_rans_encode).
   for (int k = 0; k < QCTX_CHUNKS; k++) {
-    uint32_t x = QCTX_L;
+    uint32_t xs[4] = {QCTX_L, QCTX_L, QCTX_L, QCTX_L};
     long long wpos = sb[k + 1];
     long long j = sb[k + 1];
     for (long long r = rb[k + 1] - 1; r >= rb[k]; r--) {
       long long L = lengths[r];
       for (long long p = L - 1; p >= 0; p--) {
         j--;
+        int si = (int)((j - sb[k]) & 3);
+        uint32_t x = xs[si];
         int prev = (p > 0) ? raw[j - 1] : 0;
         size_t e = (size_t)qctx_ctx(p, prev) * 256 + raw[j];
         uint32_t f = freq[e];
@@ -1131,10 +1137,10 @@ int fq_qctx_encode(const uint8_t* raw, long long n, const long long* lengths,
           x >>= 16;
         }
         uint32_t q = (uint32_t)(((unsigned __int128)x * M[e]) >> SH[e]);
-        x = (q << QCTX_PROB_BITS) + (x - q * f) + cum[e];
+        xs[si] = (q << QCTX_PROB_BITS) + (x - q * f) + cum[e];
       }
     }
-    states[k] = x;
+    for (int si = 0; si < 4; si++) states[k * 4 + si] = xs[si];
     nwords[k] = sb[k + 1] - wpos;
   }
   return 0;
@@ -1170,7 +1176,8 @@ int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
   if (total != n) return -1;
 
   for (int k = 0; k < QCTX_CHUNKS; k++) {
-    uint32_t x = states[k];
+    uint32_t xs[4];
+    for (int si = 0; si < 4; si++) xs[si] = states[k * 4 + si];
     long long wi = wstarts[k];
     long long wend = wi + nwords[k];
     long long j = sb[k];
@@ -1178,6 +1185,8 @@ int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
       long long L = lengths[r];
       int prev = 0;
       for (long long p = 0; p < L; p++, j++) {
+        int si = (int)((j - sb[k]) & 3);
+        uint32_t x = xs[si];
         size_t cbase = (size_t)qctx_ctx(p, prev) * 256;
         uint32_t sl = x & (QCTX_SCALE - 1);
         uint8_t s = slot[(cbase / 256) * QCTX_SCALE + sl];
@@ -1188,6 +1197,7 @@ int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
           if (wi >= wend) return -2;
           x = (x << 16) | words[wi++];
         }
+        xs[si] = x;
         delta_out[j] = (uint8_t)(s - prev * (p > 0 ? 1 : 0));
         prev = s;
       }
@@ -1390,10 +1400,15 @@ int fq_sctx_encode(const uint8_t* bases, long long n, const long long* lengths,
   long long rb[SCTX_CHUNKS + 1], sb[SCTX_CHUNKS + 1];
   qctx_chunks(lengths, nrec, rb, sb);
 
+  // 4 interleaved states per chunk (symbol at chunk-local index t
+  // belongs to state t & 3), words emitted from the end in forward
+  // consumption order.
   for (int k = 0; k < SCTX_CHUNKS; k++) {
-    uint32_t x = SCTX_L;
+    uint32_t xs[4] = {SCTX_L, SCTX_L, SCTX_L, SCTX_L};
     long long wpos = sb[k + 1];
     for (long long j = sb[k + 1] - 1; j >= sb[k]; j--) {
+      int si = (int)((j - sb[k]) & 3);
+      uint32_t x = xs[si];
       size_t e = (size_t)ctxv[j] * 4 + bases[j];
       uint32_t f = freq[e];
       if (!f) return -1;
@@ -1402,9 +1417,9 @@ int fq_sctx_encode(const uint8_t* bases, long long n, const long long* lengths,
         x >>= 16;
       }
       uint32_t q = (uint32_t)(((unsigned __int128)x * M[e]) >> SH[e]);
-      x = (q << 12) + (x - q * f) + cum[e];
+      xs[si] = (q << 12) + (x - q * f) + cum[e];
     }
-    states[k] = x;
+    for (int si = 0; si < 4; si++) states[k * 4 + si] = xs[si];
     nwords[k] = sb[k + 1] - wpos;
   }
   return 0;
@@ -1423,6 +1438,23 @@ int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
   for (long long r = 0; r < nrec; r++) total += lengths[r];
   if (total != n) return -1;
 
+  // Interleaved per-context row: {cum1, cum2, cum3, f0, f1, f2, f3, 0}
+  // (u16 x8 = 16 B) — the ctx -> symbol critical path becomes one load
+  // plus three compares instead of a freq-row load and an add chain.
+  std::vector<uint16_t> rows((size_t)nctx * 8);
+  for (int c = 0; c < nctx; c++) {
+    const uint16_t* fr = freq + (size_t)c * 4;
+    uint16_t* row = rows.data() + (size_t)c * 8;
+    row[0] = fr[0];
+    row[1] = (uint16_t)(fr[0] + fr[1]);
+    row[2] = (uint16_t)(fr[0] + fr[1] + fr[2]);
+    row[3] = fr[0];
+    row[4] = fr[1];
+    row[5] = fr[2];
+    row[6] = fr[3];
+    row[7] = 0;
+  }
+
   long long rb[SCTX_CHUNKS + 1], sb[SCTX_CHUNKS + 1];
   qctx_chunks(lengths, nrec, rb, sb);
 
@@ -1430,30 +1462,32 @@ int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
   long long pstart = 0, rr = 0;
   for (int k = 0; k < SCTX_CHUNKS; k++) {
     while (rr < rb[k]) pstart += (lengths[rr++] + 3) >> 2;
-    uint32_t x = states[k];
+    uint32_t xs[4];
+    for (int si = 0; si < 4; si++) xs[si] = states[k * 4 + si];
     long long wi = wstarts[k];
     long long wend = wi + nwords[k];
     long long po = pstart;
+    long long j = sb[k];
     for (long long r = rb[k]; r < rb[k + 1]; r++) {
       long long L = lengths[r];
       uint32_t ctx = 0;
       uint8_t acc = 0;
-      for (long long p = 0; p < L; p++) {
+      for (long long p = 0; p < L; p++, j++) {
+        int si = (int)((j - sb[k]) & 3);
+        uint32_t x = xs[si];
         uint32_t slot = x & (SCTX_SCALE - 1);
-        // cumulative boundaries from the freq row (3 adds, 3 compares)
-        const uint16_t* fr = freq + (size_t)ctx * 4;
-        uint32_t c1 = fr[0];
-        uint32_t c2 = c1 + fr[1];
-        uint32_t c3 = c2 + fr[2];
+        const uint16_t* row = rows.data() + (size_t)ctx * 8;
+        uint32_t c1 = row[0], c2 = row[1], c3 = row[2];
         uint32_t s = (slot >= c1) + (slot >= c2) + (slot >= c3);
-        uint32_t f = fr[s];
-        uint32_t cs = s == 0 ? 0 : (s == 1 ? c1 : (s == 2 ? c2 : c3));
+        uint32_t f = row[3 + s];
+        uint32_t cs = s == 0 ? 0 : row[s - 1];
         if (!f) return -5;
         x = f * (x >> 12) + slot - cs;
         if (x < SCTX_L) {
           if (wi >= wend) return -2;
           x = (x << 16) | words[wi++];
         }
+        xs[si] = x;
         acc |= (uint8_t)(s << ((p & 3) * 2));
         if ((p & 3) == 3) {
           if (po >= packed_cap) return -6;
