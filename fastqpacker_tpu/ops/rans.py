@@ -301,37 +301,40 @@ def _cumsum_rolls(ni: jax.Array, n: int) -> jax.Array:
     return acc
 
 
-@partial(jax.jit, static_argnums=(4, 5))
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def _decode_kernel_nogather(
     words: jax.Array,  # (W,) uint16 words in global (step, lane) order
     states: jax.Array,  # (N,) uint32 initial states
     steps: jax.Array,  # i32 scalar
-    freq_cum: jax.Array,  # (2, 256) uint32: freq row 0, cum row 1
+    tabs: jax.Array,  # (4, B) uint32: pcum, dcum, dsym, pfreq (present syms)
     S: int,
     N: int,
+    B: int,
 ):
-    """Gather-free forward decode (PERFORMANCE.md E010 design).
+    """Gather-free forward decode (PERFORMANCE.md E010/E021 design).
 
-    Symbol resolution never touches a lookup table: with cum monotone,
-    ``sym = #\\{k: slot >= cum_k\\} - 1``, ``c = cum_sym`` and
-    ``f = f_sym`` fall out of the same 256 broadcast-compare
-    accumulations (telescoping sums) — pure elementwise work. The renorm
+    Symbol resolution never touches a lookup table: with the cumulative
+    boundaries monotone, ``sym``, ``c`` and ``f`` fall out of the same
+    broadcast-compare telescoping sums — pure elementwise work. The
+    tables are compacted to the ``B`` *present* symbols (padded entries
+    carry pcum = PROB_SCALE so their compares are always false): quality
+    streams rarely use more than a few dozen of the 256 symbols, so the
+    per-step compare matrix shrinks from (N, 256) to (N, B). The renorm
     word distribution uses the roll-ladder prefix sum and monotonic
     shift network instead of cumsum + in-register gather.
     """
-    freqs = freq_cum[0]
-    cums = freq_cum[1]
-    # dcum[k] = cum_k - cum_{k-1} (0 for k=0): sum(ge * dcum) telescopes
-    # to cum_sym
-    dcum = cums - jnp.concatenate([jnp.zeros(1, _u32), cums[:-1]])
+    pcum = tabs[0]
+    dcum = tabs[1]
+    dsym = tabs[2]
+    pfreq = tabs[3]
 
     def body(t, carry):
         x, base, out = carry
         slot = x & _u32(PROB_SCALE - 1)
-        ge = (slot[:, None] >= cums[None, :]).astype(_u32)  # (N, 256)
-        sym = jnp.sum(ge, axis=1) - 1
+        ge = (slot[:, None] >= pcum[None, :]).astype(_u32)  # (N, B)
+        sym = jnp.sum(ge * dsym[None, :], axis=1)
         c = jnp.sum(ge * dcum[None, :], axis=1)
-        cnext = jnp.sum(ge * freqs[None, :], axis=1)
+        cnext = jnp.sum(ge * pfreq[None, :], axis=1)
         f = cnext - c
         x = f * (x >> PROB_BITS) + slot - c
         need = x < _u32(RANS_L)
@@ -352,6 +355,27 @@ def _decode_kernel_nogather(
         0, steps, body, (states, jnp.int32(0), out0)
     )
     return out, x, base
+
+
+def compact_tables(freq: np.ndarray) -> np.ndarray:
+    """(4, B) u32 present-symbol decode tables for the bucketed
+    gather-free kernel: pcum (compare boundaries, padded with
+    PROB_SCALE), dcum, dsym (telescoping deltas), pfreq."""
+    present = np.flatnonzero(freq)
+    npres = len(present)
+    B = 8
+    while B < npres:
+        B *= 2
+    cums = cumulative(freq)
+    pcum = np.full(B, PROB_SCALE, dtype=np.uint32)
+    dcum = np.zeros(B, dtype=np.uint32)
+    dsym = np.zeros(B, dtype=np.uint32)
+    pfreq = np.zeros(B, dtype=np.uint32)
+    pcum[:npres] = cums[present]
+    pfreq[:npres] = freq[present]
+    dcum[:npres] = np.diff(np.concatenate([[0], cums[present]]))
+    dsym[:npres] = np.diff(np.concatenate([[0], present]))
+    return np.stack([pcum, dcum, dsym, pfreq])
 
 
 # ---------------------------------------------------------------------------
@@ -511,16 +535,15 @@ def decode_stream(payload: bytes | np.ndarray) -> bytes:
     import os
 
     if os.environ.get("FQZ_RANS_DECODE", "nogather") == "nogather":
-        freq_cum = np.stack(
-            [freq.astype(np.uint32), cumulative(freq).astype(np.uint32)]
-        )
+        tabs = compact_tables(freq)
         out_mat, final_x, consumed = _decode_kernel_nogather(
             jnp.asarray(words),
             jnp.asarray(states),
             jnp.int32(steps),
-            jnp.asarray(freq_cum),
+            jnp.asarray(tabs),
             S,
             N,
+            tabs.shape[1],
         )
     else:
         slot_tab = pack_slot_table(freq).reshape(16, 256)
