@@ -67,6 +67,7 @@ def info(path: str, out=None) -> int:
         comp_bytes = container.FILE_HEADER_SIZE
         orig_seq = orig_qual = 0
         per_stream = [0] * 6
+        tag_counts: list[dict] = [dict() for _ in range(6)]
         for hdr, payload in _iter_blocks(r, fh):
             nblocks += 1
             records += hdr.num_records
@@ -80,8 +81,14 @@ def info(path: str, out=None) -> int:
                 if fh.version >= container.VERSION_2
                 else container.VERSION_1
             )
+            off = 0
             for i, s in enumerate(sizes):
                 per_stream[i] += s
+                if fh.version == container.VERSION_3_NATIVE and s:
+                    tag = _v3_tag_name(i, payload[off])
+                    if tag:
+                        tag_counts[i][tag] = tag_counts[i].get(tag, 0) + 1
+                off += s
         print(f"  blocks:      {nblocks}", file=out)
         print(f"  records:     {records}", file=out)
         print(f"  compressed:  {comp_bytes:,} bytes", file=out)
@@ -92,9 +99,32 @@ def info(path: str, out=None) -> int:
         labels = ["seq", "qual", "headers", "plus", "npos", "lengths"]
         if fh.version == container.VERSION_1:
             labels = ["seq", "qual", "headers", "npos", "lengths"]
-        for lbl, size in zip(labels, per_stream):
-            print(f"    stream {lbl:<8} {size:,} bytes", file=out)
+        for i, (lbl, size) in enumerate(zip(labels, per_stream)):
+            codecs = ""
+            if tag_counts[i]:
+                parts = [
+                    f"{name} x{cnt}" if len(tag_counts[i]) > 1 or cnt > 1
+                    else name
+                    for name, cnt in sorted(tag_counts[i].items())
+                ]
+                codecs = f"  [{', '.join(parts)}]"
+            print(f"    stream {lbl:<8} {size:,} bytes{codecs}", file=out)
     return 0
+
+
+def _v3_tag_name(slot: int, tag: int) -> str:
+    """Human name of a v3 per-stream codec tag ('' for untagged slots)."""
+    from ..pipeline import native
+
+    if native.STREAM_CODECS[slot] == "zstd":
+        return ""  # untagged plain-zstd slot; first byte is frame data
+    return {
+        native.TAG_RANS: "rans",
+        native.TAG_ZSTD: "zstd",
+        native.TAG_TOK: "tok+zstd",
+        native.TAG_QCTX: "qctx",
+        native.TAG_SCTX: "sctx",
+    }.get(tag, f"tag{tag}")
 
 
 class _NullSink:

@@ -49,11 +49,15 @@ FQZ_V3_NATIVE = CodecModel(
     name="fqz-v3-native",
     version=container.VERSION_3_NATIVE,
     description=(
-        "TPU-native FQZ v3: on-accelerator interleaved-lane rANS for the "
-        "sequence and quality streams, zstd for the LZ-friendly side "
-        "streams, explicit per-block CRC32, u32 N positions (long reads)"
+        "TPU-native FQZ v3: per-stream empirical codec picks — order-k "
+        "context-modeled rANS for sequences (TAG_SCTX), order-1 "
+        "context-modeled or interleaved-lane rANS for qualities "
+        "(TAG_QCTX/TAG_RANS), token-delta headers (TAG_TOK), zstd for "
+        "the LZ-friendly side streams — explicit per-block CRC32, u32 "
+        "N positions (long reads)"
     ),
-    stream_codecs=("rans", "rans", "zstd", "zstd", "zstd", "zstd"),
+    # must mirror pipeline.native.STREAM_CODECS (asserted in tests)
+    stream_codecs=("seq", "rans", "tok", "zstd", "zstd", "zstd"),
     wide_npos=True,
     block_crc32=True,
 )

@@ -194,3 +194,11 @@ def test_zstd_picked_for_lz_structured_streams():
     v2 = fq.compress_bytes(data)
     assert len(comp) < len(v2) * 1.05
     assert fq.decompress_bytes(comp) == data
+
+
+def test_model_registry_mirrors_pipeline_codecs():
+    """models/flagship.py documents the wire policy; it must stay in
+    sync with the pipeline's actual per-stream codec table."""
+    from fastqpacker_tpu.models import flagship
+
+    assert flagship.FQZ_V3_NATIVE.stream_codecs == native.STREAM_CODECS
