@@ -209,12 +209,22 @@ def compress_host_section(
                 yield first
             yield from blocks_iter
 
-        codec = zstd_entropy.get_codec()
-        for blk in all_blocks():
-            raw = blockcodec.block_to_raw_streams(blk, qual_offset)
-            out.write(
-                blockcodec.compress_raw_streams(raw, codec, opts.version)
-            )
+        if opts.version == container.VERSION_3_NATIVE:
+            from ..pipeline import native as pnative
+
+            for blk in all_blocks():
+                out.write(
+                    pnative.encode_block_native(
+                        blk, qual_offset, opts.order1_qual
+                    )
+                )
+        else:
+            codec = zstd_entropy.get_codec()
+            for blk in all_blocks():
+                raw = blockcodec.block_to_raw_streams(blk, qual_offset)
+                out.write(
+                    blockcodec.compress_raw_streams(raw, codec, opts.version)
+                )
 
     return HostSection(host_id=host_id, payload=out.getvalue(),
                        qual_offset=qual_offset)

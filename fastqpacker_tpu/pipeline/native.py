@@ -242,6 +242,54 @@ def _crc_streams(ordered: list[bytes]) -> int:
     return crc & 0xFFFFFFFF
 
 
+def encode_block_native(
+    blk: RecordBlock,
+    qual_offset: int,
+    order1_qual: bool = False,
+    encode_arrays=None,
+) -> bytes:
+    """Encode one record block to v3 wire bytes (header + tagged
+    streams). Shared by the single-host pipeline and the multi-host
+    section compressor."""
+    if encode_arrays is None:
+        encode_arrays = api._default_encode_arrays()
+    codec = zstd_entropy.get_codec()
+    raw = blockcodec.block_to_raw_streams(
+        blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
+    )
+    ordered = raw.ordered(container.VERSION_2)
+    crc = _crc_streams(ordered)
+    comp = []
+    for i, (s, policy) in enumerate(zip(ordered, STREAM_CODECS)):
+        if i == 1 and policy == "rans":
+            lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
+            comp.append(
+                _encode_tagged_qual(s, lengths, codec, order1_qual)
+            )
+        elif policy == "seq":
+            lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
+            comp.append(_encode_tagged_seq(s, lengths, codec))
+        elif policy == "rans":
+            comp.append(_encode_tagged(s, codec))
+        elif policy == "tok":
+            comp.append(_encode_tagged_headers(s, raw.num_records, codec))
+        else:
+            comp.append(codec.compress(s))
+    hdr = container.BlockHeader(
+        num_records=raw.num_records,
+        seq_data_size=len(comp[0]),
+        qual_data_size=len(comp[1]),
+        header_data_size=len(comp[2]),
+        plus_data_size=len(comp[3]),
+        npositions_size=len(comp[4]),
+        seq_lengths_size=len(comp[5]),
+        original_seq_size=raw.original_seq_size,
+        original_qual_size=raw.original_qual_size,
+        crc32=crc,
+    )
+    return hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp)
+
+
 def compress_native(
     r: BinaryIO, w: BinaryIO, opts: Optional[api.Options] = None
 ) -> None:
@@ -280,43 +328,9 @@ def compress_native(
     encode_arrays = api._default_encode_arrays()
 
     def encode_one(blk: RecordBlock) -> bytes:
-        codec = zstd_entropy.get_codec()
-        raw = blockcodec.block_to_raw_streams(
-            blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
+        return encode_block_native(
+            blk, qual_offset, opts.order1_qual, encode_arrays
         )
-        ordered = raw.ordered(container.VERSION_2)
-        crc = _crc_streams(ordered)
-        comp = []
-        for i, (s, policy) in enumerate(zip(ordered, STREAM_CODECS)):
-            if i == 1 and policy == "rans":
-                lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
-                comp.append(
-                    _encode_tagged_qual(s, lengths, codec, opts.order1_qual)
-                )
-            elif policy == "seq":
-                lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
-                comp.append(_encode_tagged_seq(s, lengths, codec))
-            elif policy == "rans":
-                comp.append(_encode_tagged(s, codec))
-            elif policy == "tok":
-                comp.append(
-                    _encode_tagged_headers(s, raw.num_records, codec)
-                )
-            else:
-                comp.append(codec.compress(s))
-        hdr = container.BlockHeader(
-            num_records=raw.num_records,
-            seq_data_size=len(comp[0]),
-            qual_data_size=len(comp[1]),
-            header_data_size=len(comp[2]),
-            plus_data_size=len(comp[3]),
-            npositions_size=len(comp[4]),
-            seq_lengths_size=len(comp[5]),
-            original_seq_size=raw.original_seq_size,
-            original_qual_size=raw.original_qual_size,
-            crc32=crc,
-        )
-        return hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp)
 
     workers = api._resolve_workers(opts.workers)
     if workers <= 1:

@@ -145,3 +145,27 @@ def test_index_blocks(tmp_path):
     assert len(blocks) == 4  # 30+30+30+10
     assert blocks[0][0] == 10  # first block after file header
     assert sum(b[1] for b in blocks) == len(comp) - 10
+
+
+def test_simulate_multihost_v3_roundtrip(tmp_path):
+    """v3 sections must carry tagged streams (encode_block_native), not
+    the untagged compress_raw_streams path."""
+    from fastqpacker_tpu.format import container
+    from fastqpacker_tpu.pipeline import api
+
+    data = _fastq(1200, seed=9)
+    src = tmp_path / "in.fq"
+    src.write_bytes(data)
+    out = tmp_path / "out.fqz"
+    mh.simulate_multihost(
+        str(src), str(out), num_hosts=3,
+        opts=api.Options(
+            version=container.VERSION_3_NATIVE, block_size=100
+        ),
+    )
+    comp = out.read_bytes()
+    assert api.decompress_bytes(comp) == data
+
+    plain = tmp_path / "plain.fq"
+    mh.simulate_multihost_decompress(str(out), str(plain), 2)
+    assert plain.read_bytes() == data
