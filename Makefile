@@ -9,6 +9,12 @@ PY ?= python
 build:
 	$(PY) fastqpacker_tpu/runtime/build.py
 
+# Profile-guided build: instrument, run a compress/decompress workload
+# over both container formats, recompile with the profile (reference
+# analog: Makefile:7-10 build-pgo).
+build-pgo:
+	$(PY) fastqpacker_tpu/runtime/build.py --pgo
+
 test:
 	$(PY) -m pytest tests/ -x -q
 

@@ -39,7 +39,63 @@ def ensure_built(verbose: bool = False) -> str | None:
         return None
 
 
+def _compile(extra_flags: list[str]) -> bool:
+    cmd = [CXX, *FLAGS, *extra_flags, "-o", LIB, SRC]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        print(f"fqruntime build failed:\n{proc.stderr}", file=sys.stderr)
+        return False
+    return True
+
+
+_PGO_WORKLOAD = r"""
+import io, os, sys
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("FQZ_FORCE_CPU", "1")
+import numpy as np
+sys.path.insert(0, os.getcwd())
+from bench import synth_fastq
+from fastqpacker_tpu.pipeline import api
+from fastqpacker_tpu.format import container
+data = synth_fastq(24)
+for version, order1 in ((container.VERSION_2, False),
+                        (container.VERSION_3_NATIVE, False),
+                        (container.VERSION_3_NATIVE, True)):
+    comp = api.compress_bytes(
+        data, api.Options(version=version, order1_qual=order1)
+    )
+    assert api.decompress_bytes(comp) == data
+print("pgo workload ok", file=sys.stderr)
+"""
+
+
+def build_pgo() -> str | None:
+    """Profile-guided rebuild (reference analog: Makefile build-pgo):
+    instrument, run a representative compress/decompress workload over
+    both container formats, recompile with the profile."""
+    pgo_dir = os.path.join(_DIR, "pgo")
+    os.makedirs(pgo_dir, exist_ok=True)
+    if not _compile([f"-fprofile-generate={pgo_dir}"]):
+        return None
+    env = dict(os.environ, FQZ_RANS_BACKEND="host")
+    proc = subprocess.run(
+        [sys.executable, "-c", _PGO_WORKLOAD],
+        cwd=os.path.dirname(os.path.dirname(_DIR)),
+        env=env, capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        print(f"pgo workload failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+        _compile([])  # restore a plain build
+        return None
+    if not _compile([f"-fprofile-use={pgo_dir}", "-fprofile-correction"]):
+        return None
+    return LIB
+
+
 if __name__ == "__main__":
-    path = ensure_built(verbose=True)
+    if "--pgo" in sys.argv:
+        path = build_pgo()
+    else:
+        path = ensure_built(verbose=True)
     print(path or "BUILD FAILED")
     sys.exit(0 if path else 1)
