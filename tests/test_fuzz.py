@@ -136,3 +136,91 @@ def test_random_valid_fastq_always_roundtrips():
             else:
                 expected_lines.append(line)
         assert out.decode() == "\n".join(expected_lines)
+
+
+def _ctx_container(seed=7):
+    """A v3 container whose seq/qual slots carry the context coders
+    (correlated DNA + binned qualities, one big block)."""
+    rng = np.random.default_rng(seed)
+    nrec, L = 20_000, 151
+    cur = rng.integers(0, 4, nrec)
+    m = np.empty((nrec, L), np.uint8)
+    for p in range(L):
+        stay = rng.random(nrec) < 0.65
+        cur = np.where(stay, cur, rng.integers(0, 4, nrec))
+        m[:, p] = cur
+    sym = np.frombuffer(b"ACGT", np.uint8)
+    levels = np.array([2, 12, 23, 37], np.uint8) + 33
+    q = levels[
+        np.clip(
+            (np.cumsum(rng.integers(-1, 2, (nrec, L)), axis=1) // 6) % 4,
+            0, 3,
+        )
+    ]
+    recs = []
+    for i in range(nrec):
+        recs.append(
+            b"@fz%d\n" % i + sym[m[i]].tobytes() + b"\n+\n"
+            + q[i].tobytes() + b"\n"
+        )
+    data = b"".join(recs)
+    out = io.BytesIO()
+    native.compress_native(
+        io.BytesIO(data), out,
+        fq.Options(version=container.VERSION_3_NATIVE, workers=1),
+    )
+    return data, out.getvalue()
+
+
+def test_mutated_context_coded_streams_always_detected():
+    """Flips inside sctx/qctx payloads must fail typed (their own
+    validation or the block CRC32) — never crash, hang, or pass."""
+    data, comp = _ctx_container()
+    buf = io.BytesIO(comp)
+    fh = container.read_file_header(buf)
+    assert fh.version == container.VERSION_3_NATIVE
+    hdr = container.read_block_header(buf, fh.version)
+    payload_start = buf.tell()
+    sizes = hdr.stream_sizes(container.VERSION_2)
+    assert comp[payload_start] == native.TAG_SCTX
+    assert comp[payload_start + sizes[0]] == native.TAG_QCTX
+
+    rng = np.random.default_rng(8)
+    for region_start, region_len in (
+        (payload_start, sizes[0]),                 # sctx stream
+        (payload_start + sizes[0], sizes[1]),      # qctx stream
+    ):
+        detected = 0
+        for _ in range(25):
+            mut = bytearray(comp)
+            pos = region_start + int(rng.integers(1, region_len))
+            mut[pos] ^= 1 << int(rng.integers(0, 8))
+            try:
+                out = fq.decompress_bytes(bytes(mut))
+            except EXPECTED_ERRORS:
+                detected += 1
+                continue
+            except (OverflowError, MemoryError):
+                detected += 1
+                continue
+            assert out != data, "mutation silently ignored"
+        assert detected == 25
+
+
+def test_garbage_context_payloads_never_crash():
+    from fastqpacker_tpu.ops import qualctx, seqctx
+
+    rng = np.random.default_rng(9)
+    lengths = np.full(50, 40, np.int64)
+    for _ in range(60):
+        blob = rng.integers(0, 256, int(rng.integers(0, 600))).astype(
+            np.uint8
+        ).tobytes()
+        for dec in (
+            lambda b: seqctx.decode(b, lengths),
+            lambda b: qualctx.decode(b, lengths),
+        ):
+            try:
+                dec(blob)
+            except EXPECTED_ERRORS:
+                pass
