@@ -41,7 +41,10 @@ from . import rans
 
 NUM_QBINS = 48  # prev-quality bins; 47 doubles as the record-start sentinel
 NUM_PBUCKETS = 8
-NUM_CTX = NUM_PBUCKETS * NUM_QBINS  # 384
+NUM_Q2B = 8  # prev2 buckets (model 1): min(prev2,46)>>3 in 0-5, sentinel 7
+NUM_CTX = NUM_PBUCKETS * NUM_QBINS  # 384 (model 0)
+NUM_CTX2 = NUM_CTX * NUM_Q2B  # 3072 (model 1); ctx0 = ctx1 // NUM_Q2B
+MODELS = (0, 1)  # order-1 and order-2 context models
 NUM_CHUNKS = 4
 NUM_STATES = 4  # interleaved rANS states per chunk (breaks the serial
 # x-update dependency chain; symbol t of a chunk belongs to state t%4)
@@ -75,8 +78,11 @@ def integrate(delta: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return ((csum - start_csum[seg]) % 256).astype(np.uint8)
 
 
-def contexts(raw: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Per-symbol context ids (vectorized)."""
+def contexts(
+    raw: np.ndarray, lengths: np.ndarray, model: int = 0
+) -> np.ndarray:
+    """Per-symbol context ids (vectorized); ``model`` 0 = order-1,
+    1 = order-2 (adds the bucketed second-previous value)."""
     n = len(raw)
     if n == 0:
         return np.zeros(0, dtype=np.int32)
@@ -94,7 +100,13 @@ def contexts(raw: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     prev_mask = p > 0
     qbin[prev_mask] = np.minimum(raw[np.flatnonzero(prev_mask) - 1], 46)
     pbucket = np.minimum(p >> 4, NUM_PBUCKETS - 1)
-    return (pbucket * NUM_QBINS + qbin).astype(np.int32)
+    ctx = pbucket * NUM_QBINS + qbin
+    if model == 0:
+        return ctx.astype(np.int32)
+    q2b = np.full(n, NUM_Q2B - 1, dtype=np.int64)  # sentinel at p < 2
+    m2 = p > 1
+    q2b[m2] = np.minimum(raw[np.flatnonzero(m2) - 2], 46) >> 3
+    return (ctx * NUM_Q2B + q2b).astype(np.int32)
 
 
 def chunk_bounds(lengths: np.ndarray, num_chunks: int = NUM_CHUNKS):
@@ -118,17 +130,27 @@ def chunk_bounds(lengths: np.ndarray, num_chunks: int = NUM_CHUNKS):
     return rb, sb
 
 
-def histogram(raw: np.ndarray, ctx: np.ndarray) -> np.ndarray:
-    """(NUM_CTX, 256) int64 symbol histogram."""
+def histogram(
+    raw: np.ndarray, ctx: np.ndarray, num_ctx: int = NUM_CTX2
+) -> np.ndarray:
+    """(num_ctx, 256) int64 symbol histogram."""
     flat = ctx.astype(np.int64) * 256 + raw.astype(np.int64)
-    h = np.bincount(flat, minlength=NUM_CTX * 256)
-    return h.reshape(NUM_CTX, 256)
+    h = np.bincount(flat, minlength=num_ctx * 256)
+    return h.reshape(num_ctx, 256)
+
+
+def hist_for_model(hist2: np.ndarray, model: int) -> np.ndarray:
+    """The model's histogram from the max-model (order-2) histogram:
+    ctx0 = ctx1 // NUM_Q2B, so model 0 is a marginalization."""
+    if model == 1:
+        return hist2
+    return hist2.reshape(NUM_CTX, NUM_Q2B, 256).sum(axis=1)
 
 
 def normalize_tables(hist: np.ndarray) -> np.ndarray:
-    """Per-context 12-bit frequency tables ((NUM_CTX, 256) uint16; all
-    zeros for unused contexts)."""
-    freq = np.zeros((NUM_CTX, 256), dtype=np.uint16)
+    """Per-context 12-bit frequency tables (same shape as ``hist``,
+    uint16; all zeros for unused contexts)."""
+    freq = np.zeros(hist.shape, dtype=np.uint16)
     used = hist.sum(axis=1) > 0
     for c in np.flatnonzero(used):
         freq[c] = rans.normalize_freqs(hist[c].copy())
@@ -136,7 +158,10 @@ def normalize_tables(hist: np.ndarray) -> np.ndarray:
 
 
 def estimate_size(hist: np.ndarray, freq: np.ndarray | None = None) -> int:
-    """Exact coded-bits estimate + table/state overhead (pre-encode)."""
+    """Exact coded-bits estimate + table/state overhead (pre-encode).
+
+    ``hist`` is the model's own histogram (384 or 3072 contexts).
+    """
     if freq is None:
         freq = normalize_tables(hist)
     nz = hist > 0
@@ -146,9 +171,21 @@ def estimate_size(hist: np.ndarray, freq: np.ndarray | None = None) -> int:
     )
     table_syms = int(nz.sum())
     # serialized tables compress well; approximate post-zstd at 60%
-    table_bytes = int((NUM_CTX * 2 + table_syms * 3) * 0.6)
+    table_bytes = int((hist.shape[0] * 2 + table_syms * 3) * 0.6)
     overhead = 8 + 4 + table_bytes + NUM_CHUNKS * (4 * NUM_STATES + 4)
     return int(bits / 8) + overhead
+
+
+def pick_model(hist2: np.ndarray) -> tuple[int, int]:
+    """-> (model, estimated size): the order with the smaller estimate
+    (payload bits + its own table overhead), from one max-model
+    histogram."""
+    best, best_sz = 0, None
+    for m in MODELS:
+        sz = estimate_size(hist_for_model(hist2, m))
+        if best_sz is None or sz < best_sz:
+            best, best_sz = m, sz
+    return best, best_sz
 
 
 # ---------------------------------------------------------------------------
@@ -159,7 +196,7 @@ def estimate_size(hist: np.ndarray, freq: np.ndarray | None = None) -> int:
 def serialize_tables(freq: np.ndarray) -> bytes:
     """Sparse per-context table blob: u16 nsyms, then (u8 sym, u16 freq)*."""
     out = bytearray()
-    for c in range(NUM_CTX):
+    for c in range(freq.shape[0]):
         syms = np.flatnonzero(freq[c])
         out += struct.pack("<H", len(syms))
         for s in syms:
@@ -167,11 +204,11 @@ def serialize_tables(freq: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def deserialize_tables(blob: bytes) -> np.ndarray:
-    freq = np.zeros((NUM_CTX, 256), dtype=np.uint16)
+def deserialize_tables(blob: bytes, num_ctx: int = NUM_CTX) -> np.ndarray:
+    freq = np.zeros((num_ctx, 256), dtype=np.uint16)
     off = 0
     view = memoryview(blob)
-    for c in range(NUM_CTX):
+    for c in range(num_ctx):
         if off + 2 > len(blob):
             raise QctxError("truncated qctx table blob")
         (nsyms,) = struct.unpack_from("<H", view, off)
@@ -221,6 +258,7 @@ def _decode_chunk(
     out_raw: np.ndarray, lengths: np.ndarray, rec_lo: int, rec_hi: int,
     sym_lo: int, state, words: np.ndarray,
     freq: np.ndarray, cum: np.ndarray, slot_sym: np.ndarray,
+    model: int = 0,
 ) -> None:
     """Forward-decode records [rec_lo, rec_hi) into out_raw[sym_lo:]."""
     # Python ints: numpy scalars would turn the slot compares into
@@ -230,6 +268,7 @@ def _decode_chunk(
     j = sym_lo
     for r in range(rec_lo, rec_hi):
         prev = 0
+        prev2 = 0
         for p in range(int(lengths[r])):
             si = (j - sym_lo) & (NUM_STATES - 1)
             x = xs[si]
@@ -238,6 +277,9 @@ def _decode_chunk(
             else:
                 qbin = min(prev, 46)
             c = min(p >> 4, NUM_PBUCKETS - 1) * NUM_QBINS + qbin
+            if model == 1:
+                q2b = NUM_Q2B - 1 if p < 2 else min(prev2, 46) >> 3
+                c = c * NUM_Q2B + q2b
             slot = x & (PROB_SCALE - 1)
             s = int(slot_sym[c, slot])
             f = int(freq[c, s])
@@ -250,14 +292,15 @@ def _decode_chunk(
                 wi += 1
             xs[si] = x
             out_raw[j] = s
+            prev2 = prev
             prev = s
             j += 1
 
 
 def _slot_syms(freq: np.ndarray) -> np.ndarray:
-    """(NUM_CTX, PROB_SCALE) slot -> symbol tables."""
-    out = np.zeros((NUM_CTX, PROB_SCALE), dtype=np.uint8)
-    for c in range(NUM_CTX):
+    """(num_ctx, PROB_SCALE) slot -> symbol tables."""
+    out = np.zeros((freq.shape[0], PROB_SCALE), dtype=np.uint8)
+    for c in range(freq.shape[0]):
         f = freq[c].astype(np.int64)
         if f.sum():
             out[c] = np.repeat(np.arange(256, dtype=np.uint8), f)
@@ -273,20 +316,21 @@ def _native():
 def prepare(
     delta: np.ndarray, lengths: np.ndarray, use_native: bool = True
 ) -> tuple[np.ndarray, np.ndarray]:
-    """-> (raw symbols, (NUM_CTX, 256) histogram); native pass when
-    available."""
+    """-> (raw symbols, (NUM_CTX2, 256) max-model histogram); native
+    pass when available. Both models' tables derive from this one
+    histogram (:func:`hist_for_model`)."""
     if int(lengths.sum()) != len(delta):
         raise QctxError("qual stream length does not match record lengths")
     nat = _native() if use_native else None
     if nat is not None:
         return nat.qctx_prepare(delta, lengths)
     raw = integrate(delta, lengths)
-    return raw, histogram(raw, contexts(raw, lengths))
+    return raw, histogram(raw, contexts(raw, lengths, model=1))
 
 
-def _assemble_payload(total, blob, states, word_runs) -> bytes:
+def _assemble_payload(total, blob, states, word_runs, model) -> bytes:
     out = bytearray()
-    out += struct.pack("<IB3x", total, NUM_CHUNKS)
+    out += struct.pack("<IBB2x", total, NUM_CHUNKS, model)
     out += struct.pack("<I", len(blob))
     out += blob
     for xs, words in zip(states, word_runs):
@@ -301,19 +345,24 @@ def _assemble_payload(total, blob, states, word_runs) -> bytes:
 def encode_prepared(
     raw: np.ndarray,
     lengths: np.ndarray,
-    hist: np.ndarray,
+    hist2: np.ndarray,
     use_native: bool = True,
 ) -> bytes:
     """Encode from a :func:`prepare` result (lets callers reuse the
-    histogram they computed for the size estimate)."""
+    histogram they computed for the size estimate); picks the context
+    model with the smaller estimated size."""
+    model, _ = pick_model(hist2)
+    hist = hist_for_model(hist2, model)
     freq = normalize_tables(hist)
     cum = np.zeros_like(freq, dtype=np.uint32)
     np.cumsum(freq[:, :-1], axis=1, out=cum[:, 1:])
     nat = _native() if use_native else None
     if nat is not None:
-        states, word_runs = nat.qctx_encode_chunks(raw, lengths, freq, cum)
+        states, word_runs = nat.qctx_encode_chunks(
+            raw, lengths, freq, cum, model
+        )
     else:
-        ctx = contexts(raw, lengths)
+        ctx = contexts(raw, lengths, model)
         _, sb = chunk_bounds(lengths)
         states, word_runs = [], []
         for k in range(NUM_CHUNKS):
@@ -324,7 +373,7 @@ def encode_prepared(
     from ..entropy import zstd as zstd_entropy
 
     blob = zstd_entropy.get_codec().compress(serialize_tables(freq))
-    return _assemble_payload(len(raw), blob, states, word_runs)
+    return _assemble_payload(len(raw), blob, states, word_runs, model)
 
 
 def encode(
@@ -349,12 +398,16 @@ def decode(
     buf = memoryview(payload)
     if len(buf) < 12:
         raise QctxError("truncated qctx stream")
-    total, nchunks = struct.unpack_from("<IB3x", buf, 0)
+    total, nchunks, model = struct.unpack_from("<IBB2x", buf, 0)
     (blob_size,) = struct.unpack_from("<I", buf, 8)
     off = 12
     if int(lengths.sum()) != total:
         raise QctxError("qctx total does not match record lengths")
-    if nchunks != NUM_CHUNKS or len(buf) < off + blob_size:
+    if (
+        nchunks != NUM_CHUNKS
+        or model not in MODELS
+        or len(buf) < off + blob_size
+    ):
         raise QctxError("truncated qctx stream")
 
     from ..entropy import zstd as zstd_entropy
@@ -365,7 +418,7 @@ def decode(
         )
     except zstd_entropy.ZstdError as e:
         raise QctxError(f"corrupt qctx table blob: {e}") from None
-    freq = deserialize_tables(blob)
+    freq = deserialize_tables(blob, NUM_CTX2 if model == 1 else NUM_CTX)
     off += blob_size
 
     states = []
@@ -398,6 +451,7 @@ def decode(
                 total,
                 lengths,
                 freq,
+                model,
             )
         except ValueError as e:
             raise QctxError(str(e)) from None
@@ -418,7 +472,7 @@ def decode(
     for k in range(NUM_CHUNKS):
         _decode_chunk(
             raw, lengths, rb[k], rb[k + 1], sb[k], states[k],
-            word_runs[k], freq, cum, slot_sym,
+            word_runs[k], freq, cum, slot_sym, model,
         )
     return deintegrate(raw, lengths)
 

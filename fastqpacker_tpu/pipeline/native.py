@@ -207,15 +207,15 @@ def _encode_tagged_qual(
         from ..ops import qualctx
 
         try:
-            raw, hist = qualctx.prepare(
+            raw, hist2 = qualctx.prepare(
                 np.frombuffer(s, np.uint8), lengths
             )
-            est1 = qualctx.estimate_size(hist)
+            _, est1 = qualctx.pick_model(hist2)
         except ValueError:
             est1 = None
         bar = min(len(z), r0)
         if est1 is not None and est1 < bar:
-            q = qualctx.encode_prepared(raw, lengths, hist)
+            q = qualctx.encode_prepared(raw, lengths, hist2)
             if len(q) < bar:
                 return bytes([TAG_QCTX]) + q
     if r0 < len(z):

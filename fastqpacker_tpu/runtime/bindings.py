@@ -560,10 +560,12 @@ def _bind_qctx(lib):
     lib.fq_qctx_encode.restype = ctypes.c_int
     lib.fq_qctx_encode.argtypes = [
         _u8p, _ll, _i64p, _ll, _u16p, _u32p, _u16p, _u32p, _i64p,
+        ctypes.c_int,
     ]
     lib.fq_qctx_decode.restype = ctypes.c_int
     lib.fq_qctx_decode.argtypes = [
         _u16p, _i64p, _i64p, _u32p, _ll, _i64p, _ll, _u16p, _u8p,
+        ctypes.c_int,
     ]
     lib._qctx_bound = True
 
@@ -576,13 +578,14 @@ def _qctx_lib():
 
 
 def qctx_prepare(delta: np.ndarray, lengths: np.ndarray):
-    """Integrate + context histogram: -> (raw u8[n], hist (384,256) i64)."""
+    """Integrate + max-model context histogram:
+    -> (raw u8[n], hist (3072, 256) i64)."""
     from ..ops import qualctx
 
     lib = _qctx_lib()
     n = len(delta)
     raw = np.empty(max(n, 1), np.uint8)
-    hist = np.zeros((qualctx.NUM_CTX, 256), dtype=np.int64)
+    hist = np.zeros((qualctx.NUM_CTX2, 256), dtype=np.int64)
     rc = lib.fq_qctx_prepare(
         _nz_u8(delta), n, _nz_i64(lengths), len(lengths),
         raw, hist.reshape(-1),
@@ -594,9 +597,9 @@ def qctx_prepare(delta: np.ndarray, lengths: np.ndarray):
 
 def qctx_encode_chunks(
     raw: np.ndarray, lengths: np.ndarray,
-    freq: np.ndarray, cum: np.ndarray,
+    freq: np.ndarray, cum: np.ndarray, model: int = 0,
 ):
-    """Backward-encode all chunks: -> (states u32[4], word_runs list)."""
+    """Backward-encode all chunks: -> (states (4,4) u32, word_runs list)."""
     from ..ops import qualctx
 
     lib = _qctx_lib()
@@ -608,7 +611,7 @@ def qctx_encode_chunks(
         _nz_u8(raw), n, _nz_i64(lengths), len(lengths),
         np.ascontiguousarray(freq.reshape(-1)),
         np.ascontiguousarray(cum.reshape(-1).astype(np.uint32)),
-        words, states, nwords,
+        words, states, nwords, model,
     )
     if rc != 0:
         raise ValueError("invalid qctx frequency table")
@@ -622,7 +625,7 @@ def qctx_encode_chunks(
 
 def qctx_decode(
     words_cat: np.ndarray, wcounts: np.ndarray, states: np.ndarray,
-    total: int, lengths: np.ndarray, freq: np.ndarray,
+    total: int, lengths: np.ndarray, freq: np.ndarray, model: int = 0,
 ) -> bytes:
     """Forward-decode to the delta stream; raises on corrupt input."""
     lib = _qctx_lib()
@@ -634,7 +637,7 @@ def qctx_decode(
         wstarts, np.ascontiguousarray(wcounts.astype(np.int64)),
         np.ascontiguousarray(states.astype(np.uint32)),
         total, _nz_i64(lengths), len(lengths),
-        np.ascontiguousarray(freq.reshape(-1)), out,
+        np.ascontiguousarray(freq.reshape(-1)), out, model,
     )
     if rc != 0:
         raise ValueError("corrupted qctx quality data")

@@ -1019,7 +1019,9 @@ namespace {
 
 constexpr int QCTX_QBINS = 48;
 constexpr int QCTX_PBUCKETS = 8;
-constexpr int QCTX_NCTX = QCTX_QBINS * QCTX_PBUCKETS;  // 384
+constexpr int QCTX_Q2B = 8;  // prev2 buckets (model 1)
+constexpr int QCTX_NCTX = QCTX_QBINS * QCTX_PBUCKETS;  // 384 (model 0)
+constexpr int QCTX_NCTX2 = QCTX_NCTX * QCTX_Q2B;       // 3072 (model 1)
 constexpr int QCTX_CHUNKS = 4;
 constexpr int QCTX_PROB_BITS = 12;
 constexpr uint32_t QCTX_SCALE = 1u << QCTX_PROB_BITS;
@@ -1030,6 +1032,15 @@ inline int qctx_ctx(long long p, int prev) {
   long long pb = p >> 4;
   if (pb > QCTX_PBUCKETS - 1) pb = QCTX_PBUCKETS - 1;
   return (int)pb * QCTX_QBINS + qbin;
+}
+
+// model 0: order-1 context; model 1: adds the bucketed second-previous
+// value (sentinel bucket 7 at p < 2) — 3072 contexts.
+inline int qctx_ctx_m(int model, long long p, int prev, int prev2) {
+  int c = qctx_ctx(p, prev);
+  if (!model) return c;
+  int q2b = (p < 2) ? (QCTX_Q2B - 1) : ((prev2 < 46 ? prev2 : 46) >> 3);
+  return c * QCTX_Q2B + q2b;
 }
 
 // Record/symbol chunk bounds; must match ops/qualctx.py chunk_bounds.
@@ -1067,22 +1078,24 @@ inline void qctx_chunks(const long long* lengths, long long nrec,
 
 extern "C" {
 
-// Pass 1: integrate delta -> raw, build (384, 256) histogram.
+// Pass 1: integrate delta -> raw, build the max-model (3072, 256)
+// histogram (model-0 tables are marginalizations over the prev2 axis).
 // Returns 0, or -1 if sum(lengths) != n.
 int fq_qctx_prepare(const uint8_t* delta, long long n,
                     const long long* lengths, long long nrec,
                     uint8_t* raw, long long* hist) {
-  memset(hist, 0, sizeof(long long) * (size_t)QCTX_NCTX * 256);
+  memset(hist, 0, sizeof(long long) * (size_t)QCTX_NCTX2 * 256);
   long long j = 0;
   for (long long r = 0; r < nrec; r++) {
     long long L = lengths[r];
     if (L < 0 || j + L > n) return -1;
     uint8_t q = 0;
-    int prev = 0;
+    int prev = 0, prev2 = 0;
     for (long long p = 0; p < L; p++, j++) {
       q = (uint8_t)(q + delta[j]);
       raw[j] = q;
-      hist[(size_t)qctx_ctx(p, prev) * 256 + q]++;
+      hist[(size_t)qctx_ctx_m(1, p, prev, prev2) * 256 + q]++;
+      prev2 = prev;
       prev = q;
     }
   }
@@ -1095,13 +1108,15 @@ int fq_qctx_prepare(const uint8_t* delta, long long n,
 // Returns 0, or -1 on invalid tables (freq==0 for a present symbol).
 int fq_qctx_encode(const uint8_t* raw, long long n, const long long* lengths,
                    long long nrec, const uint16_t* freq, const uint32_t* cum,
-                   uint16_t* words, uint32_t* states, long long* nwords) {
+                   uint16_t* words, uint32_t* states, long long* nwords,
+                   int model) {
+  const int nctx = model ? QCTX_NCTX2 : QCTX_NCTX;
   // Reciprocal tables for the used (ctx, sym) entries: exact
   // floor(x / f) = (x * M) >> (32 + s) with s = ceil_log2(f),
   // M = ceil(2^(32+s) / f)  (x < 2^32, f <= 4096).
-  std::vector<uint64_t> M((size_t)QCTX_NCTX * 256, 0);
-  std::vector<uint8_t> SH((size_t)QCTX_NCTX * 256, 0);
-  for (size_t i = 0; i < (size_t)QCTX_NCTX * 256; i++) {
+  std::vector<uint64_t> M((size_t)nctx * 256, 0);
+  std::vector<uint8_t> SH((size_t)nctx * 256, 0);
+  for (size_t i = 0; i < (size_t)nctx * 256; i++) {
     uint32_t f = freq[i];
     if (!f) continue;
     int s = 0;
@@ -1129,7 +1144,8 @@ int fq_qctx_encode(const uint8_t* raw, long long n, const long long* lengths,
         int si = (int)((j - sb[k]) & 3);
         uint32_t x = xs[si];
         int prev = (p > 0) ? raw[j - 1] : 0;
-        size_t e = (size_t)qctx_ctx(p, prev) * 256 + raw[j];
+        int prev2 = (p > 1) ? raw[j - 2] : 0;
+        size_t e = (size_t)qctx_ctx_m(model, p, prev, prev2) * 256 + raw[j];
         uint32_t f = freq[e];
         if (!f) return -1;
         if ((x >> 20) >= f) {
@@ -1152,11 +1168,12 @@ int fq_qctx_encode(const uint8_t* raw, long long n, const long long* lengths,
 int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
                    const long long* nwords, const uint32_t* states,
                    long long n, const long long* lengths, long long nrec,
-                   const uint16_t* freq, uint8_t* delta_out) {
+                   const uint16_t* freq, uint8_t* delta_out, int model) {
+  const int nctx = model ? QCTX_NCTX2 : QCTX_NCTX;
   // slot -> symbol tables and cumulative freqs for used contexts
-  std::vector<uint8_t> slot((size_t)QCTX_NCTX * QCTX_SCALE, 0);
-  std::vector<uint32_t> cum((size_t)QCTX_NCTX * 256, 0);
-  for (int c = 0; c < QCTX_NCTX; c++) {
+  std::vector<uint8_t> slot((size_t)nctx * QCTX_SCALE, 0);
+  std::vector<uint32_t> cum((size_t)nctx * 256, 0);
+  for (int c = 0; c < nctx; c++) {
     uint32_t acc = 0;
     uint8_t* sl = slot.data() + (size_t)c * QCTX_SCALE;
     for (int s = 0; s < 256; s++) {
@@ -1183,11 +1200,11 @@ int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
     long long j = sb[k];
     for (long long r = rb[k]; r < rb[k + 1]; r++) {
       long long L = lengths[r];
-      int prev = 0;
+      int prev = 0, prev2 = 0;
       for (long long p = 0; p < L; p++, j++) {
         int si = (int)((j - sb[k]) & 3);
         uint32_t x = xs[si];
-        size_t cbase = (size_t)qctx_ctx(p, prev) * 256;
+        size_t cbase = (size_t)qctx_ctx_m(model, p, prev, prev2) * 256;
         uint32_t sl = x & (QCTX_SCALE - 1);
         uint8_t s = slot[(cbase / 256) * QCTX_SCALE + sl];
         uint32_t f = freq[cbase + s];
@@ -1199,6 +1216,7 @@ int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
         }
         xs[si] = x;
         delta_out[j] = (uint8_t)(s - prev * (p > 0 ? 1 : 0));
+        prev2 = prev;
         prev = s;
       }
     }

@@ -108,8 +108,8 @@ def test_estimate_tracks_actual():
     lengths = np.full(2000, 151, np.int64)
     raw = binned_qualities(rng, lengths)
     delta = qualctx.deintegrate(raw, lengths)
-    _, hist = qualctx.prepare(np.frombuffer(delta, np.uint8), lengths)
-    est = qualctx.estimate_size(hist)
+    _, hist2 = qualctx.prepare(np.frombuffer(delta, np.uint8), lengths)
+    _, est = qualctx.pick_model(hist2)
     actual = len(qualctx.encode(delta, lengths))
     assert 0.7 * actual < est < 1.3 * actual
 
@@ -213,3 +213,47 @@ def test_qctx_container_decodes_without_native_runtime(tmp_path):
     )
     assert p.returncode == 0, p.stderr
     assert p.stdout == small
+
+
+def test_order2_model_picked_and_byte_identical():
+    """Sticky binned qualities favor the order-2 model (prev2 bucket);
+    the pick must engage, reference and native must stay byte-identical,
+    and both decoders must read it."""
+    rng = np.random.default_rng(21)
+    nrec, L = 20_000, 151  # enough symbols that prev2 beats its table cost
+    lengths = np.full(nrec, L, np.int64)
+    levels = np.array([2, 12, 23, 37], np.uint8)
+    q = levels[
+        np.clip(
+            (np.cumsum(rng.integers(-1, 2, (nrec, L)), axis=1) // 6) % 4,
+            0, 3,
+        )
+    ]
+    delta = np.diff(
+        np.concatenate([np.zeros((nrec, 1), np.uint8), q], axis=1).astype(
+            np.int16
+        ),
+        axis=1,
+    ).astype(np.uint8).reshape(-1).tobytes()
+
+    _, hist2 = qualctx.prepare(np.frombuffer(delta, np.uint8), lengths)
+    model, _ = qualctx.pick_model(hist2)
+    assert model == 1
+
+    enc_ref = qualctx.encode_reference(delta, lengths)
+    enc_nat = qualctx.encode(delta, lengths)
+    assert enc_ref == enc_nat
+    assert enc_ref[5] == 1  # model byte
+    assert qualctx.decode_reference(enc_ref, lengths) == delta
+    assert qualctx.decode(enc_ref, lengths) == delta
+
+
+def test_model_byte_zero_reads_as_order1():
+    """Pre-model containers carried zero in the pad byte; they must keep
+    decoding as the order-1 model (wire back-compat)."""
+    rng = np.random.default_rng(22)
+    lengths = np.full(50, 80, np.int64)
+    delta = rng.integers(0, 3, 4000).astype(np.uint8).tobytes()
+    enc = qualctx.encode(delta, lengths)
+    if enc[5] == 0:  # order-1 picked: exactly the legacy layout
+        assert qualctx.decode(enc, lengths) == delta
