@@ -253,7 +253,13 @@ def encode_block_native(
     section compressor."""
     if encode_arrays is None:
         encode_arrays = api._default_encode_arrays()
-    codec = zstd_entropy.get_codec()
+    # --max-ratio also buys a stronger zstd for whatever stays
+    # zstd-coded (frames are self-describing; decode is unaffected)
+    codec = (
+        zstd_entropy.ZstdCodec(level=9)
+        if order1_qual
+        else zstd_entropy.get_codec()
+    )
     raw = blockcodec.block_to_raw_streams(
         blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
     )
