@@ -280,3 +280,28 @@ def test_v1_container_backcompat():
     # v1 has no plus payload: bare '+' lines (compress.go:995-998)
     expected = fastq(*[(h, s, "", q) for h, s, q in records])
     assert out == expected
+
+
+@pytest.mark.parametrize(
+    "version", [container.VERSION_2, container.VERSION_3_NATIVE]
+)
+def test_output_deterministic_across_worker_counts(version):
+    """The ordered collector must make container bytes independent of
+    worker count (the reference's seqNum collector invariant,
+    compress.go:365-403) — for both wire formats."""
+    rng = np.random.default_rng(23)
+    recs = []
+    for i in range(700):
+        ln = int(rng.integers(1, 160))
+        s = "".join("ACGTN"[b] for b in rng.integers(0, 5, ln))
+        q = "".join(chr(33 + int(b)) for b in rng.integers(0, 42, ln))
+        recs.append((f"det_{i}", s, "", q))
+    data = fastq(*recs)
+    outs = [
+        fq.compress_bytes(
+            data, fq.Options(block_size=64, workers=w, version=version)
+        )
+        for w in (1, 2, 5)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert fq.decompress_bytes(outs[0]) == data
