@@ -17,7 +17,6 @@ from typing import BinaryIO
 
 from ..format import container
 from ..entropy.zstd import ZstdError
-from ..pipeline import api
 
 
 def _open(path: str) -> BinaryIO:
@@ -112,18 +111,21 @@ def info(path: str, out=None) -> int:
     return 0
 
 
+# v2+ wire-order slots that carry a codec tag byte in v3 (mirrors
+# pipeline/native.STREAM_CODECS without importing the jax-heavy stack)
+_V3_TAGGED_SLOTS = (0, 1, 2)
+
+
 def _v3_tag_name(slot: int, tag: int) -> str:
     """Human name of a v3 per-stream codec tag ('' for untagged slots)."""
-    from ..pipeline import native
-
-    if native.STREAM_CODECS[slot] == "zstd":
+    if slot not in _V3_TAGGED_SLOTS:
         return ""  # untagged plain-zstd slot; first byte is frame data
     return {
-        native.TAG_RANS: "rans",
-        native.TAG_ZSTD: "zstd",
-        native.TAG_TOK: "tok+zstd",
-        native.TAG_QCTX: "qctx",
-        native.TAG_SCTX: "sctx",
+        container.TAG_RANS: "rans",
+        container.TAG_ZSTD: "zstd",
+        container.TAG_TOK: "tok+zstd",
+        container.TAG_QCTX: "qctx",
+        container.TAG_SCTX: "sctx",
     }.get(tag, f"tag{tag}")
 
 
@@ -139,6 +141,9 @@ class _NullSink:
 def check(path: str, out=None) -> int:
     out = out or sys.stdout
     sink = _NullSink()
+    # the full decode stack (jax) loads only here, keeping `info` light
+    from ..pipeline import api
+
     try:
         with _open(path) as r:
             api.decompress(r, sink)

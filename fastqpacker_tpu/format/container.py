@@ -33,6 +33,15 @@ FLAG_PHRED64 = 1 << 1
 
 VERSION_1 = 1
 VERSION_2 = 2
+
+# v3 per-stream codec tags (frozen wire values; the pick logic lives in
+# pipeline/native.py — these live here so metadata-only tools like
+# `fqpack info` can name them without importing the entropy stack)
+TAG_RANS = 0
+TAG_ZSTD = 1
+TAG_TOK = 2  # header token-delta transform (ops/tokenize.py) + zstd
+TAG_QCTX = 3  # order-1/2 context-modeled quality rANS (ops/qualctx.py)
+TAG_SCTX = 4  # order-k context-modeled sequence rANS (ops/seqctx.py)
 # TPU-native format: rANS entropy coding + per-block CRC32. Not readable by
 # the Go reference; our decoder reads all three versions.
 VERSION_3_NATIVE = 3

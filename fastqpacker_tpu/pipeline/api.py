@@ -62,6 +62,27 @@ def _default_encode_arrays():
     return refops.encode_block_arrays
 
 
+def ordered_map_write(w, jobs, fn, workers: int) -> None:
+    """Run ``fn`` over ``jobs`` on a bounded thread pool and write the
+    results to ``w`` in input order — the shared collector used by every
+    pipeline direction (the reference's buffered channels + seqNum
+    collector, compress.go:241-242,365-403). ``workers <= 1`` runs
+    inline with no pool."""
+    if workers <= 1:
+        for job in jobs:
+            w.write(fn(job))
+        return
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        pending = []
+        max_inflight = workers * 2
+        for job in jobs:
+            pending.append(pool.submit(fn, job))
+            while len(pending) >= max_inflight:
+                w.write(pending.pop(0).result())
+        for fut in pending:
+            w.write(fut.result())
+
+
 def compress(
     r: BinaryIO,
     w: BinaryIO,
@@ -75,7 +96,7 @@ def compress(
         # pipeline writes them (untagged v3 output would not decode).
         from . import native
 
-        native.compress_native(r, w, opts)
+        native.compress_native(r, w, opts, encode_arrays=encode_arrays)
         return
     if encode_arrays is None:
         encode_arrays = _default_encode_arrays()
@@ -119,22 +140,7 @@ def compress(
         codec = zstd_entropy.get_codec()
         return blockcodec.compress_raw_streams(raw, codec, version)
 
-    if workers <= 1:
-        for blk in all_blocks():
-            w.write(encode_one(blk))
-        return
-
-    # Bounded in-flight window keeps ordered output and caps memory, the
-    # analog of the reference's buffered channels (compress.go:241-242).
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        pending = []
-        max_inflight = workers * 2
-        for blk in all_blocks():
-            pending.append(pool.submit(encode_one, blk))
-            while len(pending) >= max_inflight:
-                w.write(pending.pop(0).result())
-        for fut in pending:
-            w.write(fut.result())
+    ordered_map_write(w, all_blocks(), encode_one, workers)
 
 
 def decompress(
@@ -185,20 +191,7 @@ def decompress(
             ds, qual_offset, decode_arrays=decode_arrays
         )
 
-    if workers <= 1:
-        for job in read_jobs():
-            w.write(decode_one(job))
-        return
-
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        pending = []
-        max_inflight = workers * 2
-        for job in read_jobs():
-            pending.append(pool.submit(decode_one, job))
-            while len(pending) >= max_inflight:
-                w.write(pending.pop(0).result())
-        for fut in pending:
-            w.write(fut.result())
+    ordered_map_write(w, read_jobs(), decode_one, workers)
 
 
 class _ChainedReader:

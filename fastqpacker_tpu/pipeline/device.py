@@ -163,7 +163,9 @@ def decompress_device(
     if fh.version == container.VERSION_3_NATIVE:
         from . import native
 
-        native.decompress_native(r, w, fh, _offset(fh), 0)
+        native.decompress_native(
+            r, w, fh, _offset(fh), api._resolve_workers(opts.workers)
+        )
         return
     if fh.version not in (container.VERSION_1, container.VERSION_2):
         raise container.FormatError(f"unsupported file version: {fh.version}")

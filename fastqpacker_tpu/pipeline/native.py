@@ -39,11 +39,12 @@ STREAM_CODECS = ("seq", "rans", "tok", "zstd", "zstd", "zstd")
 # table, ~1.5 KB at 256 lanes) dominates; fall back to zstd. Each
 # rANS-eligible stream carries a 1-byte codec tag so the decoder knows.
 RANS_MIN_BYTES = 16384
-TAG_RANS = 0
-TAG_ZSTD = 1
-TAG_TOK = 2  # header token-delta transform (ops/tokenize.py) + zstd
-TAG_QCTX = 3  # order-1 context-modeled quality rANS (ops/qualctx.py)
-TAG_SCTX = 4  # order-k context-modeled sequence rANS (ops/seqctx.py)
+# wire tag values live in format/container.py (importable without jax)
+TAG_RANS = container.TAG_RANS
+TAG_ZSTD = container.TAG_ZSTD
+TAG_TOK = container.TAG_TOK
+TAG_QCTX = container.TAG_QCTX
+TAG_SCTX = container.TAG_SCTX
 
 
 def _tok_encode(stream: bytes, count: int) -> bytes:
@@ -297,7 +298,10 @@ def encode_block_native(
 
 
 def compress_native(
-    r: BinaryIO, w: BinaryIO, opts: Optional[api.Options] = None
+    r: BinaryIO,
+    w: BinaryIO,
+    opts: Optional[api.Options] = None,
+    encode_arrays=None,
 ) -> None:
     opts = opts or api.Options()
     block_size = opts.block_size or api.DEFAULT_BLOCK_SIZE
@@ -331,32 +335,17 @@ def compress_native(
         yield first_block
         yield from block_iter
 
-    encode_arrays = api._default_encode_arrays()
+    if encode_arrays is None:
+        encode_arrays = api._default_encode_arrays()
 
     def encode_one(blk: RecordBlock) -> bytes:
         return encode_block_native(
             blk, qual_offset, opts.order1_qual, encode_arrays
         )
 
-    workers = api._resolve_workers(opts.workers)
-    if workers <= 1:
-        for blk in all_blocks():
-            w.write(encode_one(blk))
-        return
-
-    # Same bounded in-flight window as api.compress: ordered output,
-    # capped memory (the reference's buffered channels, compress.go:241).
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        pending = []
-        max_inflight = workers * 2
-        for blk in all_blocks():
-            pending.append(pool.submit(encode_one, blk))
-            while len(pending) >= max_inflight:
-                w.write(pending.pop(0).result())
-        for fut in pending:
-            w.write(fut.result())
+    api.ordered_map_write(
+        w, all_blocks(), encode_one, api._resolve_workers(opts.workers)
+    )
 
 
 def decode_block_payload(
@@ -428,19 +417,4 @@ def decompress_native(
         codec = zstd_entropy.get_codec()
         return decode_block_payload(hdr, payload, codec, qual_offset)
 
-    if workers <= 1:
-        for job in read_jobs():
-            w.write(decode_one(job))
-        return
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        pending = []
-        max_inflight = workers * 2
-        for job in read_jobs():
-            pending.append(pool.submit(decode_one, job))
-            while len(pending) >= max_inflight:
-                w.write(pending.pop(0).result())
-        for fut in pending:
-            w.write(fut.result())
+    api.ordered_map_write(w, read_jobs(), decode_one, workers)

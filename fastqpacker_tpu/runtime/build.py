@@ -50,8 +50,13 @@ def _compile(extra_flags: list[str]) -> bool:
 
 _PGO_WORKLOAD = r"""
 import io, os, sys
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("FQZ_FORCE_CPU", "1")
+# sitecustomize exports JAX_PLATFORMS=axon before user code runs, so
+# setdefault is a no-op — force both the env var and the config call
+# (CLAUDE.md recipe), and pin the transform router to the host path.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["FQZ_BACKEND"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
 import numpy as np
 sys.path.insert(0, os.getcwd())
 from bench import synth_fastq
@@ -77,7 +82,12 @@ def build_pgo() -> str | None:
     os.makedirs(pgo_dir, exist_ok=True)
     if not _compile([f"-fprofile-generate={pgo_dir}"]):
         return None
-    env = dict(os.environ, FQZ_RANS_BACKEND="host")
+    env = dict(
+        os.environ,
+        FQZ_RANS_BACKEND="host",
+        FQZ_BACKEND="cpu",
+        JAX_PLATFORMS="cpu",
+    )
     proc = subprocess.run(
         [sys.executable, "-c", _PGO_WORKLOAD],
         cwd=os.path.dirname(os.path.dirname(_DIR)),

@@ -202,3 +202,14 @@ def test_model_registry_mirrors_pipeline_codecs():
     from fastqpacker_tpu.models import flagship
 
     assert flagship.FQZ_V3_NATIVE.stream_codecs == native.STREAM_CODECS
+
+
+def test_inspect_tag_slots_mirror_stream_codecs():
+    """cli/inspect._V3_TAGGED_SLOTS is a light-import mirror of the
+    pipeline's per-stream codec table; they must agree."""
+    from fastqpacker_tpu.cli import inspect as fqinspect
+
+    tagged = tuple(
+        i for i, pol in enumerate(native.STREAM_CODECS) if pol != "zstd"
+    )
+    assert fqinspect._V3_TAGGED_SLOTS == tagged
