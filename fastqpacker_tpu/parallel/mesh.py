@@ -143,3 +143,143 @@ def encode_blocks_parallel(
     return encode_sharded(
         seq_d, qual_d, len_d, qual_offset=qual_offset, mesh=mesh
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded entropy stage (the TPU-resident rANS coder under shard_map)
+# ---------------------------------------------------------------------------
+
+ENTROPY_LANES = 256
+
+
+def _pow2ceil(x: int, lo: int) -> int:
+    return max(lo, 1 << max(x - 1, 0).bit_length())
+
+
+def entropy_table(streams: np.ndarray, pad_sym: int | None = None):
+    """File-static rANS table over ``(D, M)`` per-device streams.
+
+    The per-block host pipeline builds adaptive per-stream tables; the
+    sharded device pipeline instead shares one replicated table (as the
+    reference fixes the quality encoding from the first batch,
+    compress.go:137-154) so the encode step stays a single compiled
+    program with no host round-trip. Lane padding symbols are included.
+    Returns (freq_cum (2, 256) u32, pad_sym).
+    """
+    from ..ops import rans
+
+    d, m = streams.shape
+    steps = -(-m // ENTROPY_LANES)
+    pad_count = steps * ENTROPY_LANES - m
+    hist = np.bincount(streams.reshape(-1), minlength=256).astype(np.int64)
+    if pad_sym is None:
+        pad_sym = int(np.argmax(hist))
+    hist[pad_sym] += pad_count * d
+    freq = rans.normalize_freqs(hist)
+    freq_cum = np.stack(
+        [freq.astype(np.uint32), rans.cumulative(freq).astype(np.uint32)]
+    )
+    return freq_cum, pad_sym
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "pad_sym", "m_per_shard")
+)
+def entropy_encode_sharded(
+    streams: jax.Array,  # (D, M) uint8, sharded on axis 0
+    freq_cum: jax.Array,  # (2, 256) uint32, replicated
+    *,
+    mesh: Mesh,
+    pad_sym: int,
+    m_per_shard: int,
+):
+    """Per-shard interleaved-lane rANS encode (ops/rans.py kernels) with
+    an in-program all_gather of emitted word counts — the entropy stage
+    of the fully sharded compress step. Returns
+    (words (D, W) u16, states (D, N) u32, totals (D,) i32, offsets (D,)).
+    """
+    from ..ops import rans
+
+    N = ENTROPY_LANES
+    steps = -(-m_per_shard // N)
+    S = rans._pick_smax(steps)
+
+    def local(streams_l, fc):
+        stream = streams_l.reshape(-1)  # (M,)
+        mat = jnp.full((steps * N,), jnp.uint8(pad_sym))
+        mat = jax.lax.dynamic_update_slice(mat, stream, (0,))
+        padded = jnp.zeros((S, N), dtype=jnp.uint8)
+        padded = jax.lax.dynamic_update_slice(
+            padded, mat.reshape(steps, N), (0, 0)
+        )
+        emits, emask, states = rans._encode_kernel.__wrapped__(
+            padded, jnp.int32(steps), fc, S, N
+        )
+        flat, total = rans._compact_global.__wrapped__(emits, emask, S, N)
+        totals = jax.lax.all_gather(total, BLOCK_AXIS)  # (D,)
+        offsets = jnp.cumsum(totals) - totals
+        return (
+            flat[None, :],
+            states[None, :],
+            totals[jax.lax.axis_index(BLOCK_AXIS)][None],
+            offsets[jax.lax.axis_index(BLOCK_AXIS)][None],
+        )
+
+    # check_vma off: the rANS kernels' loop-carry inits are unvarying
+    # constants that become shard-varying through the body (a false
+    # positive for the varying-manual-axes checker)
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P()),
+        out_specs=(
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS),
+            P(BLOCK_AXIS),
+        ),
+        check_vma=False,
+    )(streams, freq_cum)
+
+
+@partial(
+    jax.jit, static_argnames=("mesh", "m_per_shard")
+)
+def entropy_decode_sharded(
+    words: jax.Array,  # (D, W) uint16, sharded
+    states: jax.Array,  # (D, N) uint32, sharded
+    tabs: jax.Array,  # (4, B) uint32 compacted decode tables, replicated
+    *,
+    mesh: Mesh,
+    m_per_shard: int,
+):
+    """Per-shard gather-free rANS decode; inverse of
+    :func:`entropy_encode_sharded`. Returns (D, M) uint8."""
+    from ..ops import rans
+
+    N = ENTROPY_LANES
+    steps = -(-m_per_shard // N)
+    S = rans._pick_smax(steps)
+    B = tabs.shape[1]
+
+    def local(words_l, states_l, tb):
+        # N zeros of tail padding keep the kernel's per-step (base, N)
+        # dynamic slices in bounds on the final steps (mirrors the host
+        # path's _pow2ceil(total + N, ...) padding)
+        wbuf = jnp.concatenate(
+            [words_l.reshape(-1), jnp.zeros((N,), jnp.uint16)]
+        )
+        out_mat, _, _ = rans._decode_kernel_nogather.__wrapped__(
+            wbuf, states_l.reshape(-1), jnp.int32(steps),
+            tb, S, N, B,
+        )
+        flat = out_mat.reshape(-1)[: steps * N]
+        return jax.lax.dynamic_slice(flat, (0,), (m_per_shard,))[None, :]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P()),
+        out_specs=P(BLOCK_AXIS, None),
+        check_vma=False,
+    )(words, states, tabs)

@@ -72,3 +72,30 @@ def test_uneven_batch_rejected(mesh8):
     seq, qual, lengths = _batch(1, 9, 16)
     with pytest.raises(ValueError, match="not divisible"):
         pmesh.encode_blocks_parallel(seq, qual, lengths, 33, mesh8)
+
+
+def test_sharded_entropy_roundtrip(mesh8):
+    """Full sharded entropy stage: per-shard lane rANS encode with
+    in-program word-count all_gather, then sharded decode, byte-exact."""
+    import jax.numpy as jnp
+
+    from fastqpacker_tpu.ops import rans
+
+    rng = np.random.default_rng(31)
+    d, m = 8, 1024
+    streams = rng.integers(0, 40, (d, m)).astype(np.uint8)
+    freq_cum, pad_sym = pmesh.entropy_table(streams)
+    words, states, totals, offsets = pmesh.entropy_encode_sharded(
+        jnp.asarray(streams), jnp.asarray(freq_cum),
+        mesh=mesh8, pad_sym=pad_sym, m_per_shard=m,
+    )
+    tot = np.asarray(totals)
+    offs = np.asarray(offsets)
+    np.testing.assert_array_equal(np.cumsum(tot) - tot, offs)
+
+    freq = np.asarray(freq_cum)[0].astype(np.uint16)
+    tabs = rans.compact_tables(freq)
+    out = pmesh.entropy_decode_sharded(
+        words, states, jnp.asarray(tabs), mesh=mesh8, m_per_shard=m,
+    )
+    np.testing.assert_array_equal(np.asarray(out), streams)
