@@ -305,3 +305,36 @@ def test_output_deterministic_across_worker_counts(version):
     ]
     assert outs[0] == outs[1] == outs[2]
     assert fq.decompress_bytes(outs[0]) == data
+
+
+def test_single_record_blocks_both_formats():
+    """block_size=1 (every record its own block): degenerate header
+    overhead path, all tags falling back to zstd, many tiny blocks
+    through the worker pool."""
+    rng = np.random.default_rng(31)
+    recs = []
+    for i in range(50):
+        ln = int(rng.integers(1, 40))
+        s = "".join("ACGT"[b] for b in rng.integers(0, 4, ln))
+        recs.append((f"b1_{i}", s, "", "I" * ln))
+    data = fastq(*recs)
+    for ver in (container.VERSION_2, container.VERSION_3_NATIVE):
+        comp = fq.compress_bytes(
+            data, fq.Options(block_size=1, version=ver, workers=3)
+        )
+        assert fq.decompress_bytes(comp) == data
+
+
+def test_single_huge_record_v3():
+    """One 300 kbp record (beyond the reference's 65,536 bp N-tracking
+    cap) through the v3 context-coder path: chunk bounds degenerate to
+    one record spanning all chunks."""
+    rng = np.random.default_rng(32)
+    n = 300_000
+    seq = "".join("ACGTN"[b] for b in rng.integers(0, 5, n))
+    qual = "".join(chr(33 + int(b)) for b in rng.integers(0, 40, n))
+    data = fastq(("long read", seq, "", qual))
+    comp = fq.compress_bytes(
+        data, fq.Options(version=container.VERSION_3_NATIVE)
+    )
+    assert fq.decompress_bytes(comp) == data
