@@ -166,7 +166,7 @@ def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb", type=int, default=64)
+    ap.add_argument("--mb", type=int, default=128)
     ap.add_argument(
         "--metric",
         choices=["compress", "decompress", "kernel", "micro"],
