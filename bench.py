@@ -169,7 +169,7 @@ def main() -> int:
     ap.add_argument("--mb", type=int, default=128)
     ap.add_argument(
         "--metric",
-        choices=["compress", "decompress", "kernel", "micro"],
+        choices=["compress", "decompress", "kernel", "micro", "ratio"],
         default="compress",
     )
     ap.add_argument("--repeats", type=int, default=3)
@@ -285,6 +285,24 @@ def _run_metric(args, data, device) -> int:
             "value": round(mbps, 1),
             "unit": "MB/s",
             "vs_baseline": round(mbps / BASELINE_DECOMPRESS_MBPS, 3),
+        }
+    elif args.metric == "ratio":
+        # best-ratio configuration (fqz-v3-max); baseline: fqpack's
+        # published 3.25x on ERR532393 (README.md:19) — note the
+        # synthetic fixture compresses better than real reads.
+        from fastqpacker_tpu import models
+        from fastqpacker_tpu.pipeline import api as fqapi
+
+        opts = models.get_model("fqz-v3-max").options()
+        comp = fqapi.compress_bytes(data, opts)
+        assert fqapi.decompress_bytes(comp) == data
+        ratio = len(data) / len(comp)
+        log(f"v3-max ratio {ratio:.3f}x ({len(comp):,} bytes)")
+        result = {
+            "metric": "compression_ratio",
+            "value": round(ratio, 3),
+            "unit": "x",
+            "vs_baseline": round(ratio / 3.25, 3),
         }
     else:
         mbps, ratio, best = bench_compress(data, device, args.repeats)

@@ -23,6 +23,8 @@ class CodecModel:
     wide_npos: bool  # u32 N positions (no 65,536 bp cap)
     block_crc32: bool
 
+    max_ratio: bool = False  # order-1/2 qual competition + stronger zstd
+
     def options(self, block_size: int = 0, workers: int = 0):
         from ..pipeline import api
 
@@ -30,6 +32,7 @@ class CodecModel:
             block_size=block_size or api.DEFAULT_BLOCK_SIZE,
             workers=workers,
             version=self.version,
+            order1_qual=self.max_ratio,
         )
 
 
@@ -62,9 +65,23 @@ FQZ_V3_NATIVE = CodecModel(
     block_crc32=True,
 )
 
+FQZ_V3_MAX = CodecModel(
+    name="fqz-v3-max",
+    version=container.VERSION_3_NATIVE,
+    description=(
+        "FQZ v3 tuned for ratio (CLI --max-ratio): the context-model "
+        "competition is opened to every stream and zstd-coded streams "
+        "use level 9; slower compress, best size"
+    ),
+    stream_codecs=FQZ_V3_NATIVE.stream_codecs,
+    wide_npos=True,
+    block_crc32=True,
+    max_ratio=True,
+)
+
 FLAGSHIP = FQZ_V2_ZSTD  # default output format (interop first)
 
-REGISTRY = {m.name: m for m in (FQZ_V2_ZSTD, FQZ_V3_NATIVE)}
+REGISTRY = {m.name: m for m in (FQZ_V2_ZSTD, FQZ_V3_NATIVE, FQZ_V3_MAX)}
 
 # CLI --format aliases
 ALIASES = {"zstd": FQZ_V2_ZSTD.name, "native": FQZ_V3_NATIVE.name}
