@@ -208,6 +208,48 @@ def estimate_size(hist6: np.ndarray, order: int) -> int:
     return int(bits / 8) + _table_overhead(order, freq)
 
 
+def sample_estimate(
+    packed: np.ndarray, lengths: np.ndarray, max_bases: int = 1 << 20
+) -> int | None:
+    """Optimistic projected sctx size from a record-aligned prefix.
+
+    A cheap pre-gate for the pick: the full histogram pass costs
+    ~1 op/base over the whole stream; on data with no order-k structure
+    (uncorrelated DNA) that pass is pure waste. Runs the normal prepare
+    on up to ``max_bases`` leading records (C++ path, ~4 ms/Mbase) and
+    projects each candidate order's per-base rate over the stream,
+    taking the minimum. The projection is *optimistic* (sampled tables
+    under-count used contexts, so overhead is under-estimated), which is
+    the safe direction for a skip-gate. Returns None when the stream is
+    within 2x of the sample budget (just run the real estimate).
+    """
+    lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    if total <= 2 * max_bases:
+        return None
+    csum = np.cumsum(lengths)
+    nrec_s = max(1, int(np.searchsorted(csum, max_bases, side="right")))
+    lens_s = lengths[:nrec_s]
+    nb = int(lens_s.sum())
+    if nb == 0:
+        return None
+    plen_s = int(packed_row_lengths(lens_s).sum())
+    _, hist6_s = prepare(np.ascontiguousarray(packed[:plen_s]), lens_s)
+    best = None
+    for k in ORDERS:
+        hist = marginalize(hist6_s, k) if k < MAX_ORDER else hist6_s
+        freq = normalize_tables(hist)
+        nzm = hist > 0
+        f = freq.astype(np.float64)
+        bits = float(
+            np.sum(hist[nzm] * (PROB_BITS - np.log2(np.maximum(f[nzm], 1))))
+        )
+        proj = int(bits / nb * total / 8) + _table_overhead(k, freq)
+        if best is None or proj < best:
+            best = proj
+    return best
+
+
 def pick_order(hist6: np.ndarray) -> tuple[int, int]:
     """-> (best order, its estimated size)."""
     best, best_sz = ORDERS[0], None

@@ -98,7 +98,16 @@ def _encode_tagged(s: bytes, codec) -> bytes:
     return bytes([TAG_ZSTD]) + z
 
 
-def _encode_tagged_seq(s: bytes, lengths: np.ndarray, codec) -> bytes:
+# A context-coder pick must beat the cheap competition by this factor
+# before its coder runs: on uncorrelated DNA sctx still "wins" by the
+# pack's padding bits + zstd framing (<1%), which is not worth running
+# a ~4x-slower coder both directions. --max-ratio waives the margin.
+SCTX_WIN_MARGIN = 0.98
+
+
+def _encode_tagged_seq(
+    s: bytes, lengths: np.ndarray, codec, max_ratio: bool = False
+) -> bytes:
     """Sequence-stream pick: zstd vs order-0 rANS vs order-k context
     model over the unpacked bases, by estimated-then-verified size.
 
@@ -106,21 +115,35 @@ def _encode_tagged_seq(s: bytes, lengths: np.ndarray, codec) -> bytes:
     candidates floor at ~2 bits/base; the context model is the only one
     that can go below on real (correlated) DNA. Its histogram pass is
     one cheap sweep, so it is always estimated; the coder only runs
-    when the estimate beats the measured/estimated competition.
+    when the estimate beats the measured/estimated competition by
+    :data:`SCTX_WIN_MARGIN` (or at all, under --max-ratio).
     """
     z = codec.compress(s)
     if len(s) < RANS_MIN_BYTES:
         return bytes([TAG_ZSTD]) + z
     r0 = _rans_size_estimate(s)
     bar = min(len(z), r0)
+    margin = 1.0 if max_ratio else SCTX_WIN_MARGIN
     from ..ops import seqctx
 
+    est_s = None
     try:
-        bases, hist6 = seqctx.prepare(np.frombuffer(s, np.uint8), lengths)
-        _, est_s = seqctx.pick_order(hist6)
+        sctx_hopeless = False
+        if not max_ratio:
+            # sampled pre-gate: skip the full histogram pass when even
+            # the optimistic sampled projection cannot reach the margin
+            proj = seqctx.sample_estimate(
+                np.frombuffer(s, np.uint8), lengths
+            )
+            sctx_hopeless = proj is not None and proj >= bar * margin
+        if not sctx_hopeless:
+            bases, hist6 = seqctx.prepare(
+                np.frombuffer(s, np.uint8), lengths
+            )
+            _, est_s = seqctx.pick_order(hist6)
     except ValueError:
         est_s = None
-    if est_s is not None and est_s < bar:
+    if est_s is not None and est_s < bar * margin:
         q = seqctx.encode_prepared(bases, lengths, hist6)
         if len(q) < bar:
             return bytes([TAG_SCTX]) + q
@@ -275,7 +298,9 @@ def encode_block_native(
             )
         elif policy == "seq":
             lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
-            comp.append(_encode_tagged_seq(s, lengths, codec))
+            comp.append(
+                _encode_tagged_seq(s, lengths, codec, order1_qual)
+            )
         elif policy == "rans":
             comp.append(_encode_tagged(s, codec))
         elif policy == "tok":
