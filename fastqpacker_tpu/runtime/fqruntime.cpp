@@ -16,6 +16,121 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#define FQ_AVX2 1
+#endif
+
+// ---------------------------------------------------------------------------
+// SIMD row kernels (AVX2/SSE). Each has a scalar twin in the callers below;
+// byte-identical output is asserted by the runtime equivalence tests
+// (tests/test_runtime.py) against ops/reference.py.
+// ---------------------------------------------------------------------------
+#ifdef FQ_AVX2
+namespace {
+
+// 2-bit pack of 32 bases -> 8 bytes (LSB-first within byte,
+// reference sequence.go:70-73 layout). Returns a 32-bit mask of
+// non-ACGT positions (bit j = seq[j] invalid) for N-side-stream
+// handling by the caller. Case-insensitive via &0xDF, matching the
+// scalar code_lut (non-ACGT packs as code 0 == 'A').
+inline uint32_t pack32_avx2(const uint8_t* seq, uint8_t* dst) {
+  const __m256i v = _mm256_loadu_si256((const __m256i*)seq);
+  const __m256i up = _mm256_and_si256(v, _mm256_set1_epi8((char)0xDF));
+  const __m256i isA = _mm256_cmpeq_epi8(up, _mm256_set1_epi8('A'));
+  const __m256i isC = _mm256_cmpeq_epi8(up, _mm256_set1_epi8('C'));
+  const __m256i isG = _mm256_cmpeq_epi8(up, _mm256_set1_epi8('G'));
+  const __m256i isT = _mm256_cmpeq_epi8(up, _mm256_set1_epi8('T'));
+  const __m256i code = _mm256_or_si256(
+      _mm256_or_si256(_mm256_and_si256(isC, _mm256_set1_epi8(1)),
+                      _mm256_and_si256(isG, _mm256_set1_epi8(2))),
+      _mm256_and_si256(isT, _mm256_set1_epi8(3)));
+  const __m256i valid = _mm256_or_si256(_mm256_or_si256(isA, isC),
+                                        _mm256_or_si256(isG, isT));
+  // c0 + 4*c1 per byte pair -> u16, then + 16*(c2 + 4*c3) -> u32 whose
+  // low byte is c0|c1<<2|c2<<4|c3<<6.
+  const __m256i m1 =
+      _mm256_maddubs_epi16(code, _mm256_set1_epi16(0x0401));
+  const __m256i m2 = _mm256_madd_epi16(m1, _mm256_set1_epi32(0x00100001));
+  const __m256i shuf = _mm256_shuffle_epi8(
+      m2, _mm256_setr_epi8(0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+                           -1, -1, -1, 0, 4, 8, 12, -1, -1, -1, -1, -1, -1,
+                           -1, -1, -1, -1, -1, -1));
+  const uint32_t lo = (uint32_t)_mm_cvtsi128_si32(_mm256_castsi256_si128(shuf));
+  const uint32_t hi =
+      (uint32_t)_mm_cvtsi128_si32(_mm256_extracti128_si256(shuf, 1));
+  memcpy(dst, &lo, 4);
+  memcpy(dst + 4, &hi, 4);
+  return ~(uint32_t)_mm256_movemask_epi8(valid);
+}
+
+// Unpack 16 packed bytes -> 64 bases via nibble pshufb LUTs + byte
+// interleave; the inverse of pack32_avx2 sans N patching.
+inline void unpack16_sse(const __m128i p, uint8_t* dst) {
+  const __m128i lut_f0 = _mm_setr_epi8('A', 'C', 'G', 'T', 'A', 'C', 'G', 'T',
+                                       'A', 'C', 'G', 'T', 'A', 'C', 'G', 'T');
+  const __m128i lut_f1 = _mm_setr_epi8('A', 'A', 'A', 'A', 'C', 'C', 'C', 'C',
+                                       'G', 'G', 'G', 'G', 'T', 'T', 'T', 'T');
+  const __m128i mask0f = _mm_set1_epi8(0x0F);
+  const __m128i lo = _mm_and_si128(p, mask0f);
+  const __m128i hi = _mm_and_si128(_mm_srli_epi16(p, 4), mask0f);
+  const __m128i b0 = _mm_shuffle_epi8(lut_f0, lo);
+  const __m128i b1 = _mm_shuffle_epi8(lut_f1, lo);
+  const __m128i b2 = _mm_shuffle_epi8(lut_f0, hi);
+  const __m128i b3 = _mm_shuffle_epi8(lut_f1, hi);
+  const __m128i t0 = _mm_unpacklo_epi8(b0, b1);
+  const __m128i t1 = _mm_unpackhi_epi8(b0, b1);
+  const __m128i t2 = _mm_unpacklo_epi8(b2, b3);
+  const __m128i t3 = _mm_unpackhi_epi8(b2, b3);
+  _mm_storeu_si128((__m128i*)dst, _mm_unpacklo_epi16(t0, t2));
+  _mm_storeu_si128((__m128i*)(dst + 16), _mm_unpackhi_epi16(t0, t2));
+  _mm_storeu_si128((__m128i*)(dst + 32), _mm_unpacklo_epi16(t1, t3));
+  _mm_storeu_si128((__m128i*)(dst + 48), _mm_unpackhi_epi16(t1, t3));
+}
+
+// Unpack a whole row with exact-length stores (no overshoot: the tail
+// goes through a stack temp so short rows and final records are safe).
+inline void unpack_row_sse(const uint8_t* packed, long long len,
+                           uint8_t* dst) {
+  long long j = 0;
+  while (j + 64 <= len) {
+    unpack16_sse(_mm_loadu_si128((const __m128i*)(packed + (j >> 2))), dst + j);
+    j += 64;
+  }
+  if (j < len) {
+    uint8_t ptmp[16], otmp[64];
+    const long long prem = ((len - j) + 3) >> 2;
+    memcpy(ptmp, packed + (j >> 2), (size_t)prem);
+    unpack16_sse(_mm_loadu_si128((const __m128i*)ptmp), otmp);
+    memcpy(dst + j, otmp, (size_t)(len - j));
+  }
+}
+
+// Quality delta-integrate + denormalize one row: dst[k] = qoffset +
+// sum(src[0..k]) mod 256, via SSE byte prefix sums with a running carry.
+inline void integrate_row_sse(const uint8_t* src, long long len,
+                              uint8_t qoffset, uint8_t* dst) {
+  uint8_t carry = qoffset;
+  long long j = 0;
+  for (; j + 16 <= len; j += 16) {
+    __m128i x = _mm_loadu_si128((const __m128i*)(src + j));
+    x = _mm_add_epi8(x, _mm_slli_si128(x, 1));
+    x = _mm_add_epi8(x, _mm_slli_si128(x, 2));
+    x = _mm_add_epi8(x, _mm_slli_si128(x, 4));
+    x = _mm_add_epi8(x, _mm_slli_si128(x, 8));
+    x = _mm_add_epi8(x, _mm_set1_epi8((char)carry));
+    _mm_storeu_si128((__m128i*)(dst + j), x);
+    carry = (uint8_t)_mm_extract_epi8(x, 15);
+  }
+  for (; j < len; j++) {
+    carry = (uint8_t)(carry + src[j]);
+    dst[j] = carry;
+  }
+}
+
+}  // namespace
+#endif  // FQ_AVX2
+
 extern "C" {
 
 // Error codes shared with bindings.py
@@ -542,6 +657,9 @@ int fq_build_streams(const uint8_t* text, const long long* offs,
   }
   long long so = 0, qo = 0, ho = 0, po = 0, no = 0, lo = 0;
   int32_t minq = 255;
+#ifdef FQ_AVX2
+  __m256i vminall = _mm256_set1_epi8((char)0xFF);
+#endif
   for (long long i = 0; i < n; i++) {
     const long long* o = offs + i * 8;
     const uint8_t* seq = text + o[2];
@@ -554,6 +672,27 @@ int fq_build_streams(const uint8_t* text, const long long* offs,
     long long npos_cnt_off = no;  // reserve count slot
     no += wide ? 4 : 2;
     uint32_t cnt = 0;
+#ifdef FQ_AVX2
+    for (; j + 32 <= len; j += 32) {
+      uint32_t inv = pack32_avx2(seq + j, seq_out + so);
+      so += 8;
+      while (inv) {  // rare: ambiguous bases -> N side stream
+        const long long pos = j + __builtin_ctz(inv);
+        inv &= inv - 1;
+        if (pos < cap) {
+          if (wide) {
+            uint32_t p32 = (uint32_t)pos;
+            memcpy(npos_out + no, &p32, 4);
+            no += 4;
+          } else {
+            npos_out[no++] = (uint8_t)(pos & 0xFF);
+            npos_out[no++] = (uint8_t)(pos >> 8);
+          }
+          cnt++;
+        }
+      }
+    }
+#endif
     for (; j + 4 <= len; j += 4) {
       uint8_t b0 = seq[j], b1 = seq[j + 1], b2 = seq[j + 2], b3 = seq[j + 3];
       seq_out[so++] =
@@ -606,7 +745,19 @@ int fq_build_streams(const uint8_t* text, const long long* offs,
     if (len > 0) {
       qual_out[qo++] = (uint8_t)(qual[0] - qoffset);
       if (qual[0] < minq) minq = qual[0];
-      for (long long k = 1; k < len; k++) {
+      long long k = 1;
+#ifdef FQ_AVX2
+      for (; k + 32 <= len; k += 32) {
+        const __m256i cur = _mm256_loadu_si256((const __m256i*)(qual + k));
+        const __m256i prev =
+            _mm256_loadu_si256((const __m256i*)(qual + k - 1));
+        _mm256_storeu_si256((__m256i*)(qual_out + qo),
+                            _mm256_sub_epi8(cur, prev));
+        qo += 32;
+        vminall = _mm256_min_epu8(vminall, cur);
+      }
+#endif
+      for (; k < len; k++) {
         qual_out[qo++] = (uint8_t)(qual[k] - qual[k - 1]);
         if (qual[k] < minq) minq = qual[k];
       }
@@ -628,6 +779,14 @@ int fq_build_streams(const uint8_t* text, const long long* offs,
     memcpy(len_out + lo, &l32, 4);
     lo += 4;
   }
+#ifdef FQ_AVX2
+  {  // fold the vector min lanes into the scalar running min
+    uint8_t mtmp[32];
+    _mm256_storeu_si256((__m256i*)mtmp, vminall);
+    for (int k = 0; k < 32; k++)
+      if (mtmp[k] < minq) minq = mtmp[k];
+  }
+#endif
   sizes_out[0] = so; sizes_out[1] = qo; sizes_out[2] = ho;
   sizes_out[3] = po; sizes_out[4] = no; sizes_out[5] = lo;
   *min_qual_out = minq;
@@ -691,6 +850,9 @@ long long fq_decode_block_full(
     const long long plen = (len + 3) / 4;
     if (so + plen > seq_n) return -1;
     uint8_t* seq_dst = out + oo;
+#ifdef FQ_AVX2
+    unpack_row_sse(seq_s + so, len, seq_dst);
+#else
     {
       const long long full = len >> 2;
       for (long long j = 0; j < full; j++) {
@@ -703,6 +865,7 @@ long long fq_decode_block_full(
         memcpy(seq_dst + 4 * full, &v, (size_t)rem);
       }
     }
+#endif
     so += plen;
     // N positions
     if (wide) {
@@ -748,12 +911,16 @@ long long fq_decode_block_full(
 
     // quality: delta integrate + denormalize
     if (qo + len > qual_n) return -2;
-    uint8_t acc = 0;
     uint8_t* qdst = out + oo;
+#ifdef FQ_AVX2
+    integrate_row_sse(qual_s + qo, len, qoffset, qdst);
+#else
+    uint8_t acc = 0;
     for (long long j = 0; j < len; j++) {
       acc = (uint8_t)(acc + qual_s[qo + j]);
       qdst[j] = (uint8_t)(acc + qoffset);
     }
+#endif
     qo += len;
     oo += len;
     out[oo++] = '\n';
