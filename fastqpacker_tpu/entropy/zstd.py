@@ -22,12 +22,28 @@ _lib_lock = threading.Lock()
 
 # ZSTD_cParameter / ZSTD_dParameter enum values (zstd.h, stable API).
 _ZSTD_c_compressionLevel = 100
+_ZSTD_c_hashLog = 102
+_ZSTD_c_targetLength = 106
 _ZSTD_c_checksumFlag = 201
 
 _ZSTD_CONTENTSIZE_UNKNOWN = 2**64 - 1
 _ZSTD_CONTENTSIZE_ERROR = 2**64 - 2
 
 DEFAULT_LEVEL = 1  # SpeedFastest equivalent
+
+# Level-1 tuning (journal E028): hashLog 15 is ~10% faster than the level-1
+# default at byte-equal output on the FASTQ stream mix; zstd clamps it for
+# small inputs, so it is safe to set unconditionally at level 1.
+_FAST_HASH_LOG = 15
+
+# compress_adaptive probe: sample this prefix at normal settings; if it
+# stays above the ratio threshold the stream is treated as incompressible
+# and coded with the accelerated context (targetLength acts as the fast
+# strategy's acceleration factor — +35% on packed random DNA at identical
+# output size, but ruinous on compressible data, hence the probe).
+_PROBE_BYTES = 128 << 10
+_PROBE_MIN_STREAM = 1 << 20
+_PROBE_INCOMPRESSIBLE = 0.97
 
 
 class ZstdError(RuntimeError):
@@ -91,6 +107,25 @@ def _check(lib, code: int) -> int:
     return code
 
 
+def _src_view(data):
+    """(object-to-keep-alive, pointer-arg, nbytes) for bytes-like input
+    without copying: bytes pass as a borrowed pointer, writable buffers
+    (numpy arrays, bytearrays) via from_buffer. Only non-contiguous or
+    exotic readonly buffers fall back to a bytes copy."""
+    if isinstance(data, bytes):
+        return data, data, len(data)
+    try:
+        mv = memoryview(data).cast("B")
+    except TypeError:
+        data = bytes(data)
+        return data, data, len(data)
+    if not mv.readonly:
+        buf = (ctypes.c_char * mv.nbytes).from_buffer(mv)
+        return mv, buf, mv.nbytes
+    data = mv.tobytes()
+    return data, data, len(data)
+
+
 class ZstdCodec:
     """One compression + decompression context pair.
 
@@ -101,8 +136,11 @@ class ZstdCodec:
 
     def __init__(self, level: int = DEFAULT_LEVEL, checksum: bool = True):
         self._lib = _load()
+        self._level = level
+        self._checksum = checksum
         self._cctx = self._lib.ZSTD_createCCtx()
         self._dctx = self._lib.ZSTD_createDCtx()
+        self._accel_cctx = None  # lazy, see compress_adaptive
         if not self._cctx or not self._dctx:
             raise ZstdError("failed to create zstd context")
         _check(
@@ -111,6 +149,13 @@ class ZstdCodec:
                 self._cctx, _ZSTD_c_compressionLevel, level
             ),
         )
+        if level == 1:
+            _check(
+                self._lib,
+                self._lib.ZSTD_CCtx_setParameter(
+                    self._cctx, _ZSTD_c_hashLog, _FAST_HASH_LOG
+                ),
+            )
         _check(
             self._lib,
             self._lib.ZSTD_CCtx_setParameter(
@@ -125,44 +170,78 @@ class ZstdCodec:
         if getattr(self, "_cctx", None):
             lib.ZSTD_freeCCtx(self._cctx)
             self._cctx = None
+        if getattr(self, "_accel_cctx", None):
+            lib.ZSTD_freeCCtx(self._accel_cctx)
+            self._accel_cctx = None
         if getattr(self, "_dctx", None):
             lib.ZSTD_freeDCtx(self._dctx)
             self._dctx = None
 
     def compress(self, data) -> bytes:
         """Compress bytes-like data into a single zstd frame."""
-        if not isinstance(data, bytes):
-            data = bytes(data)
-        bound = self._lib.ZSTD_compressBound(len(data))
+        return self._compress_ctx(self._cctx, data)
+
+    def _compress_ctx(self, cctx, data) -> bytes:
+        keep, src, nbytes = _src_view(data)
+        bound = self._lib.ZSTD_compressBound(nbytes)
         dst = ctypes.create_string_buffer(bound)
-        # bytes pass zero-copy as a borrowed pointer
         n = _check(
             self._lib,
             self._lib.ZSTD_compress2(
-                self._cctx, dst, bound, data if len(data) else None, len(data)
+                cctx, dst, bound, src if nbytes else None, nbytes
             ),
         )
-        return dst.raw[:n]
+        del keep
+        # string_at copies only the n output bytes; dst.raw[:n] would
+        # materialize the whole compressBound-sized buffer first
+        return ctypes.string_at(dst, n)
+
+    def compress_adaptive(self, data) -> bytes:
+        """Compress, accelerating streams a sampled probe shows to be
+        incompressible (e.g. 2-bit packed high-entropy DNA, where the
+        match search is pure waste). Output is always a standard zstd
+        frame; only the search effort varies, so interop and decode are
+        unaffected. Small streams skip the probe."""
+        mv = data if isinstance(data, bytes) else memoryview(data).cast("B")
+        if len(mv) < _PROBE_MIN_STREAM:
+            return self._compress_ctx(self._cctx, data)
+        probe = self._compress_ctx(self._cctx, mv[:_PROBE_BYTES])
+        if len(probe) < _PROBE_INCOMPRESSIBLE * _PROBE_BYTES:
+            return self._compress_ctx(self._cctx, data)
+        if self._accel_cctx is None:
+            cctx = self._lib.ZSTD_createCCtx()
+            if not cctx:
+                raise ZstdError("failed to create zstd context")
+            for param, val in (
+                (_ZSTD_c_compressionLevel, self._level),
+                (_ZSTD_c_hashLog, _FAST_HASH_LOG),
+                (_ZSTD_c_targetLength, 1024),
+                (_ZSTD_c_checksumFlag, 1 if self._checksum else 0),
+            ):
+                _check(
+                    self._lib,
+                    self._lib.ZSTD_CCtx_setParameter(cctx, param, val),
+                )
+            self._accel_cctx = cctx
+        return self._compress_ctx(self._accel_cctx, data)
 
     def decompress(self, data, expected_size: int | None = None) -> bytes:
         """Decompress a single zstd frame (frame checksum verified)."""
-        if not isinstance(data, bytes):
-            data = bytes(data)
-        if len(data) == 0:
+        keep, src, nbytes = _src_view(data)
+        if nbytes == 0:
             return b""
-        src = data
         size = expected_size
         if size is None:
-            got = self._lib.ZSTD_getFrameContentSize(src, len(data))
+            got = self._lib.ZSTD_getFrameContentSize(src, nbytes)
             if got in (_ZSTD_CONTENTSIZE_UNKNOWN, _ZSTD_CONTENTSIZE_ERROR):
                 # Fall back to growing buffer via streaming-free retry.
-                size = max(4 * len(data), 1 << 16)
+                size = max(4 * nbytes, 1 << 16)
             else:
                 size = got
         while True:
             dst = ctypes.create_string_buffer(max(size, 1))
             code = self._lib.ZSTD_decompressDCtx(
-                self._dctx, dst, size, src, len(data)
+                self._dctx, dst, size, src, nbytes
             )
             if self._lib.ZSTD_isError(code):
                 name = self._lib.ZSTD_getErrorName(code).decode()
@@ -170,7 +249,8 @@ class ZstdCodec:
                     size *= 4
                     continue
                 raise ZstdError(name)
-            return dst.raw[:code]
+            del keep
+            return ctypes.string_at(dst, code)
 
 
 _tls = threading.local()

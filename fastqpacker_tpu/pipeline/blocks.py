@@ -318,7 +318,10 @@ def compress_raw_streams(
 ) -> bytes:
     """Entropy-code streams and serialize block header + payload."""
     ordered = raw.ordered(version)
-    comp = [codec.compress(s) for s in ordered]
+    # streams an on-the-fly probe shows to be incompressible (packed
+    # high-entropy DNA) skip the match search (E028)
+    compress_one = getattr(codec, "compress_adaptive", codec.compress)
+    comp = [compress_one(s) for s in ordered]
     hdr = container.BlockHeader(
         num_records=raw.num_records,
         original_seq_size=raw.original_seq_size,
