@@ -303,30 +303,75 @@ class FastqStreamParser:
         else:
             yield from self._blocks_numpy()
 
+    def _read_into(self, buf: np.ndarray, filled: int) -> int:
+        """Fill ``buf[filled:]`` from the reader until full or EOF; one
+        copy from the source, no intermediate bytes objects."""
+        readinto = getattr(self.reader, "readinto", None)
+        mv = memoryview(buf).cast("B")
+        while not self._eof and filled < len(buf):
+            if readinto is not None:
+                try:
+                    got = readinto(mv[filled:])
+                except (NotImplementedError, io.UnsupportedOperation):
+                    # e.g. the CLI's gzip-sniff peek wrapper only
+                    # implements read()
+                    readinto = None
+                    continue
+                if not got:
+                    self._eof = True
+                    break
+                filled += got
+            else:
+                chunk = self.reader.read(len(buf) - filled)
+                if not chunk:
+                    self._eof = True
+                    break
+                buf[filled : filled + len(chunk)] = np.frombuffer(
+                    chunk, np.uint8
+                )
+                filled += len(chunk)
+        return filled
+
     def _blocks_native(self, nat) -> Iterator[RecordBlock]:
         from ..runtime.bindings import SCAN_ERRORS
 
         avg = 512  # adaptive bytes-per-record estimate
+        leftover = b""
         while True:
-            target = int(self.block_size * avg * 1.15) + 1024
-            self._fill(target)
-            data = np.frombuffer(self._pending, dtype=np.uint8)
-            if len(data) == 0:
-                return
-            offs, consumed, err = nat.scan_records(data, self.block_size)
-            if err:
-                raise FastqParseError(SCAN_ERRORS[err])
-            n = len(offs) if offs is not None else 0
-            if n < self.block_size and not self._eof:
+            # One fresh buffer per block: yielded blocks hold views into
+            # it, so ownership transfers and it is never mutated after
+            # the leftover tail is copied out.
+            target = max(int(self.block_size * avg * 1.15) + 1024,
+                         len(leftover))
+            buf = np.empty(target, np.uint8)  # no zero-fill
+            if leftover:
+                buf[: len(leftover)] = np.frombuffer(leftover, np.uint8)
+            filled = self._read_into(buf, len(leftover))
+            leftover = b""
+            while True:
+                data = buf[:filled]
+                if filled == 0:
+                    return
+                offs, consumed, err = nat.scan_records(data, self.block_size)
+                if err:
+                    raise FastqParseError(SCAN_ERRORS[err])
+                n = len(offs) if offs is not None else 0
+                if n >= self.block_size or self._eof:
+                    break
                 avg *= 2  # underestimated record size; read more
-                continue
+                bigger = np.empty(
+                    int(self.block_size * avg * 1.15) + 1024, np.uint8
+                )
+                bigger[:filled] = buf[:filled]
+                buf = bigger
+                filled = self._read_into(buf, filled)
             if n == 0:
                 return  # EOF; partial-record lines already validated by scan
             block = _block_from_offsets(data, offs)
-            self._pending = data[consumed:].tobytes()
+            leftover = buf[consumed:filled].tobytes()
             avg = max(64, consumed // n)
             yield block
-            if self._eof and not self._pending:
+            if self._eof and not leftover:
                 return
 
     def _blocks_numpy(self) -> Iterator[RecordBlock]:
