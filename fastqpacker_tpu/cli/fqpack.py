@@ -37,8 +37,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="output file (default: stdout)")
     p.add_argument("-c", action="store_true", dest="to_stdout",
                    help="write to stdout (compress mode)")
-    p.add_argument("-b", dest="block_size", type=int,
-                   default=api.DEFAULT_BLOCK_SIZE, help="records per block")
+    p.add_argument("-b", dest="block_size", type=int, default=0,
+                   help="records per block (0 = auto: 37500 for the v1/v2 "
+                        "speed path, 100000 for v3 context models)")
     p.add_argument("-w", dest="workers", type=int, default=0,
                    help="compression workers (default: NumCPU)")
     p.add_argument("-version", action="store_true", dest="show_version",

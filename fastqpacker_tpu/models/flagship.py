@@ -29,7 +29,7 @@ class CodecModel:
         from ..pipeline import api
 
         return api.Options(
-            block_size=block_size or api.DEFAULT_BLOCK_SIZE,
+            block_size=block_size,  # 0 -> auto (api.resolve_block_size)
             workers=workers,
             version=self.version,
             order1_qual=self.max_ratio,

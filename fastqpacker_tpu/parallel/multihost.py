@@ -185,7 +185,7 @@ def compress_host_section(
     from ..pipeline import blocks as blockcodec
 
     opts = opts or api.Options()
-    block_size = opts.block_size or api.DEFAULT_BLOCK_SIZE
+    block_size = api.resolve_block_size(opts)
     out = io.BytesIO()
 
     with open(path, "rb") as f:
@@ -255,7 +255,7 @@ def _section_bytes(
     flags = container.FLAG_PHRED64 if section.qual_offset == 64 else 0
     header = container.FileHeader(
         version=opts.version,
-        block_size=opts.block_size or api.DEFAULT_BLOCK_SIZE,
+        block_size=api.resolve_block_size(opts),
         flags=flags,
     ).to_bytes()
     return header + section.payload

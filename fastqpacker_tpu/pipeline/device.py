@@ -92,7 +92,7 @@ def compress_device(
 ) -> None:
     """Compress FASTQ using the TPU for the dense block transforms."""
     opts = opts or api.Options()
-    block_size = opts.block_size or api.DEFAULT_BLOCK_SIZE
+    block_size = api.resolve_block_size(opts)
     version = opts.version
 
     if version == container.VERSION_3_NATIVE:

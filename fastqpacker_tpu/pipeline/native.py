@@ -329,7 +329,7 @@ def compress_native(
     encode_arrays=None,
 ) -> None:
     opts = opts or api.Options()
-    block_size = opts.block_size or api.DEFAULT_BLOCK_SIZE
+    block_size = api.resolve_block_size(opts)
 
     parser = FastqStreamParser(r, block_size=block_size)
     block_iter = parser.blocks()
