@@ -299,9 +299,64 @@ class FastqStreamParser:
     def blocks(self) -> Iterator[RecordBlock]:
         nat = _native()
         if nat is not None:
-            yield from self._blocks_native(nat)
+            mv = self._inmem_view()
+            if mv is not None:
+                yield from self._blocks_native_inmem(nat, mv)
+            else:
+                yield from self._blocks_native(nat)
         else:
             yield from self._blocks_numpy()
+
+    def _inmem_view(self):
+        """Zero-copy view of the whole source when it is addressable:
+        BytesIO buffers directly, regular files via mmap. Pipes, sockets,
+        gzip wrappers, and peek wrappers return None (streaming path).
+        The reader is advanced to EOF — block views replace reads."""
+        r = self.reader
+        if isinstance(r, io.BytesIO):
+            pos = r.tell()
+            buf = r.getbuffer()
+            r.seek(0, io.SEEK_END)
+            return buf[pos:] if pos else buf
+        if isinstance(r, io.BufferedReader) and isinstance(
+            getattr(r, "raw", None), io.FileIO
+        ):
+            import mmap
+            import os
+            import stat
+
+            try:
+                st = os.fstat(r.fileno())
+                if not stat.S_ISREG(st.st_mode) or st.st_size == 0:
+                    return None
+                pos = r.tell()
+                mm = mmap.mmap(r.fileno(), 0, access=mmap.ACCESS_READ)
+            except (OSError, ValueError):
+                return None
+            r.seek(0, io.SEEK_END)
+            self._mmap = mm  # keep alive for the yielded block views
+            return memoryview(mm)[pos:] if pos else memoryview(mm)
+        return None
+
+    def _blocks_native_inmem(self, nat, mv) -> Iterator[RecordBlock]:
+        """Scan record blocks in place over an addressable source — no
+        block buffers, no copies; yielded blocks view the source."""
+        from ..runtime.bindings import SCAN_ERRORS
+
+        arr = np.frombuffer(mv, np.uint8)
+        pos = 0
+        while pos < arr.size:
+            data = arr[pos:]
+            offs, consumed, err = nat.scan_records(data, self.block_size)
+            if err:
+                raise FastqParseError(SCAN_ERRORS[err])
+            n = len(offs) if offs is not None else 0
+            if n == 0:
+                # partial trailing record at EOF: complete lines already
+                # validated by the scan; dropped like the streaming path
+                return
+            yield _block_from_offsets(data, offs)
+            pos += consumed
 
     def _read_into(self, buf: np.ndarray, filled: int) -> int:
         """Fill ``buf[filled:]`` from the reader until full or EOF; one

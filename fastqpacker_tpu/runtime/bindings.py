@@ -508,6 +508,91 @@ def decode_block_full(ds, qual_offset: int, wide: bool) -> bytes:
     return out[:written].tobytes()
 
 
+def _bind_encode_block_v2(lib):
+    lib.fq_encode_block_v2.restype = _ll
+    lib.fq_encode_block_v2.argtypes = [
+        _u8p, _i64p, _ll, _u8, ctypes.c_int, _ll, _u8p, _ll, _i64p, _i64p,
+    ]
+    lib._ebv2_bound = True
+
+
+def encode_block_v2_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fq_encode_block_v2")
+
+
+def encode_block_v2(block, qual_offset: int, version: int) -> bytes:
+    """Fused per-block v1/v2 encode: one GIL-released native call runs
+    stream build + 6x zstd (reference analog: compressBlockWithBuffers,
+    compress.go:471-552); Python only prepends the block header.
+
+    The long-read ambiguous-base fail-fast (compress.go:477-488) happens
+    here, before the native call, so the error message matches the numpy
+    path verbatim.
+    """
+    from ..format import container
+    from ..ops import reference as refops
+
+    lib = _load()
+    if not hasattr(lib, "_ebv2_bound"):
+        _bind_encode_block_v2(lib)
+
+    if block.max_len > refops.MAX_SEQUENCE_LENGTH:
+        refops.check_ambiguous_overflow(
+            block.seq, block.lengths.astype(np.int64)
+        )
+
+    offs = np.ascontiguousarray(block.offsets, np.int64)
+    n = block.n
+    # raw caps (sum of per-stream builds) + zstd headroom per stream
+    raw = int(
+        ((offs[:, 3] + 3) // 4).sum()  # seq
+        + 3 * offs[:, 3].sum()         # qual + worst-case u16 npos
+        + offs[:, 1].sum() + offs[:, 5].sum() + 10 * n + 64
+    )
+    hdr_size = (
+        container.BLOCK_HEADER_SIZE_V1
+        if version == container.VERSION_1
+        else container.BLOCK_HEADER_SIZE_V2
+    )
+    out_cap = hdr_size + raw + (raw >> 7) + 8 * 1024
+    out = np.empty(out_cap, np.uint8)
+    comp_sizes = np.zeros(6, np.int64)
+    total_len = np.zeros(1, np.int64)
+    payload = lib.fq_encode_block_v2(
+        _nz_u8(np.ascontiguousarray(block.text)), offs.reshape(-1), n,
+        qual_offset, version, hdr_size, out, out_cap, comp_sizes, total_len,
+    )
+    if payload == -1:
+        raise ValueError("record field longer than 65535 bytes")
+    if payload < 0:
+        raise RuntimeError(f"native block encode failed ({payload})")
+    hdr = container.BlockHeader(
+        num_records=n,
+        original_seq_size=int(total_len[0]),
+        original_qual_size=int(total_len[0]),
+    )
+    if version == container.VERSION_1:
+        (
+            hdr.seq_data_size,
+            hdr.qual_data_size,
+            hdr.header_data_size,
+            hdr.npositions_size,
+            hdr.seq_lengths_size,
+        ) = [int(c) for c in comp_sizes[:5]]
+    else:
+        (
+            hdr.seq_data_size,
+            hdr.qual_data_size,
+            hdr.header_data_size,
+            hdr.plus_data_size,
+            hdr.npositions_size,
+            hdr.seq_lengths_size,
+        ) = [int(c) for c in comp_sizes]
+    out[:hdr_size] = np.frombuffer(hdr.to_bytes(version), np.uint8)
+    return out[: hdr_size + payload].tobytes()
+
+
 def _bind_tok(lib):
     lib.fq_tok_encode.restype = _ll
     lib.fq_tok_encode.argtypes = [_u8p, _ll, _ll, _u8p, _ll]

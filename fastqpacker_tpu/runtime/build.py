@@ -17,6 +17,8 @@ LIB = os.path.join(_DIR, "libfqruntime.so")
 
 CXX = os.environ.get("CXX", "g++")
 FLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-fvisibility=default"]
+# the fused block encoder entropy-codes in-process (fq_encode_block_v2)
+LIBS = ["-lzstd"]
 
 
 def ensure_built(verbose: bool = False) -> str | None:
@@ -26,7 +28,7 @@ def ensure_built(verbose: bool = False) -> str | None:
             SRC
         ):
             return LIB
-        cmd = [CXX, *FLAGS, "-o", LIB, SRC]
+        cmd = [CXX, *FLAGS, "-o", LIB, SRC, *LIBS]
         proc = subprocess.run(cmd, capture_output=True, text=True)
         if proc.returncode != 0:
             if verbose:
@@ -40,7 +42,7 @@ def ensure_built(verbose: bool = False) -> str | None:
 
 
 def _compile(extra_flags: list[str]) -> bool:
-    cmd = [CXX, *FLAGS, *extra_flags, "-o", LIB, SRC]
+    cmd = [CXX, *FLAGS, *extra_flags, "-o", LIB, SRC, *LIBS]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
         print(f"fqruntime build failed:\n{proc.stderr}", file=sys.stderr)

@@ -16,6 +16,8 @@
 #include <cstring>
 #include <vector>
 
+#include <zstd.h>
+
 #if defined(__AVX2__)
 #include <immintrin.h>
 #define FQ_AVX2 1
@@ -1690,6 +1692,146 @@ int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
     while (rr < rb[k + 1]) pstart += (lengths[rr++] + 3) >> 2;
   }
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused v1/v2 block encode: FASTQ text + scan offsets -> entropy-coded block
+// payload in one GIL-released call. The Python pipeline previously composed
+// fq_build_streams + six ctypes zstd calls per block; the per-call glue
+// (dst-buffer memsets, .tobytes() copies, ctypes marshalling) held the GIL
+// for ~40% of worker time and capped 2-thread scaling at ~1.3x. This path
+// leaves Python one call per block (reference analog: the whole of
+// compressBlockWithBuffers, internal/compress/compress.go:471-552).
+//
+// zstd policy mirrors entropy/zstd.py: level 1 (SpeedFastest), hashLog 15,
+// frame checksums on, plus the E028 incompressibility probe (sample 128 KB
+// of streams >= 1 MB; near-incompressible streams recompress under an
+// accelerated context with targetLength 1024).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr size_t kProbeBytes = 128u << 10;
+constexpr size_t kProbeMinStream = 1u << 20;
+
+struct ZstdWorker {
+  ZSTD_CCtx* cctx = nullptr;   // normal level-1 context
+  ZSTD_CCtx* accel = nullptr;  // incompressible-stream context
+  std::vector<uint8_t> scratch;  // raw stream build arena (grow-only)
+  std::vector<uint8_t> probe;    // probe compress destination
+  ~ZstdWorker() {
+    if (cctx) ZSTD_freeCCtx(cctx);
+    if (accel) ZSTD_freeCCtx(accel);
+  }
+  ZSTD_CCtx* ctx(bool accelerated) {
+    ZSTD_CCtx** slot = accelerated ? &accel : &cctx;
+    if (*slot == nullptr) {
+      ZSTD_CCtx* c = ZSTD_createCCtx();
+      if (!c) return nullptr;
+      ZSTD_CCtx_setParameter(c, ZSTD_c_compressionLevel, 1);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_hashLog, 15);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_checksumFlag, 1);
+      if (accelerated) ZSTD_CCtx_setParameter(c, ZSTD_c_targetLength, 1024);
+      *slot = c;
+    }
+    return *slot;
+  }
+};
+
+thread_local ZstdWorker g_zstd_worker;
+
+// compress_adaptive twin (entropy/zstd.py:199-226): probe big streams,
+// accelerate the incompressible ones. Returns compressed size or a zstd
+// error code (check with ZSTD_isError).
+size_t fq_zstd_adaptive(ZstdWorker& w, const uint8_t* src, size_t n,
+                        uint8_t* dst, size_t cap) {
+  bool accelerated = false;
+  if (n >= kProbeMinStream) {
+    const size_t pbound = ZSTD_compressBound(kProbeBytes);
+    if (w.probe.size() < pbound) w.probe.resize(pbound);
+    ZSTD_CCtx* c = w.ctx(false);
+    if (!c) return ZSTD_CONTENTSIZE_ERROR;
+    const size_t pn =
+        ZSTD_compress2(c, w.probe.data(), pbound, src, kProbeBytes);
+    if (!ZSTD_isError(pn) &&
+        (double)pn >= 0.97 * (double)kProbeBytes)
+      accelerated = true;
+  }
+  ZSTD_CCtx* c = w.ctx(accelerated);
+  if (!c) return ZSTD_CONTENTSIZE_ERROR;
+  return ZSTD_compress2(c, dst, cap, n ? src : nullptr, n);
+}
+
+}  // namespace
+
+extern "C" {
+
+// offs: (n, 8) from fq_scan_records; version 1 or 2 selects the wire
+// stream set (v1 drops the plus stream, compress.go:738-758). The caller
+// reserves hdr_reserve bytes at the front of out for the block header it
+// writes afterwards from comp_sizes/total_len. N positions use the u16
+// layout with the reference's 65,536 bp tracking cap; the caller performs
+// the long-read ambiguous-base fail-fast beforehand (compress.go:477-488).
+//
+// Returns payload bytes written after hdr_reserve, or:
+//   -1  header/plus field longer than 65535 bytes
+//   -3  out_cap too small
+//   -4  zstd error
+long long fq_encode_block_v2(const uint8_t* text, const long long* offs,
+                             long long n, uint8_t qoffset, int version,
+                             long long hdr_reserve, uint8_t* out,
+                             long long out_cap, long long* comp_sizes,
+                             long long* total_len_out) {
+  // raw stream capacity bookkeeping (mirrors bindings.build_raw_streams)
+  long long total_len = 0, hdr_bytes = 0, plus_bytes = 0, seq_cap = 0;
+  for (long long i = 0; i < n; i++) {
+    const long long* o = offs + i * 8;
+    total_len += o[3];
+    hdr_bytes += o[1];
+    plus_bytes += o[5];
+    seq_cap += (o[3] + 3) >> 2;
+  }
+  const long long hdr_cap = 2 * n + hdr_bytes;
+  const long long plus_cap = 2 * n + plus_bytes;
+  const long long npos_cap = 2 * n + 2 * total_len;
+  const long long len_cap = 4 * n;
+
+  ZstdWorker& w = g_zstd_worker;
+  const size_t need = (size_t)(seq_cap + total_len + hdr_cap + plus_cap +
+                               npos_cap + len_cap + 64);
+  if (w.scratch.size() < need) w.scratch.resize(need);
+  uint8_t* seq_s = w.scratch.data();
+  uint8_t* qual_s = seq_s + seq_cap;
+  uint8_t* hdr_s = qual_s + total_len;
+  uint8_t* plus_s = hdr_s + hdr_cap;
+  uint8_t* npos_s = plus_s + plus_cap;
+  uint8_t* len_s = npos_s + npos_cap;
+
+  long long sizes[6];
+  int32_t minq = 255;
+  int rc = fq_build_streams(text, offs, n, qoffset, /*wide=*/0,
+                            /*npos_cap=*/65536, seq_s, qual_s, hdr_s,
+                            plus_s, npos_s, len_s, sizes, &minq);
+  if (rc != 0) return -1;
+
+  const uint8_t* stream_ptr[6] = {seq_s, qual_s, hdr_s, plus_s, npos_s,
+                                  len_s};
+  long long pos = hdr_reserve;
+  int out_idx = 0;
+  for (int i = 0; i < 6; i++) {
+    if (version == 1 && i == 3) continue;  // v1 has no plus stream
+    const size_t bound = ZSTD_compressBound((size_t)sizes[i]);
+    if (pos + (long long)bound > out_cap) return -3;
+    const size_t cn = fq_zstd_adaptive(w, stream_ptr[i], (size_t)sizes[i],
+                                       out + pos, (size_t)(out_cap - pos));
+    if (ZSTD_isError(cn)) return -4;
+    comp_sizes[out_idx++] = (long long)cn;
+    pos += (long long)cn;
+  }
+  *total_len_out = total_len;
+  return pos - hdr_reserve;
 }
 
 }  // extern "C"
