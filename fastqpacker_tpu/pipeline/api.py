@@ -224,8 +224,29 @@ def decompress(
                 raise container.FormatError("truncated block payload")
             yield hdr, payload
 
+    from ..runtime import bindings
+
+    use_fused = (
+        decode_arrays is None
+        and bindings.available()
+        and bindings.decode_block_v2_available()
+    )
+
     def decode_one(job) -> bytes:
         hdr, payload = job
+        if use_fused:
+            # one GIL-released native call per block: 5/6x zstd decode +
+            # FASTQ reassembly (the whole of decompressJobToPooledBuffer
+            # + blockReader, compress.go:780-835,944-1078); falls through
+            # only for frames without a declared content size
+            try:
+                res = bindings.decode_block_v2(
+                    hdr, payload, fh.version, qual_offset
+                )
+            except ValueError as e:
+                raise container.FormatError(str(e)) from None
+            if res is not None:
+                return res
         codec = zstd_entropy.get_codec()
         ds = blockcodec.decode_streams(hdr, payload, fh.version, codec)
         if decode_arrays is None:

@@ -1835,3 +1835,115 @@ long long fq_encode_block_v2(const uint8_t* text, const long long* offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Fused v1/v2 block decode: entropy-coded block payload -> FASTQ text in one
+// GIL-released call (inverse of fq_encode_block_v2; reference analog:
+// decompressJobToPooledBuffer + blockReader as one unit,
+// internal/compress/compress.go:780-835,944-1078). The Python pipeline
+// previously sliced and zstd-decoded six streams per block in ctypes glue
+// before the native assembly call; this leaves it one exact-capacity
+// computation and one call per block.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ZstdDecodeWorker {
+  ZSTD_DCtx* dctx = nullptr;
+  std::vector<uint8_t> scratch;  // decompressed-stream arena (grow-only)
+  ~ZstdDecodeWorker() {
+    if (dctx) ZSTD_freeDCtx(dctx);
+  }
+  ZSTD_DCtx* ctx() {
+    if (!dctx) dctx = ZSTD_createDCtx();
+    return dctx;
+  }
+};
+
+thread_local ZstdDecodeWorker g_zstd_dworker;
+
+}  // namespace
+
+extern "C" {
+
+// Decompressed (frame content) sizes of `count` concatenated zstd frames.
+// Returns 0, or -1 when a frame does not declare its content size (foreign
+// encoders; the caller falls back to the per-stream path).
+int fq_zstd_content_sizes(const uint8_t* payload, const long long* comp_sizes,
+                          int count, long long* out_sizes) {
+  long long off = 0;
+  for (int i = 0; i < count; i++) {
+    if (comp_sizes[i] == 0) {
+      out_sizes[i] = 0;
+    } else {
+      const unsigned long long s =
+          ZSTD_getFrameContentSize(payload + off, (size_t)comp_sizes[i]);
+      if (s == ZSTD_CONTENTSIZE_UNKNOWN || s == ZSTD_CONTENTSIZE_ERROR)
+        return -1;
+      out_sizes[i] = (long long)s;
+    }
+    off += comp_sizes[i];
+  }
+  return 0;
+}
+
+// comp_sizes/raw_sizes are 6-slot in wire order (v1 carries 5 frames on the
+// wire; its plus slot must be zero). Returns FASTQ bytes written, or the
+// fq_decode_block_full negative stream codes, -7 on a zstd decode/size
+// error, -8 when out_cap is too small.
+long long fq_decode_block_v2(const uint8_t* payload, long long payload_n,
+                             const long long* comp_sizes,
+                             const long long* raw_sizes, long long n,
+                             uint8_t qoffset, int version, uint8_t* out,
+                             long long out_cap) {
+  long long total_raw = 0, total_comp = 0;
+  for (int i = 0; i < 6; i++) {
+    if (comp_sizes[i] < 0 || raw_sizes[i] < 0) return -7;
+    total_raw += raw_sizes[i];
+    total_comp += comp_sizes[i];
+  }
+  if (total_comp > payload_n) return -7;
+
+  ZstdDecodeWorker& w = g_zstd_dworker;
+  if ((long long)w.scratch.size() < total_raw)
+    w.scratch.resize((size_t)total_raw);
+  const uint8_t* ptr[6];
+  long long roff = 0, coff = 0;
+  for (int i = 0; i < 6; i++) {
+    uint8_t* dst = w.scratch.data() + roff;
+    ptr[i] = dst;
+    if (comp_sizes[i] > 0) {
+      ZSTD_DCtx* d = w.ctx();
+      if (!d) return -7;
+      const size_t rc = ZSTD_decompressDCtx(d, dst, (size_t)raw_sizes[i],
+                                            payload + coff,
+                                            (size_t)comp_sizes[i]);
+      if (ZSTD_isError(rc) || (long long)rc != raw_sizes[i]) return -7;
+    }
+    roff += raw_sizes[i];
+    coff += comp_sizes[i];
+  }
+
+  // Upfront bounds: the assembly unpacks sequence text before its quality
+  // bound check could catch an oversized length stream, so validate the
+  // total here and size the output exactly.
+  if (raw_sizes[5] != 4 * n) return -6;
+  long long sum_len = 0;
+  for (long long i = 0; i < n; i++) {
+    uint32_t l;
+    memcpy(&l, ptr[5] + 4 * i, 4);
+    sum_len += (long long)l;
+  }
+  if (sum_len > raw_sizes[1]) return -2;
+  const long long out_need = raw_sizes[2] + raw_sizes[3] + 2 * sum_len +
+                             (version == 1 ? 4 : 2) * n;
+  if (out_need > out_cap) return -8;
+
+  return fq_decode_block_full(ptr[0], raw_sizes[0], ptr[1], raw_sizes[1],
+                              ptr[2], raw_sizes[2], ptr[3], raw_sizes[3],
+                              ptr[4], raw_sizes[4], ptr[5], raw_sizes[5], n,
+                              qoffset, /*wide=*/0,
+                              /*has_plus=*/raw_sizes[3] > 0 ? 1 : 0, out);
+}
+
+}  // extern "C"

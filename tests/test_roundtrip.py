@@ -195,6 +195,32 @@ def test_long_read_overflow_accept_clean():
     assert roundtrip(data) == data
 
 
+def test_fused_decode_matches_per_stream_path(monkeypatch):
+    """The fused native block decode (fq_decode_block_v2) must emit
+    byte-identical FASTQ to the per-stream zstd + assembly path, for both
+    container versions."""
+    from fastqpacker_tpu.runtime import bindings
+
+    if not (bindings.available() and bindings.decode_block_v2_available()):
+        pytest.skip("native runtime unavailable")
+    data = fastq(
+        ("r1 some desc", "ACGTNNACGTacgt", "plus payload", "IIIIIIIIIIIIII"),
+        ("r2", "GGGCCC", "", "ABCDEF"),
+        ("r3", "", "", ""),
+    ) * 50
+    for version in (container.VERSION_1, container.VERSION_2):
+        comp = fq.compress_bytes(
+            data, fq.Options(version=version, block_size=16)
+        )
+        fused = fq.decompress_bytes(comp)
+        monkeypatch.setattr(
+            bindings, "decode_block_v2_available", lambda: False
+        )
+        unfused = fq.decompress_bytes(comp)
+        monkeypatch.undo()
+        assert fused == unfused
+
+
 def test_unsupported_version_rejected():
     comp = bytearray(fq.compress_bytes(SAMPLE))
     comp[4] = 99
