@@ -93,6 +93,13 @@ class NullWriter(io.RawIOBase):
 
 
 def bench_compress(data: bytes, device: bool, repeats: int = 3):
+    """Times compress from a real file, like the reference's 9 GB
+    benchmark (scripts/benchmark_fqpack_9gb.sh): the file path engages
+    the zero-copy mmap producer, where a bytes-built BytesIO would pay a
+    full-buffer unshare copy inside getbuffer() (E034)."""
+    import os
+    import tempfile
+
     import fastqpacker_tpu as fq
     from fastqpacker_tpu.pipeline import device as devpipe
 
@@ -101,19 +108,27 @@ def bench_compress(data: bytes, device: bool, repeats: int = 3):
     run = lambda r, w: devpipe.compress_device(r, w, opts)  # noqa: E731
     if not device:
         run = lambda r, w: fq.compress(r, w, opts)  # noqa: E731
-    # warmup (compiles kernels)
-    warm = NullWriter()
-    run(io.BytesIO(data[: 32 << 20]), warm)
+    fd, path = tempfile.mkstemp(suffix=".fq")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        # warmup (compiles kernels, loads page cache)
+        warm = NullWriter()
+        with open(path, "rb") as r:
+            run(r, warm)
 
-    best = float("inf")
-    out_size = 0
-    for _ in range(repeats):
-        w = NullWriter()
-        t0 = time.perf_counter()
-        run(io.BytesIO(data), w)
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-        out_size = w.nbytes
+        best = float("inf")
+        out_size = 0
+        for _ in range(repeats):
+            w = NullWriter()
+            with open(path, "rb") as r:
+                t0 = time.perf_counter()
+                run(r, w)
+                dt = time.perf_counter() - t0
+            best = min(best, dt)
+            out_size = w.nbytes
+    finally:
+        os.unlink(path)
     mbps = len(data) / 1e6 / best
     ratio = len(data) / out_size
     return mbps, ratio, best

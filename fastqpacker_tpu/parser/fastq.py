@@ -313,6 +313,15 @@ class FastqStreamParser:
         gzip wrappers, and peek wrappers return None (streaming path).
         The reader is advanced to EOF — block views replace reads."""
         r = self.reader
+        ext = getattr(r, "_fqz_buffer", None)
+        if ext is not None:
+            # caller-attached source buffer (compress_bytes): BytesIO
+            # getbuffer() would copy the whole shared bytes to "unshare"
+            # it; the original object is already addressable
+            pos = r.tell()
+            r.seek(0, io.SEEK_END)
+            mv = memoryview(ext)
+            return mv[pos:] if pos else mv
         if isinstance(r, io.BytesIO):
             pos = r.tell()
             buf = r.getbuffer()

@@ -326,7 +326,11 @@ def compress_bytes(data: bytes, opts: Optional[Options] = None) -> bytes:
     import io
 
     out = io.BytesIO()
-    compress(io.BytesIO(data), out, opts)
+    rd = io.BytesIO(data)
+    # let the parser scan `data` in place: BytesIO.getbuffer() would
+    # copy the whole buffer to unshare it from `data`
+    rd._fqz_buffer = data
+    compress(rd, out, opts)
     return out.getvalue()
 
 
