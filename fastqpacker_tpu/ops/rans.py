@@ -442,7 +442,12 @@ def encode_stream(data: bytes | np.ndarray, lanes: int | None = None) -> bytes:
     steps = -(-n // N)
     S = _pick_smax(steps)
 
-    hist = np.bincount(raw, minlength=256).astype(np.int64)
+    from ..runtime import bindings as _rt
+
+    if _rt.available():  # np.bincount is pathologically slow on this host
+        hist = _rt.hist256(raw)
+    else:
+        hist = np.bincount(raw, minlength=256).astype(np.int64)
     pad_sym = int(np.argmax(hist))
     hist[pad_sym] += steps * N - n
     freq = normalize_freqs(hist)

@@ -74,9 +74,14 @@ def _rans_size_estimate(s: bytes) -> int:
     lane-padding noise; adding the table/state overhead gives a faithful
     estimate without running the coder.
     """
-    hist = np.bincount(np.frombuffer(s, np.uint8), minlength=256).astype(
-        np.int64
-    )
+    from ..runtime import bindings
+
+    if bindings.available():
+        hist = bindings.hist256(s)
+    else:
+        hist = np.bincount(
+            np.frombuffer(s, np.uint8), minlength=256
+        ).astype(np.int64)
     freq = rans.normalize_freqs(hist.copy()).astype(np.float64)
     nz = hist > 0
     bits = float(

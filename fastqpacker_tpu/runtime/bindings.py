@@ -70,6 +70,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fq_qual_delta_rows.argtypes = [_u8p, _ll, _ll, _u8, _u8p]
     lib.fq_pack2_rows.restype = None
     lib.fq_pack2_rows.argtypes = [_u8p, _ll, _ll, _u8p]
+    lib.fq_hist256.restype = None
+    lib.fq_hist256.argtypes = [_u8p, _ll, _i64p]
     _lib = lib
     return _lib
 
@@ -96,6 +98,21 @@ SCAN_ERRORS = {
     2: "invalid FASTQ: separator line must start with +",
     3: "invalid FASTQ: sequence and quality lengths must match",
 }
+
+
+def hist256(data) -> np.ndarray:
+    """256-bin byte histogram (int64); GIL-released native sweep.
+
+    ``data`` is any contiguous uint8 buffer (bytes or ndarray)."""
+    lib = _load()
+    arr = (
+        data
+        if isinstance(data, np.ndarray)
+        else np.frombuffer(data, np.uint8)
+    )
+    out = np.zeros(256, np.int64)
+    lib.fq_hist256(_nz_u8(arr), len(arr), out)
+    return out
 
 
 def scan_records(data: np.ndarray, max_records: int):
