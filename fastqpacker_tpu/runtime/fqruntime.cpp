@@ -1078,7 +1078,15 @@ long long fq_tok_encode(const uint8_t* data, long long n, long long count,
                         uint8_t* out, long long out_cap) {
   long long oo = 0;
   if (!tok_write_varint(out, out_cap, oo, (unsigned long long)n)) return -1;
-  std::vector<TokSpan> prev, cur;
+  // encode-side spans cache the parsed numeric value (-1 = non-numeric):
+  // re-parsing the previous record's tokens and snprintf-rendering for
+  // the canonical-form check dominated this loop (~50% of v3 header time)
+  struct SpanE {
+    const uint8_t* p;
+    long long len;
+    long long num;
+  };
+  std::vector<SpanE> prev, cur;
   prev.reserve(32);
   cur.reserve(32);
   long long off = 0;
@@ -1090,47 +1098,43 @@ long long fq_tok_encode(const uint8_t* data, long long n, long long count,
     const uint8_t* h = data + off;
     off += hlen;
     cur.clear();
-    // split into maximal digit / non-digit runs
+    // split into maximal digit / non-digit runs, parsing digit runs as
+    // they are scanned (<= 18 digits fit int64; longer runs are literal)
     for (long long i = 0; i < hlen;) {
-      bool d = tok_is_digit(h[i]);
-      long long j = i + 1;
-      while (j < hlen && tok_is_digit(h[j]) == d) j++;
-      cur.push_back({h + i, j - i});
+      long long j = i;
+      if (tok_is_digit(h[i])) {
+        long long v = 0;
+        while (j < hlen && tok_is_digit(h[j])) {
+          if (j - i < 18) v = v * 10 + (h[j] - '0');
+          j++;
+        }
+        cur.push_back({h + i, j - i, (j - i <= 18) ? v : -1});
+      } else {
+        while (j < hlen && !tok_is_digit(h[j])) j++;
+        cur.push_back({h + i, j - i, -1});
+      }
       i = j;
     }
     for (size_t i = 0; i < cur.size(); i++) {
-      const TokSpan& t = cur[i];
-      const TokSpan* p = (i < prev.size()) ? &prev[i] : nullptr;
+      const SpanE& t = cur[i];
+      const SpanE* p = (i < prev.size()) ? &prev[i] : nullptr;
       if (p && p->len == t.len && memcmp(p->p, t.p, (size_t)t.len) == 0) {
         if (oo >= out_cap) return -1;
         out[oo++] = TOK_MATCH;
         continue;
       }
-      if (p) {
-        long long tv = tok_numeric_value(t.p, t.len);
-        long long pv = tok_numeric_value(p->p, p->len);
-        if (tv >= 0 && pv >= 0) {
-          char buf[24];
-          int sl = snprintf(buf, sizeof buf, "%lld", tv);
-          bool plain = (sl == (int)t.len &&
-                        memcmp(buf, t.p, (size_t)sl) == 0);
-          bool padded = false;
-          if (!plain && t.len == p->len && sl <= (int)t.len) {
-            // token == str(tv) zero-padded to the field width
-            padded = true;
-            long long pad = t.len - sl;
-            for (long long k = 0; k < pad && padded; k++)
-              if (t.p[k] != '0') padded = false;
-            if (padded && memcmp(buf, t.p + (t.len - sl), (size_t)sl) != 0)
-              padded = false;
-          }
-          if (plain || padded) {
-            if (oo >= out_cap) return -1;
-            out[oo++] = plain ? TOK_DELTA : TOK_DELTA_PAD;
-            if (!tok_write_varint(out, out_cap, oo, tok_zigzag(tv - pv)))
-              return -1;
-            continue;
-          }
+      if (p && t.num >= 0 && p->num >= 0) {
+        // an all-digit token is str(value) exactly iff it has no leading
+        // zeros; otherwise it is str(value) zero-padded to its width, so
+        // DELTA_PAD applies whenever the field width is preserved
+        const bool plain = (t.len == 1 || t.p[0] != '0');
+        if (plain || t.len == p->len) {
+          if (oo >= out_cap) return -1;
+          out[oo++] = plain ? TOK_DELTA : TOK_DELTA_PAD;
+          if (!tok_write_varint(out, out_cap, oo,
+                                tok_zigzag(t.num - p->num)))
+            return -1;
+          continue;
         }
       }
       if (oo >= out_cap) return -1;
