@@ -682,7 +682,9 @@ def encode_block_v2(block, qual_offset: int, version: int) -> bytes:
             hdr.seq_lengths_size,
         ) = [int(c) for c in comp_sizes]
     out[:hdr_size] = np.frombuffer(hdr.to_bytes(version), np.uint8)
-    return out[: hdr_size + payload].tobytes()
+    # writable view, not .tobytes(): the collector writes it straight to
+    # the output stream; skipping the copy keeps the GIL window small
+    return memoryview(out.data)[: hdr_size + payload]
 
 
 def _bind_tok(lib):
