@@ -72,6 +72,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fq_pack2_rows.argtypes = [_u8p, _ll, _ll, _u8p]
     lib.fq_hist256.restype = None
     lib.fq_hist256.argtypes = [_u8p, _ll, _i64p]
+    lib.fq_crc32.restype = ctypes.c_uint32
+    lib.fq_crc32.argtypes = [ctypes.c_uint32, _u8p, _ll]
     _lib = lib
     return _lib
 
@@ -98,6 +100,18 @@ SCAN_ERRORS = {
     2: "invalid FASTQ: separator line must start with +",
     3: "invalid FASTQ: sequence and quality lengths must match",
 }
+
+
+def crc32(data, crc: int = 0) -> int:
+    """zlib-compatible CRC32 (PCLMUL folding when the host supports it,
+    self-checked against the table path at first use)."""
+    lib = _load()
+    arr = (
+        data
+        if isinstance(data, np.ndarray)
+        else np.frombuffer(data, np.uint8)
+    )
+    return int(lib.fq_crc32(crc & 0xFFFFFFFF, _nz_u8(arr), len(arr)))
 
 
 def hist256(data) -> np.ndarray:

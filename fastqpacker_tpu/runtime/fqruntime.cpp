@@ -264,6 +264,181 @@ long long fq_scan_records(const uint8_t* data, long long n,
   return rec;
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// CRC32 (IEEE 802.3, reflected 0xEDB88320) — the v3 block-integrity field.
+// Scalar slice-by-8 baseline plus a PCLMULQDQ folding path (Intel's
+// CRC-folding scheme; constants are the published ones for this
+// polynomial). The PCLMUL path is validated against the scalar tables on
+// first use and silently disabled on mismatch, so a wrong constant can
+// only cost speed, never correctness.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+static uint32_t g_crc_tab[8][256];
+static int g_crc_tab_init = 0;
+
+void crc32_tab_init() {
+  if (g_crc_tab_init) return;
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    g_crc_tab[0][i] = c;
+  }
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = g_crc_tab[0][i];
+    for (int t = 1; t < 8; t++) {
+      c = g_crc_tab[0][c & 0xFF] ^ (c >> 8);
+      g_crc_tab[t][i] = c;
+    }
+  }
+  g_crc_tab_init = 1;
+}
+
+// crc is the in-progress inverted register (caller handles ~ conditioning)
+uint32_t crc32_slice8(uint32_t crc, const uint8_t* p, size_t n) {
+  crc32_tab_init();
+  while (n >= 8) {
+    uint32_t lo;
+    memcpy(&lo, p, 4);
+    lo ^= crc;
+    uint32_t hi;
+    memcpy(&hi, p + 4, 4);
+    crc = g_crc_tab[7][lo & 0xFF] ^ g_crc_tab[6][(lo >> 8) & 0xFF] ^
+          g_crc_tab[5][(lo >> 16) & 0xFF] ^ g_crc_tab[4][lo >> 24] ^
+          g_crc_tab[3][hi & 0xFF] ^ g_crc_tab[2][(hi >> 8) & 0xFF] ^
+          g_crc_tab[1][(hi >> 16) & 0xFF] ^ g_crc_tab[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) crc = g_crc_tab[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
+  return crc;
+}
+
+#if defined(__PCLMUL__)
+// 64-byte CRC folding (Gopal et al., "Fast CRC Computation for Generic
+// Polynomials Using PCLMULQDQ"); reflected-domain constants for
+// 0x04C11DB7. Input/output use the same inverted-register convention as
+// crc32_slice8. Requires n >= 64.
+uint32_t crc32_pclmul(uint32_t crc, const uint8_t* buf, size_t n) {
+  const __m128i k1k2 =
+      _mm_set_epi64x((long long)0x00000001c6e41596, 0x0000000154442bd4);
+  const __m128i k3k4 =
+      _mm_set_epi64x((long long)0x00000000ccaa009e, 0x00000001751997d0);
+  const __m128i k5k0 = _mm_set_epi64x(0, 0x0000000163cd6124);
+  const __m128i poly =
+      _mm_set_epi64x((long long)0x00000001f7011641, 0x00000001db710641);
+  __m128i x1 = _mm_loadu_si128((const __m128i*)(buf + 0x00));
+  __m128i x2 = _mm_loadu_si128((const __m128i*)(buf + 0x10));
+  __m128i x3 = _mm_loadu_si128((const __m128i*)(buf + 0x20));
+  __m128i x4 = _mm_loadu_si128((const __m128i*)(buf + 0x30));
+  x1 = _mm_xor_si128(x1, _mm_cvtsi32_si128((int)crc));
+  buf += 64;
+  n -= 64;
+  while (n >= 64) {
+    __m128i x5 = _mm_clmulepi64_si128(x1, k1k2, 0x00);
+    __m128i x6 = _mm_clmulepi64_si128(x2, k1k2, 0x00);
+    __m128i x7 = _mm_clmulepi64_si128(x3, k1k2, 0x00);
+    __m128i x8 = _mm_clmulepi64_si128(x4, k1k2, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, k1k2, 0x11);
+    x2 = _mm_clmulepi64_si128(x2, k1k2, 0x11);
+    x3 = _mm_clmulepi64_si128(x3, k1k2, 0x11);
+    x4 = _mm_clmulepi64_si128(x4, k1k2, 0x11);
+    x1 = _mm_xor_si128(_mm_xor_si128(x1, x5),
+                       _mm_loadu_si128((const __m128i*)(buf + 0x00)));
+    x2 = _mm_xor_si128(_mm_xor_si128(x2, x6),
+                       _mm_loadu_si128((const __m128i*)(buf + 0x10)));
+    x3 = _mm_xor_si128(_mm_xor_si128(x3, x7),
+                       _mm_loadu_si128((const __m128i*)(buf + 0x20)));
+    x4 = _mm_xor_si128(_mm_xor_si128(x4, x8),
+                       _mm_loadu_si128((const __m128i*)(buf + 0x30)));
+    buf += 64;
+    n -= 64;
+  }
+  // fold the four lanes into one
+  __m128i x5 = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+  x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+  x1 = _mm_xor_si128(_mm_xor_si128(x1, x5), x2);
+  x5 = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+  x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+  x1 = _mm_xor_si128(_mm_xor_si128(x1, x5), x3);
+  x5 = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+  x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+  x1 = _mm_xor_si128(_mm_xor_si128(x1, x5), x4);
+  while (n >= 16) {
+    x5 = _mm_clmulepi64_si128(x1, k3k4, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, k3k4, 0x11);
+    x1 = _mm_xor_si128(_mm_xor_si128(x1, x5),
+                       _mm_loadu_si128((const __m128i*)buf));
+    buf += 16;
+    n -= 16;
+  }
+  // fold 128 -> 64
+  __m128i x0 = _mm_clmulepi64_si128(x1, k3k4, 0x10);
+  const __m128i mask = _mm_setr_epi32(~0, 0, ~0, 0);
+  x1 = _mm_srli_si128(x1, 8);
+  x1 = _mm_xor_si128(x1, x0);
+  x0 = _mm_srli_si128(x1, 4);
+  x1 = _mm_and_si128(x1, mask);
+  x1 = _mm_clmulepi64_si128(x1, k5k0, 0x00);
+  x1 = _mm_xor_si128(x1, x0);
+  // Barrett reduction to 32 bits
+  x0 = _mm_and_si128(x1, mask);
+  x0 = _mm_clmulepi64_si128(x0, poly, 0x10);
+  x0 = _mm_and_si128(x0, mask);
+  x0 = _mm_clmulepi64_si128(x0, poly, 0x00);
+  x1 = _mm_xor_si128(x1, x0);
+  uint32_t out = (uint32_t)_mm_extract_epi32(x1, 1);
+  // scalar tail
+  return crc32_slice8(out, buf, n);
+}
+
+// 0 = untested, 1 = validated, -1 = failed self-check (use scalar)
+static int g_pclmul_ok = 0;
+
+int crc32_pclmul_selfcheck() {
+  uint8_t v[257];
+  for (int i = 0; i < 257; i++) v[i] = (uint8_t)(i * 131 + 7);
+  const size_t lens[] = {64, 65, 96, 128, 200, 255, 256, 257};
+  for (size_t li = 0; li < sizeof(lens) / sizeof(lens[0]); li++) {
+    uint32_t a = crc32_slice8(0xFFFFFFFFu, v, lens[li]);
+    uint32_t b = crc32_pclmul(0xFFFFFFFFu, v, lens[li]);
+    if (a != b) return -1;
+    // nonzero seed
+    a = crc32_slice8(0x12345678u, v, lens[li]);
+    b = crc32_pclmul(0x12345678u, v, lens[li]);
+    if (a != b) return -1;
+  }
+  return 1;
+}
+#endif  // __PCLMUL__
+
+}  // namespace
+
+extern "C" {
+
+// zlib-compatible CRC32: crc_in/return are the public (conditioned)
+// values, so fq_crc32(fq_crc32(0, a), b) == zlib.crc32(a+b).
+uint32_t fq_crc32(uint32_t crc_in, const uint8_t* data, long long n) {
+  uint32_t c = crc_in ^ 0xFFFFFFFFu;
+#if defined(__PCLMUL__)
+  if (g_pclmul_ok == 0) g_pclmul_ok = crc32_pclmul_selfcheck();
+  if (g_pclmul_ok > 0 && n >= 64)
+    c = crc32_pclmul(c, data, (size_t)n);
+  else
+    c = crc32_slice8(c, data, (size_t)n);
+#else
+  c = crc32_slice8(c, data, (size_t)n);
+#endif
+  return c ^ 0xFFFFFFFFu;
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // 256-bin byte histogram. Four interleaved sub-histograms dodge the
 // store-forward dependency on repeated bytes; numpy's bincount on this
 // host swings 0.3-15 s/GB (first-touch + per-element dispatch), this
