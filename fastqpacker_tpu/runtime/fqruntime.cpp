@@ -1344,8 +1344,15 @@ long long fq_tok_decode(const uint8_t* data, long long n, long long count,
   long long off = 0;
   unsigned long long total;
   if (!tok_read_varint(data, n, off, total)) return -1;
-  // prev tokens point into `out` (already-written bytes are stable)
-  std::vector<TokSpan> prev, cur;
+  // prev tokens point into `out` (already-written bytes are stable);
+  // spans cache their parsed numeric value so DELTA never re-parses the
+  // previous token, and rendering is a digits loop instead of snprintf
+  struct SpanD {
+    const uint8_t* p;
+    long long len;
+    long long num;
+  };
+  std::vector<SpanD> prev, cur;
   prev.reserve(32);
   cur.reserve(32);
   long long oo = 0;
@@ -1361,23 +1368,44 @@ long long fq_tok_decode(const uint8_t* data, long long n, long long count,
       if (op == TOK_END) break;
       size_t i = cur.size();
       if (op == TOK_MATCH) {
-        if (i >= prev.size()) return -1;
-        const TokSpan& p = prev[i];
-        if (oo + p.len > out_cap) return -1;
-        memcpy(out + oo, p.p, (size_t)p.len);
-        cur.push_back({out + oo, p.len});
-        oo += p.len;
+        // batch a run of MATCH ops: prev spans abut in the previous
+        // record's output region, so the run is one contiguous memcpy
+        size_t k = 1;
+        while (off < n && data[off] == TOK_MATCH &&
+               i + k < prev.size()) {
+          k++;
+          off++;
+        }
+        if (i + k > prev.size()) return -1;
+        long long run_bytes = 0;
+        for (size_t m = 0; m < k; m++) run_bytes += prev[i + m].len;
+        if (oo + run_bytes > out_cap) return -1;
+        memcpy(out + oo, prev[i].p, (size_t)run_bytes);
+        for (size_t m = 0; m < k; m++) {
+          cur.push_back({out + oo, prev[i + m].len, prev[i + m].num});
+          oo += prev[i + m].len;
+        }
       } else if (op == TOK_DELTA || op == TOK_DELTA_PAD) {
         if (i >= prev.size()) return -1;
-        const TokSpan& p = prev[i];
-        long long pv = tok_numeric_value(p.p, p.len);
+        const SpanD& p = prev[i];
+        const long long pv = p.num;
         if (pv < 0) return -1;
         unsigned long long zz;
         if (!tok_read_varint(data, n, off, zz)) return -1;
         long long v = pv + tok_unzigzag(zz);
         if (v < 0) return -1;
-        char buf[24];
-        int sl = snprintf(buf, sizeof buf, "%lld", v);
+        char buf[20];
+        int sl = 0;
+        {
+          long long w = v;
+          char tmp[20];
+          int k = 0;
+          do {
+            tmp[k++] = (char)('0' + (w % 10));
+            w /= 10;
+          } while (w);
+          while (k) buf[sl++] = tmp[--k];
+        }
         long long tlen = sl;
         long long pad = 0;
         if (op == TOK_DELTA_PAD) {
@@ -1388,7 +1416,7 @@ long long fq_tok_decode(const uint8_t* data, long long n, long long count,
         if (oo + tlen > out_cap) return -1;
         memset(out + oo, '0', (size_t)pad);
         memcpy(out + oo + pad, buf, (size_t)sl);
-        cur.push_back({out + oo, tlen});
+        cur.push_back({out + oo, tlen, v});
         oo += tlen;
       } else if (op == TOK_LIT) {
         unsigned long long ln;
@@ -1396,7 +1424,8 @@ long long fq_tok_decode(const uint8_t* data, long long n, long long count,
         if (ln > (unsigned long long)(n - off)) return -1;
         if (oo + (long long)ln > out_cap) return -1;
         memcpy(out + oo, data + off, (size_t)ln);
-        cur.push_back({out + oo, (long long)ln});
+        cur.push_back({out + oo, (long long)ln,
+                       tok_numeric_value(data + off, (long long)ln)});
         off += (long long)ln;
         oo += (long long)ln;
       } else {
