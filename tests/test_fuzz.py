@@ -224,3 +224,38 @@ def test_garbage_context_payloads_never_crash():
                 dec(blob)
             except EXPECTED_ERRORS:
                 pass
+
+
+def test_fused_v2_decode_mutations_never_crash():
+    """Random byte mutations through the fused native block decode
+    (fq_decode_block_v2) must reject with typed errors, never corrupt
+    memory. Both wire versions exercise it."""
+    rng = np.random.default_rng(99)
+    data = _data(200, seed=3)
+    for ver in (container.VERSION_1, container.VERSION_2):
+        comp = fq.compress_bytes(
+            data, fq.Options(version=ver, block_size=16)
+        )
+        for _ in range(60):
+            mut = bytearray(comp)
+            for _ in range(int(rng.integers(1, 8))):
+                mut[int(rng.integers(0, len(mut)))] = int(
+                    rng.integers(0, 256)
+                )
+            try:
+                fq.decompress_bytes(bytes(mut))
+            except EXPECTED_ERRORS:
+                pass
+            except (OverflowError, MemoryError):
+                pass
+
+
+def test_fused_v2_decode_truncations_never_crash():
+    data = _data(150, seed=4)
+    comp = fq.compress_bytes(data, fq.Options(block_size=32))
+    step = max(1, len(comp) // 120)
+    for cut in range(0, len(comp), step):
+        try:
+            fq.decompress_bytes(comp[:cut])
+        except EXPECTED_ERRORS:
+            pass
