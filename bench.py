@@ -187,7 +187,9 @@ def main() -> int:
         choices=["compress", "decompress", "kernel", "micro", "ratio"],
         default="compress",
     )
-    ap.add_argument("--repeats", type=int, default=3)
+    # the dev host swings 30-40% run to run (PERFORMANCE.md E034);
+    # more best-of samples cost ~70 ms each and stabilize the headline
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a JAX/XLA profiler trace to DIR")
