@@ -313,20 +313,16 @@ class FastqStreamParser:
         gzip wrappers, and peek wrappers return None (streaming path).
         The reader is advanced to EOF — block views replace reads."""
         r = self.reader
-        ext = getattr(r, "_fqz_buffer", None)
-        if ext is not None:
-            # caller-attached source buffer (compress_bytes): BytesIO
-            # getbuffer() would copy the whole shared bytes to "unshare"
-            # it; the original object is already addressable
-            pos = r.tell()
-            r.seek(0, io.SEEK_END)
-            mv = memoryview(ext)
-            return mv[pos:] if pos else mv
         if isinstance(r, io.BytesIO):
+            # getvalue(), not getbuffer(): on a bytes-constructed BytesIO
+            # the init bytes are shared copy-on-write, so getvalue() is
+            # free while getbuffer() copies the whole buffer to unshare
+            # it (23 ms on the 128 MB bench fixture, E034). A later write
+            # to the BytesIO unshares without touching our view.
             pos = r.tell()
-            buf = r.getbuffer()
+            mv = memoryview(r.getvalue())
             r.seek(0, io.SEEK_END)
-            return buf[pos:] if pos else buf
+            return mv[pos:] if pos else mv
         if isinstance(r, io.BufferedReader) and isinstance(
             getattr(r, "raw", None), io.FileIO
         ):

@@ -248,12 +248,19 @@ def decompress(
             if res is not None:
                 return res
         codec = zstd_entropy.get_codec()
-        ds = blockcodec.decode_streams(hdr, payload, fh.version, codec)
-        if decode_arrays is None:
-            return blockcodec.streams_to_fastq(ds, qual_offset)
-        return blockcodec.streams_to_fastq(
-            ds, qual_offset, decode_arrays=decode_arrays
-        )
+        try:
+            ds = blockcodec.decode_streams(hdr, payload, fh.version, codec)
+            if decode_arrays is None:
+                return blockcodec.streams_to_fastq(ds, qual_offset)
+            return blockcodec.streams_to_fastq(
+                ds, qual_offset, decode_arrays=decode_arrays
+            )
+        except container.FormatError:
+            raise
+        except ValueError as e:
+            # keep the exception type identical to the fused path for the
+            # same corrupt data, regardless of FQZ_NO_NATIVE
+            raise container.FormatError(str(e)) from None
 
     ordered_map_write(w, read_jobs(), decode_one, workers)
 
@@ -326,11 +333,7 @@ def compress_bytes(data: bytes, opts: Optional[Options] = None) -> bytes:
     import io
 
     out = io.BytesIO()
-    rd = io.BytesIO(data)
-    # let the parser scan `data` in place: BytesIO.getbuffer() would
-    # copy the whole buffer to unshare it from `data`
-    rd._fqz_buffer = data
-    compress(rd, out, opts)
+    compress(io.BytesIO(data), out, opts)
     return out.getvalue()
 
 

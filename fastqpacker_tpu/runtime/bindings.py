@@ -595,6 +595,11 @@ def decode_block_v2(hdr, payload, version: int, qual_offset: int):
         if rc != 0:
             return None
     n = hdr.num_records
+    # declared frame content sizes are untrusted: anything past the native
+    # per-stream cap (2^34) falls back to the per-stream path, whose
+    # allocation failures surface as catchable Python errors
+    if int(raw.max(initial=0)) > (1 << 34):
+        return None
     out_need = int(
         raw[2] + raw[3] + 2 * raw[1] + (4 if len(sizes) == 5 else 2) * n
     )

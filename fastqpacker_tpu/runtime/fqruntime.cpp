@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
 #include <vector>
 
 #include <zstd.h>
@@ -278,10 +279,10 @@ long long fq_scan_records(const uint8_t* data, long long n,
 namespace {
 
 static uint32_t g_crc_tab[8][256];
-static int g_crc_tab_init = 0;
 
-void crc32_tab_init() {
-  if (g_crc_tab_init) return;
+// thread-safe one-time table fill: compress workers race to the first
+// CRC call, and C++11 magic-static init is the defined-behavior guard
+bool crc32_tab_init() {
   for (uint32_t i = 0; i < 256; i++) {
     uint32_t c = i;
     for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
@@ -294,12 +295,13 @@ void crc32_tab_init() {
       g_crc_tab[t][i] = c;
     }
   }
-  g_crc_tab_init = 1;
+  return true;
 }
 
 // crc is the in-progress inverted register (caller handles ~ conditioning)
 uint32_t crc32_slice8(uint32_t crc, const uint8_t* p, size_t n) {
-  crc32_tab_init();
+  static const bool init_done = crc32_tab_init();
+  (void)init_done;
   while (n >= 8) {
     uint32_t lo;
     memcpy(&lo, p, 4);
@@ -395,9 +397,6 @@ uint32_t crc32_pclmul(uint32_t crc, const uint8_t* buf, size_t n) {
   return crc32_slice8(out, buf, n);
 }
 
-// 0 = untested, 1 = validated, -1 = failed self-check (use scalar)
-static int g_pclmul_ok = 0;
-
 int crc32_pclmul_selfcheck() {
   uint8_t v[257];
   for (int i = 0; i < 257; i++) v[i] = (uint8_t)(i * 131 + 7);
@@ -424,8 +423,9 @@ extern "C" {
 uint32_t fq_crc32(uint32_t crc_in, const uint8_t* data, long long n) {
   uint32_t c = crc_in ^ 0xFFFFFFFFu;
 #if defined(__PCLMUL__)
-  if (g_pclmul_ok == 0) g_pclmul_ok = crc32_pclmul_selfcheck();
-  if (g_pclmul_ok > 0 && n >= 64)
+  // magic-static: self-check runs exactly once, thread-safely
+  static const int pclmul_ok = crc32_pclmul_selfcheck();
+  if (pclmul_ok > 0 && n >= 64)
     c = crc32_pclmul(c, data, (size_t)n);
   else
     c = crc32_slice8(c, data, (size_t)n);
@@ -2169,17 +2169,30 @@ long long fq_decode_block_v2(const uint8_t* payload, long long payload_n,
                              const long long* raw_sizes, long long n,
                              uint8_t qoffset, int version, uint8_t* out,
                              long long out_cap) {
+  // Declared frame content sizes are attacker-controlled: bound each one
+  // before summing (overflow) or allocating (a std::bad_alloc escaping
+  // through the C ABI would abort the process). 2^34 per stream is far
+  // beyond any real block while keeping total_raw overflow-free.
+  constexpr long long kMaxStreamRaw = 1LL << 34;
   long long total_raw = 0, total_comp = 0;
   for (int i = 0; i < 6; i++) {
     if (comp_sizes[i] < 0 || raw_sizes[i] < 0) return -7;
+    if (raw_sizes[i] > kMaxStreamRaw || comp_sizes[i] > payload_n)
+      return -7;
     total_raw += raw_sizes[i];
     total_comp += comp_sizes[i];
   }
   if (total_comp > payload_n) return -7;
+  if (raw_sizes[5] != 4 * n) return -6;  // reject before any allocation
 
   ZstdDecodeWorker& w = g_zstd_dworker;
-  if ((long long)w.scratch.size() < total_raw)
-    w.scratch.resize((size_t)total_raw);
+  if ((long long)w.scratch.size() < total_raw) {
+    try {
+      w.scratch.resize((size_t)total_raw);
+    } catch (const std::bad_alloc&) {
+      return -7;
+    }
+  }
   const uint8_t* ptr[6];
   long long roff = 0, coff = 0;
   for (int i = 0; i < 6; i++) {
@@ -2200,7 +2213,6 @@ long long fq_decode_block_v2(const uint8_t* payload, long long payload_n,
   // Upfront bounds: the assembly unpacks sequence text before its quality
   // bound check could catch an oversized length stream, so validate the
   // total here and size the output exactly.
-  if (raw_sizes[5] != 4 * n) return -6;
   long long sum_len = 0;
   for (long long i = 0; i < n; i++) {
     uint32_t l;

@@ -259,3 +259,17 @@ def test_fused_v2_decode_truncations_never_crash():
             fq.decompress_bytes(comp[:cut])
         except EXPECTED_ERRORS:
             pass
+
+
+def test_huge_declared_frame_content_size_rejected():
+    """A flipped zstd frame-header FCS flag makes the frame declare an
+    absurd content size; the fused decode must reject it with a typed
+    error instead of allocating (or aborting on std::bad_alloc)."""
+    data = _data(200, seed=5)
+    comp = bytearray(fq.compress_bytes(data, fq.Options(block_size=32)))
+    fh_block = 10 + 36  # file header + v2 block header
+    for desc in (0xE4, comp[fh_block + 4] | 0xC0):
+        mut = bytearray(comp)
+        mut[fh_block + 4] = desc
+        with pytest.raises(EXPECTED_ERRORS + (RuntimeError,)):
+            fq.decompress_bytes(bytes(mut))
