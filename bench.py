@@ -25,14 +25,38 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def synth_fastq(target_mb: int, read_len: int = 151, seed: int = 42) -> bytes:
-    """Generate realistic-shape Illumina FASTQ (vectorized + native assembly)."""
+def synth_fastq(
+    target_mb: int,
+    read_len: int = 151,
+    seed: int = 42,
+    genomic: bool = False,
+) -> bytes:
+    """Generate realistic-shape Illumina FASTQ (vectorized + native assembly).
+
+    ``genomic=True`` samples reads from one synthetic genome at coverage
+    (~40 Mb at 15x) instead of IID bases — the block-local redundancy
+    structure of real sequencing runs, which the v3 TAG_SLDM candidate
+    exists for (PERFORMANCE.md E039).
+    """
     rng = np.random.default_rng(seed)
     rec_bytes = 38 + 2 * (read_len + 1) + 2
     n = (target_mb << 20) // rec_bytes
 
     bases = np.frombuffer(b"ACGT", np.uint8)
-    seq = bases[rng.integers(0, 4, size=(n, read_len))]
+    if genomic:
+        coverage = 15
+        glen = max(n * read_len // coverage, read_len + 1)
+        genome = rng.integers(0, 4, size=glen).astype(np.uint8)
+        starts = rng.integers(0, glen - read_len, size=n)
+        codes = genome[starts[:, None] + np.arange(read_len)]
+        # ~0.2% sequencing-error substitutions
+        ne = max(1, n * read_len // 500)
+        codes[rng.integers(0, n, ne), rng.integers(0, read_len, ne)] = (
+            rng.integers(0, 4, ne).astype(np.uint8)
+        )
+        seq = bases[codes]
+    else:
+        seq = bases[rng.integers(0, 4, size=(n, read_len))]
     # sparse N positions (~0.1%)
     nn = max(1, n * read_len // 1000)
     seq[
@@ -190,6 +214,13 @@ def main() -> int:
     # the dev host swings 30-40% run to run (PERFORMANCE.md E034);
     # more best-of samples cost ~70 ms each and stabilize the headline
     ap.add_argument("--repeats", type=int, default=5)
+    ap.add_argument(
+        "--fixture",
+        choices=["iid", "genomic"],
+        default="iid",
+        help="genomic = reads sampled from one genome at 15x coverage "
+        "(block-local redundancy, engages v3 TAG_SLDM)",
+    )
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a JAX/XLA profiler trace to DIR")
@@ -223,7 +254,7 @@ def main() -> int:
 
     log(f"generating {args.mb} MB synthetic FASTQ ...")
     t0 = time.perf_counter()
-    data = synth_fastq(args.mb)
+    data = synth_fastq(args.mb, genomic=(args.fixture == "genomic"))
     log(f"generated {len(data)/1e6:.1f} MB in {time.perf_counter()-t0:.2f}s")
 
     from fastqpacker_tpu.utils.profiling import trace as profile_trace

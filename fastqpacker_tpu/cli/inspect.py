@@ -126,6 +126,7 @@ def _v3_tag_name(slot: int, tag: int) -> str:
         container.TAG_TOK: "tok+zstd",
         container.TAG_QCTX: "qctx",
         container.TAG_SCTX: "sctx",
+        container.TAG_SLDM: "sldm",
     }.get(tag, f"tag{tag}")
 
 

@@ -22,8 +22,13 @@ _lib_lock = threading.Lock()
 
 # ZSTD_cParameter / ZSTD_dParameter enum values (zstd.h, stable API).
 _ZSTD_c_compressionLevel = 100
+_ZSTD_c_windowLog = 101
 _ZSTD_c_hashLog = 102
 _ZSTD_c_targetLength = 106
+_ZSTD_c_enableLongDistanceMatching = 160
+_ZSTD_c_ldmHashLog = 161
+_ZSTD_c_ldmMinMatch = 162
+_ZSTD_c_ldmHashRateLog = 164
 _ZSTD_c_checksumFlag = 201
 
 _ZSTD_CONTENTSIZE_UNKNOWN = 2**64 - 1
@@ -44,6 +49,18 @@ _FAST_HASH_LOG = 15
 _PROBE_BYTES = 128 << 10
 _PROBE_MIN_STREAM = 1 << 20
 _PROBE_INCOMPRESSIBLE = 0.97
+
+# Long-distance-matching profile for the coverage-redundancy sequence
+# candidate (ops/sldm.py, journal E039). Grid-tuned on genome-sampled
+# reads: minMatch 16 / hashLog 24 / rateLog 2 reaches 0.54 bits/base at
+# ~70 MB/s where the defaults (minMatch 64) miss read overlaps entirely.
+# windowLog 25 covers the largest block's unpacked codes (100k x 151 =
+# 15.1 MB) with headroom for long reads; decode stays within libzstd's
+# default 2^27 window limit.
+LDM_WINDOW_LOG = 25
+LDM_MIN_MATCH = 16
+LDM_HASH_LOG = 24
+LDM_HASH_RATE_LOG = 2
 
 
 class ZstdError(RuntimeError):
@@ -134,7 +151,12 @@ class ZstdCodec:
     thread must own its own ``ZstdCodec``.
     """
 
-    def __init__(self, level: int = DEFAULT_LEVEL, checksum: bool = True):
+    def __init__(
+        self,
+        level: int = DEFAULT_LEVEL,
+        checksum: bool = True,
+        ldm: bool = False,
+    ):
         self._lib = _load()
         self._level = level
         self._checksum = checksum
@@ -149,6 +171,22 @@ class ZstdCodec:
                 self._cctx, _ZSTD_c_compressionLevel, level
             ),
         )
+        if ldm:
+            # Long-distance matching tuned for coverage-redundant reads
+            # (ops/sldm.py): matches between overlapping reads are short
+            # (>=16 code bytes) and scattered block-wide, outside both
+            # the level-1 search and LDM's 64-byte default min-match.
+            for param, val in (
+                (_ZSTD_c_enableLongDistanceMatching, 1),
+                (_ZSTD_c_windowLog, LDM_WINDOW_LOG),
+                (_ZSTD_c_ldmMinMatch, LDM_MIN_MATCH),
+                (_ZSTD_c_ldmHashLog, LDM_HASH_LOG),
+                (_ZSTD_c_ldmHashRateLog, LDM_HASH_RATE_LOG),
+            ):
+                _check(
+                    self._lib,
+                    self._lib.ZSTD_CCtx_setParameter(self._cctx, param, val),
+                )
         if level == 1:
             _check(
                 self._lib,

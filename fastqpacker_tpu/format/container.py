@@ -42,6 +42,7 @@ TAG_ZSTD = 1
 TAG_TOK = 2  # header token-delta transform (ops/tokenize.py) + zstd
 TAG_QCTX = 3  # order-1/2 context-modeled quality rANS (ops/qualctx.py)
 TAG_SCTX = 4  # order-k context-modeled sequence rANS (ops/seqctx.py)
+TAG_SLDM = 5  # unpacked base codes + long-distance-matching zstd (ops/sldm.py)
 # TPU-native format: rANS entropy coding + per-block CRC32. Not readable by
 # the Go reference; our decoder reads all three versions.
 VERSION_3_NATIVE = 3

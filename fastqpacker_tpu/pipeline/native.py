@@ -45,6 +45,7 @@ TAG_ZSTD = container.TAG_ZSTD
 TAG_TOK = container.TAG_TOK
 TAG_QCTX = container.TAG_QCTX
 TAG_SCTX = container.TAG_SCTX
+TAG_SLDM = container.TAG_SLDM
 
 
 def _tok_encode(stream: bytes, count: int) -> bytes:
@@ -129,29 +130,45 @@ def _encode_tagged_seq(
     r0 = _rans_size_estimate(s)
     bar = min(len(z), r0)
     margin = 1.0 if max_ratio else SCTX_WIN_MARGIN
-    from ..ops import seqctx
+    from ..ops import seqctx, sldm
 
+    s_arr = np.frombuffer(s, np.uint8)
+    best: Optional[bytes] = None
+    bases = None
     est_s = None
     try:
         sctx_hopeless = False
         if not max_ratio:
             # sampled pre-gate: skip the full histogram pass when even
             # the optimistic sampled projection cannot reach the margin
-            proj = seqctx.sample_estimate(
-                np.frombuffer(s, np.uint8), lengths
-            )
+            proj = seqctx.sample_estimate(s_arr, lengths)
             sctx_hopeless = proj is not None and proj >= bar * margin
         if not sctx_hopeless:
-            bases, hist6 = seqctx.prepare(
-                np.frombuffer(s, np.uint8), lengths
-            )
+            bases, hist6 = seqctx.prepare(s_arr, lengths)
             _, est_s = seqctx.pick_order(hist6)
     except ValueError:
         est_s = None
     if est_s is not None and est_s < bar * margin:
         q = seqctx.encode_prepared(bases, lengths, hist6)
         if len(q) < bar:
-            return bytes([TAG_SCTX]) + q
+            best, bar = bytes([TAG_SCTX]) + q, len(q)
+    # coverage-redundancy candidate (E039): unpacked codes + zstd-LDM.
+    # Always measured under --max-ratio; the default pipeline runs it
+    # only when the sampled 16-mer duplicate probe sees block-local
+    # coverage (so coverage-free data never pays the LDM pass).
+    try:
+        if max_ratio or sldm.coverage_probe(s_arr) >= sldm.DUP_THRESHOLD:
+            d = (
+                sldm.encode_bases(bases)
+                if bases is not None
+                else sldm.encode(s_arr, lengths)
+            )
+            if len(d) < bar:
+                best, bar = bytes([TAG_SLDM]) + d, len(d)
+    except ValueError:
+        pass
+    if best is not None:
+        return best
     if r0 < len(z):
         r = rans.encode_stream(s)
         if len(r) < len(z):
@@ -212,6 +229,17 @@ def _decode_tagged(
             )
         try:
             return seqctx.decode(payload, lengths)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
+    if tag == TAG_SLDM:
+        from ..ops import sldm
+
+        if lengths is None:
+            raise container.FormatError(
+                "sldm stream outside the sequence slot"
+            )
+        try:
+            return sldm.decode(payload, lengths)
         except ValueError as e:
             raise container.FormatError(str(e)) from None
     raise container.FormatError(f"unknown stream codec tag: {tag}")

@@ -921,6 +921,10 @@ def _bind_sctx(lib):
         _u16p, _i64p, _i64p, _u32p, _ll, _i64p, _ll, ctypes.c_int, _u16p,
         _u8p, _ll,
     ]
+    lib.fq_sldm_unpack.restype = ctypes.c_int
+    lib.fq_sldm_unpack.argtypes = [_u8p, _ll, _i64p, _ll, _u8p]
+    lib.fq_sldm_pack.restype = ctypes.c_int
+    lib.fq_sldm_pack.argtypes = [_u8p, _ll, _i64p, _ll, _u8p]
     lib._sctx_bound = True
 
 
@@ -1010,3 +1014,31 @@ def sctx_decode(
     if rc != 0:
         raise ValueError("corrupted sctx sequence data")
     return out[:plen].tobytes()
+
+
+def sldm_unpack(packed: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat packed seq stream -> flat base codes (ops/sldm.py twin)."""
+    lib = _sctx_lib()
+    n = int(lengths.sum())
+    bases = np.empty(max(n, 1), np.uint8)
+    rc = lib.fq_sldm_unpack(
+        _nz_u8(np.ascontiguousarray(packed)), len(packed),
+        _nz_i64(lengths), len(lengths), bases,
+    )
+    if rc != 0:
+        raise ValueError("packed sequence data does not match lengths")
+    return bases[:n]
+
+
+def sldm_pack(bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Flat base codes -> flat packed seq stream, zero padding bits."""
+    lib = _sctx_lib()
+    plen = int(((lengths.astype(np.int64) + 3) >> 2).sum())
+    out = np.zeros(max(plen, 1), np.uint8)
+    rc = lib.fq_sldm_pack(
+        _nz_u8(np.ascontiguousarray(bases)), len(bases),
+        _nz_i64(lengths), len(lengths), out,
+    )
+    if rc != 0:
+        raise ValueError("sequence codes do not match lengths")
+    return out[:plen]

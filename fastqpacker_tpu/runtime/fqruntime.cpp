@@ -1967,6 +1967,62 @@ int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
   return 0;
 }
 
+// Flat packed seq stream (per-record rows, zero padding bits) <-> flat
+// base codes: the TAG_SLDM payload transform (ops/sldm.py). Unpack emits
+// 4 codes per packed byte through a u32 LUT; pack masks every code to
+// 2 bits so hostile payload bytes cannot bleed into neighbouring bases.
+int fq_sldm_unpack(const uint8_t* packed, long long packed_len,
+                   const long long* lengths, long long nrec,
+                   uint8_t* bases) {
+  static uint32_t lut[256];
+  static int lut_init = 0;
+  if (!lut_init) {
+    for (int b = 0; b < 256; b++)
+      lut[b] = (uint32_t)((b & 3) | (((b >> 2) & 3) << 8) |
+                          (((b >> 4) & 3) << 16) | (((b >> 6) & 3) << 24));
+    lut_init = 1;
+  }
+  long long j = 0, pi = 0;
+  for (long long r = 0; r < nrec; r++) {
+    const long long L = lengths[r];
+    if (L < 0 || pi + ((L + 3) >> 2) > packed_len) return -1;
+    const uint8_t* row = packed + pi;
+    long long p = 0;
+    for (; p + 4 <= L; p += 4) {
+      const uint32_t v = lut[row[p >> 2]];
+      memcpy(bases + j + p, &v, 4);
+    }
+    for (; p < L; p++) bases[j + p] = (row[p >> 2] >> ((p & 3) * 2)) & 3;
+    j += L;
+    pi += (L + 3) >> 2;
+  }
+  return (pi == packed_len) ? 0 : -1;
+}
+
+int fq_sldm_pack(const uint8_t* bases, long long total,
+                 const long long* lengths, long long nrec, uint8_t* packed) {
+  long long j = 0, pi = 0;
+  for (long long r = 0; r < nrec; r++) {
+    const long long L = lengths[r];
+    if (L < 0 || j + L > total) return -1;
+    const uint8_t* b = bases + j;
+    uint8_t* orow = packed + pi;
+    long long p = 0;
+    for (; p + 4 <= L; p += 4) {
+      orow[p >> 2] = (uint8_t)((b[p] & 3) | ((b[p + 1] & 3) << 2) |
+                               ((b[p + 2] & 3) << 4) | ((b[p + 3] & 3) << 6));
+    }
+    if (p < L) {
+      uint8_t v = 0;
+      for (; p < L; p++) v |= (uint8_t)((b[p] & 3) << ((p & 3) * 2));
+      orow[L >> 2] = v;
+    }
+    j += L;
+    pi += (L + 3) >> 2;
+  }
+  return (j == total) ? 0 : -1;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
