@@ -308,40 +308,13 @@ class FastqStreamParser:
             yield from self._blocks_numpy()
 
     def _inmem_view(self):
-        """Zero-copy view of the whole source when it is addressable:
-        BytesIO buffers directly, regular files via mmap. Pipes, sockets,
-        gzip wrappers, and peek wrappers return None (streaming path).
-        The reader is advanced to EOF — block views replace reads."""
-        r = self.reader
-        if isinstance(r, io.BytesIO):
-            # getvalue(), not getbuffer(): on a bytes-constructed BytesIO
-            # the init bytes are shared copy-on-write, so getvalue() is
-            # free while getbuffer() copies the whole buffer to unshare
-            # it (23 ms on the 128 MB bench fixture, E034). A later write
-            # to the BytesIO unshares without touching our view.
-            pos = r.tell()
-            mv = memoryview(r.getvalue())
-            r.seek(0, io.SEEK_END)
-            return mv[pos:] if pos else mv
-        if isinstance(r, io.BufferedReader) and isinstance(
-            getattr(r, "raw", None), io.FileIO
-        ):
-            import mmap
-            import os
-            import stat
+        """Zero-copy view of the whole source when it is addressable
+        (:func:`fastqpacker_tpu.utils.inmem.source_view`); ``None`` sends
+        pipes/gzip/peek wrappers down the streaming path. The reader is
+        advanced to EOF — block views replace reads."""
+        from ..utils.inmem import source_view
 
-            try:
-                st = os.fstat(r.fileno())
-                if not stat.S_ISREG(st.st_mode) or st.st_size == 0:
-                    return None
-                pos = r.tell()
-                mm = mmap.mmap(r.fileno(), 0, access=mmap.ACCESS_READ)
-            except (OSError, ValueError):
-                return None
-            r.seek(0, io.SEEK_END)
-            self._mmap = mm  # keep alive for the yielded block views
-            return memoryview(mm)[pos:] if pos else memoryview(mm)
-        return None
+        return source_view(self.reader)
 
     def _blocks_native_inmem(self, nat, mv) -> Iterator[RecordBlock]:
         """Scan record blocks in place over an addressable source — no

@@ -87,6 +87,56 @@ def _default_encode_arrays():
     return refops.encode_block_arrays
 
 
+def _sink_fd(w) -> int:
+    """OS fd of ``w`` when it is a real file/pipe (flushed first), else -1
+    (the native pipeline collects into a buffer we hand to ``w.write``)."""
+    import io as _io
+
+    try:
+        fd = w.fileno()
+    except (AttributeError, OSError, _io.UnsupportedOperation):
+        return -1
+    try:
+        w.flush()
+    except (AttributeError, OSError):
+        return -1
+    return fd
+
+
+# Without an output fd the native whole-file pipeline buffers its entire
+# result in memory; beyond this input size, stream block-by-block instead.
+_MT_BUFFER_CAP = 1 << 31  # compress output < input
+_MT_BUFFER_CAP_DECODE = 256 << 20  # decompress output ~3-10x input
+
+
+def _compress_mt(r, w, opts, block_size: int, workers: int) -> bool:
+    """Whole-file native pipeline (one GIL-released call: scanner thread +
+    encode workers + ordered collector, the reference's full goroutine
+    pipeline compress.go:240-443 as native threads). Returns False when
+    the source is not addressable or the output would not fit the
+    buffer-mode cap — the caller runs the per-block path."""
+    from ..runtime import bindings
+    from ..utils.inmem import source_view
+
+    try:
+        pos = r.tell() if hasattr(r, "tell") else None
+    except OSError:
+        pos = None
+    view = source_view(r)
+    if view is None:
+        return False
+    fd = _sink_fd(w)
+    if fd < 0 and len(view) > _MT_BUFFER_CAP:
+        if pos is not None:
+            r.seek(pos)
+            return False
+    src = np.frombuffer(view, np.uint8)
+    bindings.compress_mt(
+        src, block_size, opts.version, opts.flags, workers, fd, sink=w
+    )
+    return True
+
+
 def ordered_map_write(w, jobs, fn, workers: int) -> None:
     """Run ``fn`` over ``jobs`` on a bounded thread pool and write the
     results to ``w`` in input order — the shared collector used by every
@@ -123,11 +173,23 @@ def compress(
 
         native.compress_native(r, w, opts, encode_arrays=encode_arrays)
         return
+    default_encoder = encode_arrays is None
     if encode_arrays is None:
         encode_arrays = _default_encode_arrays()
     block_size = resolve_block_size(opts)
     workers = _resolve_workers(opts.workers, extra=1)
     version = opts.version
+
+    from ..runtime import bindings
+
+    if (
+        default_encoder
+        and bindings.available()
+        and bindings.mt_available()
+        and version in (container.VERSION_1, container.VERSION_2)
+        and _compress_mt(r, w, opts, block_size, workers)
+    ):
+        return
 
     parser = FastqStreamParser(r, block_size=block_size)
     block_iter = parser.blocks()
@@ -212,6 +274,36 @@ def decompress(
 
         native.decompress_native(r, w, fh, qual_offset, workers)
         return
+
+    from ..runtime import bindings
+
+    if (
+        decode_arrays is None
+        and bindings.available()
+        and bindings.mt_available()
+    ):
+        from ..utils.inmem import source_view
+
+        try:
+            pos = r.tell() if hasattr(r, "tell") else None
+        except OSError:
+            pos = None
+        view = source_view(r)
+        if view is not None:
+            fd = _sink_fd(w)
+            if fd >= 0 or len(view) <= _MT_BUFFER_CAP_DECODE:
+                res = bindings.decompress_mt(
+                    np.frombuffer(view, np.uint8),
+                    fh.version,
+                    qual_offset,
+                    workers,
+                    fd,
+                    sink=w,
+                )
+                if res is not None:  # None: foreign frames -> per-block path
+                    return
+            if pos is not None:
+                r.seek(pos)  # fall through to the streaming per-block path
 
     def read_jobs():
         while True:

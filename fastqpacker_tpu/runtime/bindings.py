@@ -1042,3 +1042,153 @@ def sldm_pack(bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     if rc != 0:
         raise ValueError("sequence codes do not match lengths")
     return out[:plen]
+
+
+# ---------------------------------------------------------------------------
+# Whole-file multithreaded pipeline (fq_compress_mt / fq_decompress_mt):
+# one GIL-released native call per file; a native scanner thread + encode
+# workers + ordered collector replace the Python ThreadPoolExecutor loop
+# (the reference's produceCompressJobs/runCompressionWorker/
+# collectAndWriteResults, internal/compress/compress.go:240-443, as one
+# native unit).
+# ---------------------------------------------------------------------------
+
+MT_FALLBACK = -20  # decode: foreign frames without content sizes etc.
+
+
+def _bind_mt(lib):
+    lib.fq_compress_mt.restype = _ll
+    lib.fq_compress_mt.argtypes = [
+        _u8p, _ll, _ll, ctypes.c_int, ctypes.c_uint8, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i64p,
+    ]
+    lib.fq_decompress_mt.restype = _ll
+    lib.fq_decompress_mt.argtypes = [
+        _u8p, _ll, ctypes.c_int, ctypes.c_uint8, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i64p,
+    ]
+    lib.fq_buf_free.restype = None
+    lib.fq_buf_free.argtypes = [ctypes.c_void_p]
+    lib._mt_bound = True
+
+
+def mt_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fq_compress_mt")
+
+
+def _mt_raise_compress(code: int, info) -> None:
+    from ..ops.reference import MAX_SEQUENCE_LENGTH
+    from ..parser.fastq import FastqParseError
+
+    if code == -10:
+        raise FastqParseError(SCAN_ERRORS[int(info[0])])
+    if code == -1:
+        raise ValueError("record field longer than 65535 bytes")
+    if code == -6:
+        row, length = int(info[0]), int(info[1])
+        raise ValueError(
+            f'record "record {row}": sequence length {length} has '
+            f"ambiguous bases beyond position {MAX_SEQUENCE_LENGTH}; "
+            f"N-position tracking is limited to {MAX_SEQUENCE_LENGTH} bp"
+        )
+    if code == -11:
+        raise OSError(int(info[0]), os.strerror(int(info[0])))
+    raise RuntimeError(f"native compress pipeline failed ({code})")
+
+
+def _mt_raise_decompress(code: int, info) -> None:
+    from ..entropy.zstd import ZstdError
+    from ..format.container import FormatError
+
+    if code == -21:
+        raise FormatError("truncated block header")
+    if code == -22:
+        raise FormatError("truncated block payload")
+    if code == -7:
+        raise ZstdError("corrupted zstd frame in block payload")
+    if -6 <= code <= -1:
+        raise FormatError(
+            _DECODE_STREAM_ERRORS.get(code, "corrupted block data")
+        )
+    if code == -11:
+        raise OSError(int(info[0]), os.strerror(int(info[0])))
+    raise RuntimeError(f"native decompress pipeline failed ({code})")
+
+
+def _mt_call(fn, src: np.ndarray, args: tuple, out_fd: int, sink):
+    """Shared tail: run an MT entry point; fd mode streams inside the
+    native call, buffer mode hands the owned result to ``sink.write`` as
+    a zero-copy view before freeing it. Returns the byte count; negative
+    codes come back unraised."""
+    handle = ctypes.c_void_p(None)
+    ptr = ctypes.POINTER(ctypes.c_uint8)()
+    info = np.zeros(2, np.int64)
+    n = fn(
+        _nz_u8(src), len(src), *args, out_fd,
+        ctypes.byref(handle), ctypes.byref(ptr), info,
+    )
+    if n < 0:
+        return int(n), info
+    if out_fd < 0:
+        try:
+            if n:
+                view = np.ctypeslib.as_array(ptr, shape=(int(n),))
+                sink.write(memoryview(view))
+        finally:
+            _load().fq_buf_free(handle)
+    return int(n), None
+
+
+def compress_mt(
+    src: np.ndarray,
+    block_records: int,
+    version: int,
+    extra_flags: int,
+    workers: int,
+    out_fd: int = -1,
+    sink=None,
+):
+    """Whole-file v1/v2 compress: streams to ``out_fd`` when >= 0, else
+    writes the container into ``sink`` as one zero-copy view. Returns the
+    byte count. Output is byte-identical to the per-block pipeline (same
+    scan, same fq_encode_block_v2 policy)."""
+    lib = _load()
+    if not hasattr(lib, "_mt_bound"):
+        _bind_mt(lib)
+    res, info = _mt_call(
+        lib.fq_compress_mt, src,
+        (block_records, version, extra_flags, workers), out_fd, sink,
+    )
+    if res < 0:
+        _mt_raise_compress(res, info)
+    return res
+
+
+def decompress_mt(
+    src: np.ndarray,
+    version: int,
+    qual_offset: int,
+    workers: int,
+    out_fd: int = -1,
+    sink=None,
+):
+    """Whole-file v1/v2 decompress of a container body (file header
+    already consumed): streams to ``out_fd`` when >= 0, else writes the
+    FASTQ text into ``sink`` as one zero-copy view. Returns the byte
+    count, or ``None`` when the container needs the per-block fallback
+    path (foreign zstd frames without declared content sizes)."""
+    lib = _load()
+    if not hasattr(lib, "_mt_bound"):
+        _bind_mt(lib)
+    res, info = _mt_call(
+        lib.fq_decompress_mt, src, (version, qual_offset, workers), out_fd,
+        sink,
+    )
+    if res < 0:
+        if res == MT_FALLBACK:
+            return None
+        _mt_raise_decompress(res, info)
+    return res

@@ -16,7 +16,10 @@ SRC = os.path.join(_DIR, "fqruntime.cpp")
 LIB = os.path.join(_DIR, "libfqruntime.so")
 
 CXX = os.environ.get("CXX", "g++")
-FLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-fvisibility=default"]
+FLAGS = [
+    "-O3", "-march=native", "-shared", "-fPIC", "-fvisibility=default",
+    "-pthread",  # whole-file MT pipeline (fq_compress_mt/fq_decompress_mt)
+]
 # the fused block encoder entropy-codes in-process (fq_encode_block_v2)
 LIBS = ["-lzstd"]
 

@@ -2288,3 +2288,681 @@ long long fq_decode_block_v2(const uint8_t* payload, long long payload_n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-file multithreaded pipeline: one GIL-released call per FILE.
+//
+// The Python pipeline runs one native call per block on a ThreadPoolExecutor;
+// at 2000+ MB/s the interpreter-side producer iteration, future scheduling,
+// and ordered writes still serialize ~15-20% of the wall time on small-core
+// hosts. This section is the reference's whole pipeline
+// (internal/compress/compress.go:240-443: produceCompressJobs + N workers +
+// collectAndWriteResults) as native threads: a scanner thread walks the
+// mmap'd input with fq_scan_records, worker threads run fq_encode_block_v2
+// (or fq_decode_block_v2), and the calling thread collects results in block
+// order into an fd (direct write()) or an owned buffer handed back to
+// Python. Python's role shrinks to argument marshalling and error mapping.
+// ---------------------------------------------------------------------------
+
+#include <atomic>
+#include <cerrno>
+#include <cstdlib>
+#include <condition_variable>
+#include <deque>
+#include <map>
+#include <mutex>
+#include <thread>
+
+#include <unistd.h>
+
+namespace fqmt {
+
+// Error codes surfaced to bindings.py (keep in sync with MT_ERRORS there).
+enum {
+  MT_ERR_FIELD_LEN = -1,    // header/plus field > 65535 bytes
+  MT_ERR_ZSTD = -4,         // zstd compress failure
+  MT_ERR_AMBIG = -6,        // ambiguous bases beyond the u16 npos cap
+  MT_ERR_SCAN = -10,        // FASTQ parse error (err_info[0] = FQ_ERR_*)
+  MT_ERR_WRITE = -11,       // write() failed (err_info[0] = errno)
+  MT_ERR_FALLBACK = -20,    // decode: frame without content size etc.
+  MT_ERR_TRUNC_HDR = -21,   // decode: truncated block header
+  MT_ERR_TRUNC_PAYLOAD = -22,  // decode: truncated block payload
+};
+
+struct Sink {
+  int fd = -1;
+  std::vector<uint8_t>* buf = nullptr;
+  int err_no = 0;
+  bool write(const uint8_t* p, size_t n) {
+    if (fd >= 0) {
+      while (n) {
+        const ssize_t w = ::write(fd, p, n);
+        if (w < 0) {
+          if (errno == EINTR) continue;
+          err_no = errno;
+          return false;
+        }
+        p += w;
+        n -= (size_t)w;
+      }
+      return true;
+    }
+    buf->insert(buf->end(), p, p + n);
+    return true;
+  }
+};
+
+// One block's outcome: encoded/decoded bytes, or an error triple.
+// Uninitialized, grow-only, recyclable byte buffer. std::vector is wrong
+// here twice over: resize() zero-fills (~20 MB/job memset at >2 GB/s
+// dwarfs the encode itself) and fresh allocations pay this host's
+// first-touch page-fault tax (E001) — so buffers malloc lazily, never
+// initialize, and cycle worker -> collector -> pool (the reference's
+// sync.Pool block buffers, compress.go:42-52).
+struct Buf {
+  uint8_t* p = nullptr;
+  size_t cap = 0;
+  size_t len = 0;
+  Buf() = default;
+  Buf(Buf&& o) noexcept : p(o.p), cap(o.cap), len(o.len) {
+    o.p = nullptr;
+    o.cap = o.len = 0;
+  }
+  Buf& operator=(Buf&& o) noexcept {
+    if (this != &o) {
+      free(p);
+      p = o.p;
+      cap = o.cap;
+      len = o.len;
+      o.p = nullptr;
+      o.cap = o.len = 0;
+    }
+    return *this;
+  }
+  Buf(const Buf&) = delete;
+  Buf& operator=(const Buf&) = delete;
+  ~Buf() { free(p); }
+  bool ensure(size_t n) {
+    if (cap >= n) return true;
+    uint8_t* q = (uint8_t*)realloc(p, n);
+    if (!q) return false;
+    p = q;
+    cap = n;
+    return true;
+  }
+};
+
+struct BufPool {
+  std::mutex mu;
+  std::vector<Buf> free_list;
+  void get(Buf& b) {
+    std::lock_guard<std::mutex> lk(mu);
+    if (!free_list.empty()) {
+      b = std::move(free_list.back());
+      free_list.pop_back();
+    }
+  }
+  void put(Buf&& b) {
+    if (!b.p) return;
+    std::lock_guard<std::mutex> lk(mu);
+    free_list.push_back(std::move(b));
+  }
+};
+
+struct Res {
+  Buf out;
+  long long err = 0;
+  long long e0 = 0, e1 = 0;
+};
+
+// Ordered result collection: workers deposit by block index, the calling
+// thread drains the contiguous prefix (the reference's pending-map
+// collector, compress.go:365-403).
+struct Collector {
+  std::mutex mu;
+  std::condition_variable cv;
+  std::map<long long, Res> pending;
+  std::atomic<long long> next{0};          // next index to write
+  std::atomic<long long> total{-1};        // block count once known
+  std::atomic<bool> failed{false};
+
+  void deposit(long long idx, Res&& r) {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      pending.emplace(idx, std::move(r));
+    }
+    cv.notify_all();
+  }
+  // Caps reorder-buffer growth: workers stall while more than `cap`
+  // results sit ahead of the write cursor.
+  void wait_credit(long long idx, long long cap) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv.wait(lk, [&] {
+      return failed.load() || idx < next.load() + cap;
+    });
+  }
+};
+
+// Bounded job queue (compress scanner -> workers).
+template <typename T>
+struct Queue {
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  std::deque<T> q;
+  size_t cap;
+  bool closed = false;
+  explicit Queue(size_t c) : cap(c) {}
+  bool push(T&& v) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_push.wait(lk, [&] { return q.size() < cap || closed; });
+    if (closed) return false;
+    q.push_back(std::move(v));
+    cv_pop.notify_one();
+    return true;
+  }
+  bool pop(T& v) {
+    std::unique_lock<std::mutex> lk(mu);
+    cv_pop.wait(lk, [&] { return !q.empty() || closed; });
+    if (q.empty()) return false;
+    v = std::move(q.front());
+    q.pop_front();
+    cv_push.notify_one();
+    return true;
+  }
+  void close() {
+    std::lock_guard<std::mutex> lk(mu);
+    closed = true;
+    cv_push.notify_all();
+    cv_pop.notify_all();
+  }
+};
+
+struct CJob {
+  long long idx = 0;
+  const uint8_t* data = nullptr;
+  std::vector<long long> offs;
+  long long nrec = 0;
+};
+
+// Phred offset detection over the first block (quality.go:22-49 semantics,
+// twin of ops/reference.py detect_encoding): min byte < 59 -> +33,
+// >= 64 -> +64, ambiguous or empty -> +33.
+inline uint8_t detect_qual_offset(const uint8_t* text,
+                                  const long long* offs, long long n) {
+  uint8_t mn = 0xFF;
+  bool any = false;
+  for (long long i = 0; i < n; i++) {
+    const long long* o = offs + i * 8;
+    const uint8_t* q = text + o[6];
+    const long long len = o[7];
+    if (len > 0) any = true;
+    for (long long j = 0; j < len; j++)
+      if (q[j] < mn) mn = q[j];
+  }
+  if (!any) return 33;
+  if (mn < 59) return 33;
+  if (mn >= 64) return 64;
+  return 33;
+}
+
+// Long-read ambiguous-base fail-fast (compress.go:477-488 /
+// ops/reference.py check_ambiguous_overflow): a record longer than the
+// 65,536 bp u16 N-position cap must not carry non-ACGT bases in its tail.
+// Returns the failing record row, or -1 if clean.
+inline long long ambiguous_overflow_row(const uint8_t* text,
+                                        const long long* offs, long long n,
+                                        long long cap) {
+  for (long long i = 0; i < n; i++) {
+    const long long* o = offs + i * 8;
+    if (o[3] <= cap) continue;
+    const uint8_t* s = text + o[2];
+    for (long long j = cap; j < o[3]; j++) {
+      const uint8_t u = s[j] & 0xDF;
+      if (u != 'A' && u != 'C' && u != 'G' && u != 'T') return i;
+    }
+  }
+  return -1;
+}
+
+inline void put_u32(uint8_t* p, uint32_t v) { memcpy(p, &v, 4); }
+
+// Serialize a v1/v2 block header (fqformat/container.go:83-113 layouts)
+// from the compacted comp_sizes fq_encode_block_v2 produced.
+inline void write_block_header(uint8_t* dst, int version, long long nrec,
+                               const long long* comp, long long total_len) {
+  uint32_t* nop = nullptr;
+  (void)nop;
+  if (version == 1) {
+    put_u32(dst + 0, (uint32_t)nrec);
+    for (int i = 0; i < 5; i++) put_u32(dst + 4 + 4 * i, (uint32_t)comp[i]);
+    put_u32(dst + 24, (uint32_t)total_len);
+    put_u32(dst + 28, (uint32_t)total_len);
+  } else {
+    put_u32(dst + 0, (uint32_t)nrec);
+    for (int i = 0; i < 6; i++) put_u32(dst + 4 + 4 * i, (uint32_t)comp[i]);
+    put_u32(dst + 28, (uint32_t)total_len);
+    put_u32(dst + 32, (uint32_t)total_len);
+  }
+}
+
+// Buffer-mode ownership handle (Python frees via fq_buf_free).
+struct OwnedBuf {
+  std::vector<uint8_t> v;
+};
+
+}  // namespace fqmt
+
+extern "C" {
+
+void fq_buf_free(void* h) { delete (fqmt::OwnedBuf*)h; }
+
+// Compress a whole in-memory FASTQ buffer into a complete FQZ v1/v2
+// container. out_fd >= 0: write() directly (streamed, ordered); else the
+// container lands in an owned buffer (*out_handle/*out_ptr, free with
+// fq_buf_free). Returns total container bytes, or a fqmt error code with
+// details in err_info: MT_ERR_SCAN -> err_info[0] = FQ_ERR_*;
+// MT_ERR_AMBIG -> err_info[0] = record row (block-relative),
+// err_info[1] = its length; MT_ERR_WRITE -> err_info[0] = errno.
+long long fq_compress_mt(const uint8_t* text, long long n,
+                         long long block_records, int version,
+                         uint8_t extra_flags, int workers, int out_fd,
+                         void** out_handle, uint8_t** out_ptr,
+                         long long* err_info) {
+  using namespace fqmt;
+  err_info[0] = err_info[1] = 0;
+  if (block_records <= 0 || (version != 1 && version != 2)) return -12;
+  if (workers < 1) workers = 1;
+  const long long hdr_size = version == 1 ? 32 : 36;
+
+  OwnedBuf* owned = nullptr;
+  Sink sink;
+  if (out_fd >= 0) {
+    sink.fd = out_fd;
+  } else {
+    owned = new OwnedBuf();
+    owned->v.reserve((size_t)(n / 4 + 4096));
+    sink.buf = &owned->v;
+  }
+  auto fail = [&](long long code) {
+    delete owned;
+    return code;
+  };
+
+  // First block on the calling thread: Phred detection must precede the
+  // file header, and a block-0 parse error must produce no output at all
+  // (compress.go:137-168 ordering).
+  std::vector<long long> offs0((size_t)(block_records * 8));
+  long long consumed0 = 0;
+  int scan_err = 0;
+  long long cnt0 = n ? fq_scan_records(text, n, block_records, offs0.data(),
+                                       &consumed0, &scan_err)
+                     : 0;
+  if (cnt0 < 0) {
+    err_info[0] = scan_err;
+    return fail(MT_ERR_SCAN);
+  }
+  uint8_t qoffset = 33;
+  if (cnt0 > 0) qoffset = detect_qual_offset(text, offs0.data(), cnt0);
+
+  uint8_t fhdr[10] = {'F', 'Q', 'Z', 0};
+  fhdr[4] = (uint8_t)version;
+  put_u32(fhdr + 5, (uint32_t)block_records);
+  fhdr[9] = (uint8_t)(extra_flags | (qoffset == 64 ? 2 : 0));
+  if (!sink.write(fhdr, 10)) {
+    err_info[0] = sink.err_no;
+    return fail(MT_ERR_WRITE);
+  }
+  if (cnt0 == 0) {
+    if (out_fd < 0) {
+      *out_handle = owned;
+      *out_ptr = owned->v.data();
+    }
+    return 10;
+  }
+
+  Collector col;
+  BufPool rpool;
+  Queue<CJob> jobs((size_t)workers * 2);
+  std::atomic<bool> stop{false};
+
+  // offsets-array freelist (the reference's sync.Pool batch reuse)
+  std::mutex pool_mu;
+  std::vector<std::vector<long long>> offs_pool;
+  auto pool_get = [&](std::vector<long long>& v) {
+    std::lock_guard<std::mutex> lk(pool_mu);
+    if (!offs_pool.empty()) {
+      v = std::move(offs_pool.back());
+      offs_pool.pop_back();
+    } else {
+      v.resize((size_t)(block_records * 8));
+    }
+  };
+  auto pool_put = [&](std::vector<long long>&& v) {
+    std::lock_guard<std::mutex> lk(pool_mu);
+    offs_pool.push_back(std::move(v));
+  };
+
+  // Block 0 must enter the queue BEFORE the scanner can fill it: with all
+  // workers credit-stalled on high indices and the queue full, a late
+  // job-0 push would deadlock the whole pipeline.
+  {
+    CJob j0;
+    j0.idx = 0;
+    j0.data = text;
+    j0.offs = std::move(offs0);
+    j0.nrec = cnt0;
+    jobs.push(std::move(j0));
+  }
+
+  std::thread scanner([&] {
+    long long pos = consumed0;
+    long long idx = 1;
+    while (pos < n && !stop.load()) {
+      std::vector<long long> offs;
+      pool_get(offs);
+      long long consumed = 0;
+      int err = 0;
+      const long long cnt = fq_scan_records(text + pos, n - pos,
+                                            block_records, offs.data(),
+                                            &consumed, &err);
+      if (cnt < 0) {
+        Res r;
+        r.err = MT_ERR_SCAN;
+        r.e0 = err;
+        col.total.store(idx + 1);
+        col.deposit(idx, std::move(r));
+        jobs.close();
+        return;
+      }
+      if (cnt == 0) break;  // validated partial tail at EOF
+      CJob j;
+      j.idx = idx;
+      j.data = text + pos;
+      j.offs = std::move(offs);
+      j.nrec = cnt;
+      if (!jobs.push(std::move(j))) return;
+      pos += consumed;
+      idx++;
+    }
+    {
+      // total must land under the collector's lock + notify: a bare store
+      // after the last deposit was consumed would leave the collector
+      // asleep with a stale "total unknown" predicate.
+      std::lock_guard<std::mutex> lk(col.mu);
+      col.total.store(idx);
+    }
+    col.cv.notify_all();
+    jobs.close();
+  });
+
+  auto encode_one = [&](const CJob& j, Res& r) {
+    const long long row =
+        ambiguous_overflow_row(j.data, j.offs.data(), j.nrec, 65536);
+    if (row >= 0) {
+      r.err = MT_ERR_AMBIG;
+      r.e0 = row;
+      r.e1 = j.offs[(size_t)row * 8 + 3];
+      return;
+    }
+    long long raw = 64 + 10 * j.nrec;
+    for (long long i = 0; i < j.nrec; i++) {
+      const long long* o = j.offs.data() + i * 8;
+      raw += ((o[3] + 3) >> 2) + 3 * o[3] + o[1] + o[5];
+    }
+    const long long cap = hdr_size + raw + (raw >> 7) + 8192;
+    if (!r.out.ensure((size_t)cap)) {
+      r.err = -12;
+      return;
+    }
+    long long comp[6];
+    long long total_len = 0;
+    const long long payload =
+        fq_encode_block_v2(j.data, j.offs.data(), j.nrec, qoffset, version,
+                           hdr_size, r.out.p, cap, comp, &total_len);
+    if (payload < 0) {
+      r.out.len = 0;
+      r.err = payload == -1 ? MT_ERR_FIELD_LEN : MT_ERR_ZSTD;
+      return;
+    }
+    write_block_header(r.out.p, version, j.nrec, comp, total_len);
+    r.out.len = (size_t)(hdr_size + payload);
+  };
+
+  std::vector<std::thread> ws;
+  ws.reserve((size_t)workers);
+  for (int t = 0; t < workers; t++) {
+    ws.emplace_back([&] {
+      CJob j;
+      while (jobs.pop(j)) {
+        col.wait_credit(j.idx, (long long)workers * 2 + 2);
+        if (col.failed.load()) {
+          pool_put(std::move(j.offs));
+          continue;  // drain
+        }
+        Res r;
+        rpool.get(r.out);
+        encode_one(j, r);
+        pool_put(std::move(j.offs));
+        if (r.err) stop.store(true);
+        col.deposit(j.idx, std::move(r));
+      }
+    });
+  }
+
+  long long ret = 10;
+  long long next = 0;
+  for (;;) {
+    Res r;
+    {
+      std::unique_lock<std::mutex> lk(col.mu);
+      col.cv.wait(lk, [&] {
+        return col.pending.count(next) ||
+               (col.total.load() >= 0 && next >= col.total.load());
+      });
+      if (col.total.load() >= 0 && next >= col.total.load()) break;
+      auto it = col.pending.find(next);
+      r = std::move(it->second);
+      col.pending.erase(it);
+      col.next.store(next + 1);
+    }
+    col.cv.notify_all();
+    if (r.err) {
+      ret = r.err;
+      err_info[0] = r.e0;
+      err_info[1] = r.e1;
+      col.failed.store(true);
+      stop.store(true);
+      jobs.close();
+      col.cv.notify_all();
+      break;
+    }
+    if (!sink.write(r.out.p, r.out.len)) {
+      ret = MT_ERR_WRITE;
+      err_info[0] = sink.err_no;
+      col.failed.store(true);
+      stop.store(true);
+      jobs.close();
+      col.cv.notify_all();
+      break;
+    }
+    ret += (long long)r.out.len;
+    rpool.put(std::move(r.out));
+    next++;
+  }
+
+  scanner.join();
+  for (auto& t : ws) t.join();
+  if (ret < 0) return fail(ret);
+  if (out_fd < 0) {
+    *out_handle = owned;
+    *out_ptr = owned->v.data();
+  }
+  return ret;
+}
+
+// Decompress a whole in-memory FQZ v1/v2 container body (file header
+// already consumed by the caller) into FASTQ text. Same sink contract as
+// fq_compress_mt. Returns FASTQ bytes, MT_ERR_FALLBACK when any frame
+// lacks a declared content size (caller reruns the per-block path), or an
+// error code (stream errors -1..-6 from fq_decode_block_full, -7 zstd).
+long long fq_decompress_mt(const uint8_t* data, long long n, int version,
+                           uint8_t qoffset, int workers, int out_fd,
+                           void** out_handle, uint8_t** out_ptr,
+                           long long* err_info) {
+  using namespace fqmt;
+  err_info[0] = err_info[1] = 0;
+  if (version != 1 && version != 2) return -12;
+  if (workers < 1) workers = 1;
+  const long long hdr_size = version == 1 ? 32 : 36;
+  constexpr long long kMaxStreamRaw = 1LL << 34;
+
+  struct DJob {
+    const uint8_t* payload;
+    long long payload_n;
+    long long comp[6];
+    long long raw[6];
+    long long nrec;
+    long long bound;
+  };
+  std::vector<DJob> djobs;
+  long long total_bound = 0;
+  {
+    long long pos = 0;
+    while (pos < n) {
+      if (n - pos < hdr_size) return MT_ERR_TRUNC_HDR;
+      uint32_t f[9];
+      memcpy(f, data + pos, (size_t)hdr_size);
+      DJob d{};
+      d.nrec = f[0];
+      if (version == 1) {
+        const long long order[5] = {0, 1, 2, 4, 5};
+        for (int i = 0; i < 5; i++) d.comp[order[i]] = f[1 + i];
+      } else {
+        for (int i = 0; i < 6; i++) d.comp[i] = f[1 + i];
+      }
+      long long payload_n = 0;
+      for (int i = 0; i < 6; i++) payload_n += d.comp[i];
+      pos += hdr_size;
+      if (payload_n > n - pos) return MT_ERR_TRUNC_PAYLOAD;
+      d.payload = data + pos;
+      d.payload_n = payload_n;
+      pos += payload_n;
+      long long off = 0;
+      for (int i = 0; i < 6; i++) {
+        if (d.comp[i] == 0) {
+          d.raw[i] = 0;
+          continue;
+        }
+        const unsigned long long s = ZSTD_getFrameContentSize(
+            d.payload + off, (size_t)d.comp[i]);
+        if (s == ZSTD_CONTENTSIZE_UNKNOWN || s == ZSTD_CONTENTSIZE_ERROR ||
+            (long long)s > kMaxStreamRaw)
+          return MT_ERR_FALLBACK;
+        d.raw[i] = (long long)s;
+        off += d.comp[i];
+      }
+      d.bound = d.raw[2] + d.raw[3] + 2 * d.raw[1] +
+                (version == 1 ? 4 : 2) * d.nrec;
+      total_bound += d.bound;
+      djobs.push_back(d);
+    }
+  }
+
+  OwnedBuf* owned = nullptr;
+  Sink sink;
+  if (out_fd >= 0) {
+    sink.fd = out_fd;
+  } else {
+    owned = new OwnedBuf();
+    owned->v.reserve((size_t)total_bound);
+    sink.buf = &owned->v;
+  }
+
+  Collector col;
+  BufPool rpool;
+  col.total.store((long long)djobs.size());
+  std::atomic<long long> next_job{0};
+  std::atomic<bool> stop{false};
+
+  const int nw = (int)std::min<long long>(workers, (long long)djobs.size());
+  std::vector<std::thread> ws;
+  for (int t = 0; t < nw; t++) {
+    ws.emplace_back([&] {
+      for (;;) {
+        const long long i = next_job.fetch_add(1);
+        // Never skip a fetched index on `stop`: the collector still needs
+        // every deposit below the errored block to reach it in order.
+        if (i >= (long long)djobs.size()) return;
+        col.wait_credit(i, (long long)workers * 2 + 2);
+        if (col.failed.load()) return;
+        const DJob& d = djobs[(size_t)i];
+        Res r;
+        rpool.get(r.out);
+        if (!r.out.ensure((size_t)std::max<long long>(d.bound, 1))) {
+          r.err = -12;
+          stop.store(true);
+        } else {
+          const long long w = fq_decode_block_v2(d.payload, d.payload_n,
+                                                 d.comp, d.raw, d.nrec,
+                                                 qoffset, version, r.out.p,
+                                                 d.bound);
+          if (w < 0) {
+            r.out.len = 0;
+            r.err = w;
+            stop.store(true);
+          } else {
+            r.out.len = (size_t)w;
+          }
+        }
+        col.deposit(i, std::move(r));
+      }
+    });
+  }
+
+  long long ret = 0;
+  long long next = 0;
+  const long long total = (long long)djobs.size();
+  while (next < total) {
+    Res r;
+    {
+      std::unique_lock<std::mutex> lk(col.mu);
+      col.cv.wait(lk, [&] { return col.pending.count(next) > 0; });
+      auto it = col.pending.find(next);
+      r = std::move(it->second);
+      col.pending.erase(it);
+      col.next.store(next + 1);
+    }
+    col.cv.notify_all();
+    if (r.err) {
+      ret = r.err;
+      col.failed.store(true);
+      stop.store(true);
+      col.cv.notify_all();
+      break;
+    }
+    if (!sink.write(r.out.p, r.out.len)) {
+      ret = MT_ERR_WRITE;
+      err_info[0] = sink.err_no;
+      col.failed.store(true);
+      stop.store(true);
+      col.cv.notify_all();
+      break;
+    }
+    ret += (long long)r.out.len;
+    rpool.put(std::move(r.out));
+    next++;
+  }
+
+  for (auto& t : ws) t.join();
+  if (ret < 0) {
+    delete owned;
+    return ret;
+  }
+  if (out_fd < 0) {
+    *out_handle = owned;
+    *out_ptr = owned->v.data();
+  }
+  return ret;
+}
+
+}  // extern "C"

@@ -1,0 +1,199 @@
+"""Whole-file native MT pipeline (fq_compress_mt / fq_decompress_mt).
+
+The MT path must be byte-identical to the per-block ThreadPoolExecutor
+path in both directions, across sinks (fd vs buffer) and sources (mmap,
+BytesIO, pipe fallback), and must surface the same typed errors.
+"""
+
+import io
+import os
+import struct
+import tempfile
+
+import numpy as np
+import pytest
+
+import fastqpacker_tpu as fq
+from fastqpacker_tpu.format import container
+from fastqpacker_tpu.runtime import bindings
+
+pytestmark = pytest.mark.skipif(
+    not (bindings.available() and bindings.mt_available()),
+    reason="native MT pipeline not built",
+)
+
+
+def _fastq(n: int, seed: int = 0, read_len: int = 60) -> bytes:
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    out = []
+    for i in range(n):
+        ln = read_len + int(rng.integers(-5, 6))
+        seq = bases[rng.integers(0, 5, ln)].tobytes()
+        qual = (rng.integers(33, 74, ln).astype(np.uint8)).tobytes()
+        out.append(b"@read%d x:%d\n%s\n+\n%s\n" % (i, i % 7, seq, qual))
+    return b"".join(out)
+
+
+def _per_block_compress(data: bytes, opts=None) -> bytes:
+    """Reference output: the per-block pipeline with MT routing disabled."""
+    from fastqpacker_tpu.pipeline import api
+
+    out = io.BytesIO()
+    real = bindings.mt_available
+    bindings.mt_available = lambda: False
+    try:
+        api.compress(io.BytesIO(data), out, opts)
+    finally:
+        bindings.mt_available = real
+    return out.getvalue()
+
+
+def _per_block_decompress(comp: bytes) -> bytes:
+    from fastqpacker_tpu.pipeline import api
+
+    out = io.BytesIO()
+    real = bindings.mt_available
+    bindings.mt_available = lambda: False
+    try:
+        api.decompress(io.BytesIO(comp), out)
+    finally:
+        bindings.mt_available = real
+    return out.getvalue()
+
+
+@pytest.mark.parametrize("workers", [1, 2, 4])
+def test_mt_identical_to_per_block(workers):
+    data = _fastq(3000, seed=1)
+    opts = fq.Options(block_size=256, workers=workers)
+    ref = _per_block_compress(data, opts)
+    mt = fq.compress_bytes(data, opts)
+    assert mt == ref
+    assert _per_block_decompress(mt) == data
+    assert fq.decompress_bytes(mt) == data
+
+
+def test_mt_fd_mode_matches_buffer_mode():
+    data = _fastq(2000, seed=2)
+    opts = fq.Options(block_size=300)
+    buf_mode = fq.compress_bytes(data, opts)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.fq")
+        dst = os.path.join(d, "out.fqz")
+        back = os.path.join(d, "back.fq")
+        with open(src, "wb") as f:
+            f.write(data)
+        with open(src, "rb") as r, open(dst, "wb") as w:
+            fq.compress(r, w, opts)  # mmap source + fd sink
+        assert open(dst, "rb").read() == buf_mode
+        with open(dst, "rb") as r, open(back, "wb") as w:
+            fq.decompress(r, w)
+        assert open(back, "rb").read() == data
+
+
+def test_mt_pipe_source_falls_back_streaming():
+    """Non-addressable sources must keep working (streaming per-block
+    path) and produce the same container bytes."""
+    data = _fastq(500, seed=3)
+    opts = fq.Options(block_size=100)
+    ref = fq.compress_bytes(data, opts)
+
+    class PipeLike(io.RawIOBase):
+        def __init__(self, payload):
+            self._b = io.BytesIO(payload)
+
+        def readable(self):
+            return True
+
+        def read(self, n=-1):
+            return self._b.read(n)
+
+        def readinto(self, b):
+            return self._b.readinto(b)
+
+    out = io.BytesIO()
+    fq.compress(io.BufferedReader(PipeLike(data)), out, opts)
+    assert out.getvalue() == ref
+
+
+def test_mt_phred64_and_v1():
+    recs = []
+    for i in range(300):
+        recs.append(b"@r%d\nACGTACGTAA\n+\nhhhhhhhhhh\n" % i)
+    data = b"".join(recs)
+    for version in (container.VERSION_1, container.VERSION_2):
+        opts = fq.Options(block_size=64, version=version)
+        mt = fq.compress_bytes(data, opts)
+        assert mt == _per_block_compress(data, opts)
+        assert mt[9] & container.FLAG_PHRED64
+        assert fq.decompress_bytes(mt) == data
+
+
+def test_mt_midfile_parse_error():
+    good = _fastq(400, seed=4)
+    bad = good + b"not-a-header\nACGT\n+\nIIII\n"
+    from fastqpacker_tpu.parser.fastq import FastqParseError
+
+    with pytest.raises(FastqParseError, match="header line must start"):
+        fq.compress_bytes(bad, fq.Options(block_size=50))
+
+
+def test_mt_ambiguous_overflow_error_matches():
+    long_seq = b"A" * 70000 + b"N"
+    qual = b"I" * 70001
+    data = b"@long\n" + long_seq + b"\n+\n" + qual + b"\n"
+    with pytest.raises(ValueError, match="ambiguous bases beyond position"):
+        fq.compress_bytes(data)
+
+
+def test_mt_truncated_and_corrupt_errors_match_per_block():
+    data = _fastq(600, seed=5)
+    comp = fq.compress_bytes(data, fq.Options(block_size=100))
+    # truncated payload
+    cut = comp[: len(comp) - 7]
+    with pytest.raises(container.FormatError):
+        fq.decompress_bytes(cut)
+    # corrupted zstd frame
+    mut = bytearray(comp)
+    mut[len(mut) // 2] ^= 0xFF
+    with pytest.raises((RuntimeError, ValueError)) as ei:
+        fq.decompress_bytes(bytes(mut))
+    with pytest.raises((RuntimeError, ValueError)) as ei2:
+        _per_block_decompress(bytes(mut))
+    assert str(ei.value) == str(ei2.value)
+
+
+def test_mt_foreign_frames_fall_back():
+    """Frames without declared content sizes (streaming encoders) must
+    route to the per-block fallback and still decode."""
+    zstandard = pytest.importorskip("zstandard")
+    data = _fastq(50, seed=6)
+    comp = fq.compress_bytes(data, fq.Options(block_size=50))
+    fh, rest = comp[:10], comp[10:]
+    hdr = rest[: container.BLOCK_HEADER_SIZE_V2]
+    payload = rest[container.BLOCK_HEADER_SIZE_V2 :]
+    sizes = list(struct.unpack("<9I", hdr))
+    comp_sizes = sizes[1:7]
+    # re-encode each stream with a streaming writer (no content size)
+    dctx = zstandard.ZstdDecompressor()
+    new_frames, off = [], 0
+    for cs in comp_sizes:
+        raw = dctx.decompress(
+            payload[off : off + cs], max_output_size=1 << 26
+        )
+        off += cs
+        buf = io.BytesIO()
+        cctx = zstandard.ZstdCompressor(level=1)
+        with cctx.stream_writer(buf, closefd=False) as sw:
+            sw.write(raw)
+        new_frames.append(buf.getvalue())
+    sizes[1:7] = [len(f) for f in new_frames]
+    rebuilt = fh + struct.pack("<9I", *sizes) + b"".join(new_frames)
+    assert fq.decompress_bytes(rebuilt) == data
+
+
+def test_mt_empty_and_tiny():
+    assert fq.compress_bytes(b"") == _per_block_compress(b"")
+    one = b"@r\nA\n+\nI\n"
+    assert fq.compress_bytes(one) == _per_block_compress(one)
+    assert fq.decompress_bytes(fq.compress_bytes(one)) == one
