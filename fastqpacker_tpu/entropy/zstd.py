@@ -49,6 +49,36 @@ _FAST_HASH_LOG = 15
 _PROBE_BYTES = 128 << 10
 _PROBE_MIN_STREAM = 1 << 20
 _PROBE_INCOMPRESSIBLE = 0.97
+_RAW_BLOCK_MAX = 128 << 10    # RFC8878 Block_Maximum_Size
+_STORE_MAX_STREAM = 32 << 20  # keep frame window under decoder caps
+
+
+def _store_raw_frame(mv) -> bytes | None:
+    """Stored zstd frame (all raw blocks, RFC8878) with XXH64 checksum:
+    magic, FHD 0xE4 (single-segment, 8-byte FCS, checksum), content in
+    <=128 KB raw blocks, XXH64 low 32 bits. None when xxhash is absent
+    (the probe path falls back to the accelerated real codec)."""
+    try:
+        import xxhash
+    except ImportError:
+        return None
+    import struct
+
+    n = len(mv)
+    if n == 0:
+        return None
+    parts = [b"\x28\xb5\x2f\xfd\xe4", struct.pack("<Q", n)]
+    off = 0
+    while True:
+        bn = min(n - off, _RAW_BLOCK_MAX)
+        last = 1 if off + bn >= n else 0
+        parts.append(struct.pack("<I", (bn << 3) | last)[:3])
+        parts.append(bytes(mv[off : off + bn]))
+        off += bn
+        if off >= n:
+            break
+    parts.append(struct.pack("<I", xxhash.xxh64(mv).intdigest() & 0xFFFFFFFF))
+    return b"".join(parts)
 
 # Long-distance-matching profile for the coverage-redundancy sequence
 # candidate (ops/sldm.py, journal E039). Grid-tuned on genome-sampled
@@ -246,6 +276,13 @@ class ZstdCodec:
         probe = self._compress_ctx(self._cctx, mv[:_PROBE_BYTES])
         if len(probe) < _PROBE_INCOMPRESSIBLE * _PROBE_BYTES:
             return self._compress_ctx(self._cctx, data)
+        if self._checksum and len(mv) <= _STORE_MAX_STREAM:
+            # E041: incompressible stream -> stored raw-block frame at
+            # memcpy speed (byte-identical twin of the C++ runtime's
+            # fq_zstd_store_raw; any standard decoder reads it)
+            frame = _store_raw_frame(mv)
+            if frame is not None:
+                return frame
         if self._accel_cctx is None:
             cctx = self._lib.ZSTD_createCCtx()
             if not cctx:

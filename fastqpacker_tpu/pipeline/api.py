@@ -182,12 +182,16 @@ def compress(
 
     from ..runtime import bindings
 
+    # MT default is NumCPU with no +1: the native scanner and collector
+    # are real threads already (the +1 heuristic fed the Python pool's
+    # nearly-free producer); measured w2 2493 vs w3 2471 vs w4 2285 MB/s.
+    mt_workers = _resolve_workers(opts.workers)
     if (
         default_encoder
         and bindings.available()
         and bindings.mt_available()
         and version in (container.VERSION_1, container.VERSION_2)
-        and _compress_mt(r, w, opts, block_size, workers)
+        and _compress_mt(r, w, opts, block_size, mt_workers)
     ):
         return
 

@@ -2044,6 +2044,93 @@ namespace {
 
 constexpr size_t kProbeBytes = 128u << 10;
 constexpr size_t kProbeMinStream = 1u << 20;
+constexpr size_t kRawBlockMax = 128u << 10;   // RFC8878 Block_Maximum_Size
+constexpr size_t kStoreMaxStream = 32u << 20; // keep window under decoder caps
+
+// XXH64 (xxHash64, public-domain algorithm): zstd frame checksums are the
+// low 32 bits of XXH64(content, seed 0). libzstd does not export its copy.
+static inline uint64_t xxh_rotl64(uint64_t x, int r) {
+  return (x << r) | (x >> (64 - r));
+}
+uint64_t fq_xxh64(const uint8_t* p, size_t len, uint64_t seed) {
+  const uint64_t P1 = 11400714785074694791ULL;
+  const uint64_t P2 = 14029467366897019727ULL;
+  const uint64_t P3 = 1609587929392839161ULL;
+  const uint64_t P4 = 9650029242287828579ULL;
+  const uint64_t P5 = 2870177450012600261ULL;
+  const uint8_t* end = p + len;
+  uint64_t h;
+  if (len >= 32) {
+    uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const uint8_t* lim = end - 32;
+    do {
+      uint64_t k;
+      memcpy(&k, p, 8); v1 = xxh_rotl64(v1 + k * P2, 31) * P1; p += 8;
+      memcpy(&k, p, 8); v2 = xxh_rotl64(v2 + k * P2, 31) * P1; p += 8;
+      memcpy(&k, p, 8); v3 = xxh_rotl64(v3 + k * P2, 31) * P1; p += 8;
+      memcpy(&k, p, 8); v4 = xxh_rotl64(v4 + k * P2, 31) * P1; p += 8;
+    } while (p <= lim);
+    h = xxh_rotl64(v1, 1) + xxh_rotl64(v2, 7) + xxh_rotl64(v3, 12) +
+        xxh_rotl64(v4, 18);
+    v1 *= P2; v1 = xxh_rotl64(v1, 31); v1 *= P1; h ^= v1; h = h * P1 + P4;
+    v2 *= P2; v2 = xxh_rotl64(v2, 31); v2 *= P1; h ^= v2; h = h * P1 + P4;
+    v3 *= P2; v3 = xxh_rotl64(v3, 31); v3 *= P1; h ^= v3; h = h * P1 + P4;
+    v4 *= P2; v4 = xxh_rotl64(v4, 31); v4 *= P1; h ^= v4; h = h * P1 + P4;
+  } else {
+    h = seed + P5;
+  }
+  h += (uint64_t)len;
+  while (p + 8 <= end) {
+    uint64_t k;
+    memcpy(&k, p, 8);
+    k *= P2; k = xxh_rotl64(k, 31); k *= P1;
+    h ^= k; h = xxh_rotl64(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    uint32_t k;
+    memcpy(&k, p, 4);
+    h ^= (uint64_t)k * P1; h = xxh_rotl64(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (uint64_t)(*p) * P5; h = xxh_rotl64(h, 11) * P1;
+    p++;
+  }
+  h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
+  return h;
+}
+
+// Stored zstd frame (all raw blocks, RFC8878): for probe-detected
+// incompressible streams (2-bit packed high-entropy DNA) the match search
+// is pure waste -- a conformant raw-block frame costs one memcpy + XXH64
+// and any standard decoder (libzstd, klauspost) reads it. Layout: magic,
+// FHD 0xE4 (single-segment, 8-byte FCS, checksum), FCS, raw blocks
+// (u24le (size<<3)|last), XXH64 low 32 bits. Returns bytes written, or 0
+// when cap is too small (caller falls back to real zstd).
+size_t fq_zstd_store_raw(const uint8_t* src, size_t n, uint8_t* dst,
+                         size_t cap) {
+  const size_t nblocks = n ? (n + kRawBlockMax - 1) / kRawBlockMax : 1;
+  const size_t need = 4 + 1 + 8 + 3 * nblocks + n + 4;
+  if (cap < need || n == 0) return 0;
+  uint8_t* p = dst;
+  const uint32_t magic = 0xFD2FB528u;
+  memcpy(p, &magic, 4); p += 4;
+  *p++ = 0xE4;
+  const uint64_t fcs = (uint64_t)n;
+  memcpy(p, &fcs, 8); p += 8;
+  size_t off = 0;
+  do {
+    const size_t bn = (n - off < kRawBlockMax) ? n - off : kRawBlockMax;
+    const uint32_t bh = ((uint32_t)bn << 3) | ((off + bn >= n) ? 1u : 0u);
+    memcpy(p, &bh, 3); p += 3;
+    memcpy(p, src + off, bn); p += bn;
+    off += bn;
+  } while (off < n);
+  const uint32_t cks = (uint32_t)fq_xxh64(src, n, 0);
+  memcpy(p, &cks, 4); p += 4;
+  return (size_t)(p - dst);
+}
 
 struct ZstdWorker {
   ZSTD_CCtx* cctx = nullptr;   // normal level-1 context
@@ -2088,6 +2175,12 @@ size_t fq_zstd_adaptive(ZstdWorker& w, const uint8_t* src, size_t n,
         (double)pn >= 0.97 * (double)kProbeBytes)
       accelerated = true;
   }
+  if (accelerated && n <= kStoreMaxStream) {
+    // E041: skip the codec entirely -- a stored raw-block frame at memcpy
+    // speed (the Python codec twin emits the identical bytes)
+    const size_t sn = fq_zstd_store_raw(src, n, dst, cap);
+    if (sn) return sn;
+  }
   ZSTD_CCtx* c = w.ctx(accelerated);
   if (!c) return ZSTD_CONTENTSIZE_ERROR;
   return ZSTD_compress2(c, dst, cap, n ? src : nullptr, n);
@@ -2096,6 +2189,15 @@ size_t fq_zstd_adaptive(ZstdWorker& w, const uint8_t* src, size_t n,
 }  // namespace
 
 extern "C" {
+
+// exported for equivalence tests against the Python xxhash module
+uint64_t fq_xxh64_c(const uint8_t* p, long long n, uint64_t seed) {
+  return fq_xxh64(p, (size_t)n, seed);
+}
+long long fq_zstd_store_raw_c(const uint8_t* src, long long n, uint8_t* dst,
+                              long long cap) {
+  return (long long)fq_zstd_store_raw(src, (size_t)n, dst, (size_t)cap);
+}
 
 // offs: (n, 8) from fq_scan_records; version 1 or 2 selects the wire
 // stream set (v1 drops the plus stream, compress.go:738-758). The caller
