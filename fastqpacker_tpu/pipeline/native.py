@@ -93,10 +93,17 @@ def _rans_size_estimate(s: bytes) -> int:
     return int(bits / 8) + overhead
 
 
+def _zstd_candidate(codec, s) -> bytes:
+    """The zstd candidate frame: adaptive (E028 probe + E041 stored
+    raw-block frames for incompressible streams) when the codec has it.
+    Frames are self-describing, so decode is unaffected."""
+    return getattr(codec, "compress_adaptive", codec.compress)(s)
+
+
 def _encode_tagged(s: bytes, codec) -> bytes:
     """Per-stream empirical codec pick: zstd always runs (fast, and the
     LZ candidate), rANS only when its exact size estimate beats it."""
-    z = codec.compress(s)
+    z = _zstd_candidate(codec, s)
     if len(s) >= RANS_MIN_BYTES and _rans_size_estimate(s) < len(z):
         r = rans.encode_stream(s)
         if len(r) < len(z):
@@ -124,7 +131,7 @@ def _encode_tagged_seq(
     when the estimate beats the measured/estimated competition by
     :data:`SCTX_WIN_MARGIN` (or at all, under --max-ratio).
     """
-    z = codec.compress(s)
+    z = _zstd_candidate(codec, s)
     if len(s) < RANS_MIN_BYTES:
         return bytes([TAG_ZSTD]) + z
     r0 = _rans_size_estimate(s)
@@ -176,19 +183,30 @@ def _encode_tagged_seq(
     return bytes([TAG_ZSTD]) + z
 
 
-def _encode_tagged_headers(s: bytes, count: int, codec) -> bytes:
+def _encode_tagged_headers(
+    s: bytes, count: int, codec, cost_gate: int = 0
+) -> bytes:
     """Header stream pick: token-delta transform vs raw, both zstd-coded.
 
     The transform wins whenever headers share structure between records
     (the overwhelmingly common case); degenerate inputs (every header
     unique noise) fall back to plain zstd by measured size.
+
+    ``cost_gate``: skip the (~15 ms/100k-record) tokenizer when plain
+    zstd already shrinks the stream below this byte count — the absolute
+    saving is then immaterial next to the block's other streams (E042).
+    Only applies to streams big enough for the tokenizer pass to cost
+    real CPU; small blocks always try. --max-ratio passes 0 to always
+    try.
     """
-    z = codec.compress(s)
+    z = _zstd_candidate(codec, s)
+    if cost_gate and len(z) <= cost_gate and len(s) > (256 << 10):
+        return bytes([TAG_ZSTD]) + z
     try:
         tok = _tok_encode(s, count)
     except ValueError:
         return bytes([TAG_ZSTD]) + z
-    zt = codec.compress(tok)
+    zt = _zstd_candidate(codec, tok)
     if len(zt) < len(z):
         return bytes([TAG_TOK]) + zt
     return bytes([TAG_ZSTD]) + z
@@ -256,7 +274,7 @@ def _encode_tagged_qual(
     with ``order1`` (--max-ratio) it may also replace zstd on estimated
     size alone — the speed-for-ratio trade the user asked for.
     """
-    z = codec.compress(s)
+    z = _zstd_candidate(codec, s)
     if len(s) < RANS_MIN_BYTES:
         return bytes([TAG_ZSTD]) + z
     r0 = _rans_size_estimate(s)
@@ -345,9 +363,21 @@ def encode_block_native(
         elif policy == "rans":
             comp.append(_encode_tagged(s, codec))
         elif policy == "tok":
-            comp.append(_encode_tagged_headers(s, raw.num_records, codec))
+            # default pipeline: tokenizing is only worth its CPU when the
+            # plain-zstd header stream is a visible fraction of the
+            # block's OUTPUT (seq+qual, already coded in wire order,
+            # carry almost all of it — ~0.8% threshold); --max-ratio
+            # always tries (E042)
+            gate = (
+                0
+                if order1_qual
+                else max(4096, (len(comp[0]) + len(comp[1])) >> 7)
+            )
+            comp.append(
+                _encode_tagged_headers(s, raw.num_records, codec, gate)
+            )
         else:
-            comp.append(codec.compress(s))
+            comp.append(_zstd_candidate(codec, s))
     hdr = container.BlockHeader(
         num_records=raw.num_records,
         seq_data_size=len(comp[0]),

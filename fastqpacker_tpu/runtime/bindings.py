@@ -475,13 +475,15 @@ def build_raw_streams(block, qual_offset: int, wide_npos: bool):
     )
     if rc != 0:
         raise ValueError("record field longer than 65535 bytes")
+    # views, not .tobytes(): the six copies doubled the memory traffic
+    # of the whole stream build (E042); every consumer accepts buffers
     return RawStreams(
-        seq=seq_out[: sizes[0]].tobytes(),
-        qual=qual_out[: sizes[1]].tobytes(),
-        headers=hdr_out[: sizes[2]].tobytes(),
-        plus=plus_out[: sizes[3]].tobytes(),
-        npos=npos_out[: sizes[4]].tobytes(),
-        lengths=len_out[: sizes[5]].tobytes(),
+        seq=seq_out[: sizes[0]],
+        qual=qual_out[: sizes[1]],
+        headers=hdr_out[: sizes[2]],
+        plus=plus_out[: sizes[3]],
+        npos=npos_out[: sizes[4]],
+        lengths=len_out[: sizes[5]],
         num_records=n,
         original_seq_size=total_len,
         original_qual_size=total_len,
