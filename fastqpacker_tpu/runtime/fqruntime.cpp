@@ -2586,6 +2586,46 @@ struct CJob {
   long long nrec = 0;
 };
 
+// FQZ_MT_STATS=1: per-stage busy-time accounting printed to stderr —
+// the measurement tool behind the E043 overhead hunt.
+inline bool mt_stats_on() {
+  static const bool on = [] {
+    const char* v = getenv("FQZ_MT_STATS");
+    return v && v[0] == '1';
+  }();
+  return on;
+}
+inline double mt_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+struct MtStats {
+  std::atomic<long long> scan_us{0}, encode_us{0}, credit_us{0},
+      pop_us{0}, write_us{0}, order_wait_us{0};
+  void dump(const char* what, double wall_s, long long bytes) {
+    if (!mt_stats_on()) return;
+    fprintf(stderr,
+            "[mt:%s] wall=%.1fms bytes=%.1fMB scan=%.1fms work=%.1fms "
+            "credit=%.1fms pop=%.1fms write=%.1fms order_wait=%.1fms\n",
+            what, wall_s * 1e3, (double)bytes / 1e6,
+            (double)scan_us.load() / 1e3, (double)encode_us.load() / 1e3,
+            (double)credit_us.load() / 1e3, (double)pop_us.load() / 1e3,
+            (double)write_us.load() / 1e3,
+            (double)order_wait_us.load() / 1e3);
+  }
+};
+#define FQ_MT_TIME(acc, expr)                                   \
+  do {                                                          \
+    if (mt_stats_on()) {                                        \
+      const double t0_ = mt_now();                              \
+      expr;                                                     \
+      acc.fetch_add((long long)((mt_now() - t0_) * 1e6));       \
+    } else {                                                    \
+      expr;                                                     \
+    }                                                           \
+  } while (0)
+
 // Phred offset detection over the first block (quality.go:22-49 semantics,
 // twin of ops/reference.py detect_encoding): min byte < 59 -> +33,
 // >= 64 -> +64, ambiguous or empty -> +33.
@@ -2726,6 +2766,8 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   BufPool rpool;
   Queue<CJob> jobs((size_t)workers * 2);
   std::atomic<bool> stop{false};
+  MtStats stats;
+  const double t_start = mt_now();
 
   // offsets-array freelist (the reference's sync.Pool batch reuse)
   std::mutex pool_mu;
@@ -2764,9 +2806,10 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       pool_get(offs);
       long long consumed = 0;
       int err = 0;
-      const long long cnt = fq_scan_records(text + pos, n - pos,
-                                            block_records, offs.data(),
-                                            &consumed, &err);
+      long long cnt = 0;
+      FQ_MT_TIME(stats.scan_us,
+                 cnt = fq_scan_records(text + pos, n - pos, block_records,
+                                       offs.data(), &consumed, &err));
       if (cnt < 0) {
         Res r;
         r.err = MT_ERR_SCAN;
@@ -2834,16 +2877,20 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   ws.reserve((size_t)workers);
   for (int t = 0; t < workers; t++) {
     ws.emplace_back([&] {
-      CJob j;
-      while (jobs.pop(j)) {
-        col.wait_credit(j.idx, (long long)workers * 2 + 2);
+      for (;;) {
+        CJob j;
+        bool got = false;
+        FQ_MT_TIME(stats.pop_us, got = jobs.pop(j));
+        if (!got) break;
+        FQ_MT_TIME(stats.credit_us,
+                   col.wait_credit(j.idx, (long long)workers * 2 + 2));
         if (col.failed.load()) {
           pool_put(std::move(j.offs));
           continue;  // drain
         }
         Res r;
         rpool.get(r.out);
-        encode_one(j, r);
+        FQ_MT_TIME(stats.encode_us, encode_one(j, r));
         pool_put(std::move(j.offs));
         if (r.err) stop.store(true);
         col.deposit(j.idx, std::move(r));
@@ -2856,11 +2903,15 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   for (;;) {
     Res r;
     {
+      const double tw0 = mt_stats_on() ? mt_now() : 0.0;
       std::unique_lock<std::mutex> lk(col.mu);
       col.cv.wait(lk, [&] {
         return col.pending.count(next) ||
                (col.total.load() >= 0 && next >= col.total.load());
       });
+      if (mt_stats_on())
+        stats.order_wait_us.fetch_add(
+            (long long)((mt_now() - tw0) * 1e6));
       if (col.total.load() >= 0 && next >= col.total.load()) break;
       auto it = col.pending.find(next);
       r = std::move(it->second);
@@ -2878,7 +2929,9 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       col.cv.notify_all();
       break;
     }
-    if (!sink.write(r.out.p, r.out.len)) {
+    bool wok = true;
+    FQ_MT_TIME(stats.write_us, wok = sink.write(r.out.p, r.out.len));
+    if (!wok) {
       ret = MT_ERR_WRITE;
       err_info[0] = sink.err_no;
       col.failed.store(true);
@@ -2894,6 +2947,7 @@ long long fq_compress_mt(const uint8_t* text, long long n,
 
   scanner.join();
   for (auto& t : ws) t.join();
+  stats.dump("compress", mt_now() - t_start, n);
   if (ret < 0) return fail(ret);
   if (out_fd < 0) {
     *out_handle = owned;

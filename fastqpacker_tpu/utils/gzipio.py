@@ -51,8 +51,26 @@ def has_gzip_magic(reader: PeekableReader) -> bool:
 
 
 def wrap_input_maybe_gzip(path: str, raw: BinaryIO) -> BinaryIO:
-    """Wrap a compress-mode input with gzip decoding when appropriate."""
-    pr = PeekableReader(raw)
-    if path.lower().endswith(".gz") or has_gzip_magic(pr):
-        return gzip.GzipFile(fileobj=pr, mode="rb")  # type: ignore[return-value]
-    return pr  # type: ignore[return-value]
+    """Wrap a compress-mode input with gzip decoding when appropriate.
+
+    Seekable plain sources are sniffed in place and rewound so the
+    unwrapped reader comes back — a PeekableReader veil would hide the
+    file from the whole-file mmap pipeline (E043) and every plain-file
+    compress would silently take the streaming fallback.
+    """
+    if not path.lower().endswith(".gz"):
+        try:
+            pos = raw.tell()
+            magic = raw.read(2)
+            raw.seek(pos)
+        except (OSError, AttributeError):
+            pr = PeekableReader(raw)
+            if has_gzip_magic(pr):
+                return gzip.GzipFile(fileobj=pr, mode="rb")  # type: ignore[return-value]
+            return pr  # type: ignore[return-value]
+        if magic != GZIP_MAGIC:
+            return raw
+        return gzip.GzipFile(fileobj=raw, mode="rb")  # type: ignore[return-value]
+    return gzip.GzipFile(
+        fileobj=PeekableReader(raw), mode="rb"
+    )  # type: ignore[return-value]
