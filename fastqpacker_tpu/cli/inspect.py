@@ -43,6 +43,18 @@ def _iter_blocks(r: BinaryIO, fh: container.FileHeader):
         yield hdr, payload
 
 
+def _skip_seq_dict(r, fh):
+    """Consume the v3 sequence-dictionary section if present; returns
+    its on-wire byte size (0 when absent)."""
+    if (
+        fh.version == container.VERSION_3_NATIVE
+        and fh.flags & container.FLAG_SEQ_DICT
+    ):
+        raw_len, comp = container.read_seq_dict_section(r)
+        return 8 + len(comp)
+    return 0
+
+
 def info(path: str, out=None) -> int:
     out = out or sys.stdout
     with _open(path) as r:
@@ -59,11 +71,13 @@ def info(path: str, out=None) -> int:
             flags.append("paired-end")
         if fh.phred64:
             flags.append("phred64")
+        if fh.flags & container.FLAG_SEQ_DICT:
+            flags.append("seq-dict")
         print(f"  flags:       {', '.join(flags) or '(none)'}", file=out)
 
         nblocks = 0
         records = 0
-        comp_bytes = container.FILE_HEADER_SIZE
+        comp_bytes = container.FILE_HEADER_SIZE + _skip_seq_dict(r, fh)
         orig_seq = orig_qual = 0
         per_stream = [0] * 6
         tag_counts: list[dict] = [dict() for _ in range(6)]

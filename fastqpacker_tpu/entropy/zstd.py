@@ -144,6 +144,18 @@ def _load():
             ctypes.c_size_t,
         ]
         lib.ZSTD_versionNumber.restype = ctypes.c_uint
+        lib.ZSTD_CCtx_refPrefix.restype = ctypes.c_size_t
+        lib.ZSTD_CCtx_refPrefix.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ZSTD_DCtx_refPrefix.restype = ctypes.c_size_t
+        lib.ZSTD_DCtx_refPrefix.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
         _lib = lib
         return lib
 
@@ -245,8 +257,22 @@ class ZstdCodec:
             lib.ZSTD_freeDCtx(self._dctx)
             self._dctx = None
 
-    def compress(self, data) -> bytes:
-        """Compress bytes-like data into a single zstd frame."""
+    def compress(self, data, prefix=None) -> bytes:
+        """Compress bytes-like data into a single zstd frame.
+
+        ``prefix``: bytes-like referenced as an LDM/match window prefix
+        (ZSTD_CCtx_refPrefix, one-shot — it precedes the data in the
+        window without being emitted; decode must pass the same prefix).
+        """
+        if prefix is not None:
+            pk, psrc, pn = _src_view(prefix)
+            _check(
+                self._lib,
+                self._lib.ZSTD_CCtx_refPrefix(self._cctx, psrc, pn),
+            )
+            out = self._compress_ctx(self._cctx, data)
+            del pk
+            return out
         return self._compress_ctx(self._cctx, data)
 
     def _compress_ctx(self, cctx, data) -> bytes:
@@ -300,8 +326,14 @@ class ZstdCodec:
             self._accel_cctx = cctx
         return self._compress_ctx(self._accel_cctx, data)
 
-    def decompress(self, data, expected_size: int | None = None) -> bytes:
-        """Decompress a single zstd frame (frame checksum verified)."""
+    def decompress(
+        self, data, expected_size: int | None = None, prefix=None
+    ) -> bytes:
+        """Decompress a single zstd frame (frame checksum verified).
+
+        ``prefix`` must match the prefix the frame was compressed with
+        (ZSTD_DCtx_refPrefix; re-referenced on every attempt — it is
+        one-shot on the context)."""
         keep, src, nbytes = _src_view(data)
         if nbytes == 0:
             return b""
@@ -313,8 +345,16 @@ class ZstdCodec:
                 size = max(4 * nbytes, 1 << 16)
             else:
                 size = got
+        pk = psrc = pn = None
+        if prefix is not None:
+            pk, psrc, pn = _src_view(prefix)
         while True:
             dst = ctypes.create_string_buffer(max(size, 1))
+            if prefix is not None:
+                _check(
+                    self._lib,
+                    self._lib.ZSTD_DCtx_refPrefix(self._dctx, psrc, pn),
+                )
             code = self._lib.ZSTD_decompressDCtx(
                 self._dctx, dst, size, src, nbytes
             )

@@ -30,6 +30,12 @@ MAGIC = b"FQZ\x00"
 # Format flags (container.go:14-17).
 FLAG_PAIRED_END = 1 << 0  # defined but never set by the compressor
 FLAG_PHRED64 = 1 << 1
+# v3 only: a sequence-dictionary section follows the file header — block 0's
+# unpacked base codes, shared by every TAG_SLDM stream as an LDM prefix so
+# coverage matches cross block boundaries (ops/sldm.py, journal E044).
+FLAG_SEQ_DICT = 1 << 2
+
+SEQ_DICT_MAX_RAW = 64 << 20  # bound attacker-declared dictionary sizes
 
 VERSION_1 = 1
 VERSION_2 = 2
@@ -98,6 +104,26 @@ def read_file_header(r: BinaryIO) -> FileHeader:
         raise FormatError("truncated file header")
     version, block_size, flags = struct.unpack("<BIB", rest)
     return FileHeader(version=version, block_size=block_size, flags=flags)
+
+
+def write_seq_dict_section(w: BinaryIO, comp: bytes, raw_len: int) -> None:
+    """Sequence-dictionary section (v3, FLAG_SEQ_DICT): u32le raw size,
+    u32le compressed size, then one zstd frame of the dictionary codes."""
+    w.write(struct.pack("<II", raw_len, len(comp)))
+    w.write(comp)
+
+
+def read_seq_dict_section(r: BinaryIO) -> tuple[int, bytes]:
+    head = r.read(8)
+    if len(head) < 8:
+        raise FormatError("truncated sequence dictionary section")
+    raw_len, comp_len = struct.unpack("<II", head)
+    if raw_len > SEQ_DICT_MAX_RAW or comp_len > SEQ_DICT_MAX_RAW:
+        raise FormatError("sequence dictionary too large")
+    comp = r.read(comp_len)
+    if len(comp) < comp_len:
+        raise FormatError("truncated sequence dictionary section")
+    return raw_len, comp
 
 
 def parse_file_header(buf: bytes) -> FileHeader:

@@ -51,6 +51,15 @@ PROBE_TARGET_SAMPLES = 1 << 16
 PROBE_MIN_SAMPLES = 1 << 12
 DUP_THRESHOLD = 0.002
 
+# Cross-block dictionary (journal E044): block 0's first DICT_BYTES of
+# unpacked codes, stored once in the container (FLAG_SEQ_DICT) and
+# referenced as an LDM prefix by every TAG_SLDM stream — coverage
+# matches then cross block boundaries (the per-block window forfeited
+# them, E039). 8 MB of prefix + a 15 MB block stays under the 2^25
+# match window. Measured on 15x-coverage reads: 0.771 -> 0.449
+# bits/base on a non-dict block.
+DICT_BYTES = 8 << 20
+
 
 class SldmError(ValueError):
     pass
@@ -106,25 +115,34 @@ def _ldm_codec() -> zstd_entropy.ZstdCodec:
     return zstd_entropy.ZstdCodec(level=1, ldm=True)
 
 
-def encode(packed: np.ndarray, lengths: np.ndarray) -> bytes:
-    """TAG_SLDM payload: one zstd-LDM frame over the unpacked codes."""
+def encode(
+    packed: np.ndarray, lengths: np.ndarray, prefix: np.ndarray | None = None
+) -> bytes:
+    """TAG_SLDM payload: one zstd-LDM frame over the unpacked codes,
+    optionally matched against the container dictionary ``prefix``."""
     bases = unpack(packed, lengths)
-    return _ldm_codec().compress(bases)
+    return _ldm_codec().compress(bases, prefix=prefix)
 
 
-def encode_bases(bases: np.ndarray) -> bytes:
+def encode_bases(
+    bases: np.ndarray, prefix: np.ndarray | None = None
+) -> bytes:
     """As :func:`encode` but from already-unpacked codes (the encoder
     reuses the sctx candidate's prepare output when it ran)."""
-    return _ldm_codec().compress(np.ascontiguousarray(bases))
+    return _ldm_codec().compress(np.ascontiguousarray(bases), prefix=prefix)
 
 
-def decode(payload: bytes, lengths: np.ndarray) -> bytes:
+def decode(
+    payload: bytes,
+    lengths: np.ndarray,
+    prefix: np.ndarray | None = None,
+) -> bytes:
     """TAG_SLDM payload -> packed seq stream bytes (wire layout)."""
     lengths = lengths.astype(np.int64)
     total = int(lengths.sum())
     try:
         raw = zstd_entropy.get_codec().decompress(
-            payload, expected_size=total
+            payload, expected_size=total, prefix=prefix
         )
     except zstd_entropy.ZstdError as e:
         raise SldmError(f"corrupted sldm sequence data: {e}") from None
@@ -132,3 +150,28 @@ def decode(payload: bytes, lengths: np.ndarray) -> bytes:
         raise SldmError("sldm sequence data does not match lengths")
     bases = np.frombuffer(raw, np.uint8)
     return pack(bases, lengths).tobytes()
+
+
+def build_dict(packed: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Container dictionary: block 0's first DICT_BYTES unpacked codes."""
+    codes = unpack(packed, lengths)
+    return np.ascontiguousarray(codes[:DICT_BYTES]).copy()
+
+
+def compress_dict(codes: np.ndarray) -> bytes:
+    """Dictionary section payload: one self-contained zstd-LDM frame."""
+    return _ldm_codec().compress(codes)
+
+
+def decompress_dict(comp: bytes, raw_len: int) -> np.ndarray:
+    try:
+        raw = zstd_entropy.get_codec().decompress(
+            comp, expected_size=raw_len
+        )
+    except zstd_entropy.ZstdError as e:
+        raise SldmError(
+            f"corrupted sequence dictionary: {e}"
+        ) from None
+    if len(raw) != raw_len:
+        raise SldmError("sequence dictionary does not match declared size")
+    return np.frombuffer(raw, np.uint8)

@@ -119,7 +119,11 @@ SCTX_WIN_MARGIN = 0.98
 
 
 def _encode_tagged_seq(
-    s: bytes, lengths: np.ndarray, codec, max_ratio: bool = False
+    s: bytes,
+    lengths: np.ndarray,
+    codec,
+    max_ratio: bool = False,
+    seq_dict: np.ndarray | None = None,
 ) -> bytes:
     """Sequence-stream pick: zstd vs order-0 rANS vs order-k context
     model over the unpacked bases, by estimated-then-verified size.
@@ -164,11 +168,15 @@ def _encode_tagged_seq(
     # only when the sampled 16-mer duplicate probe sees block-local
     # coverage (so coverage-free data never pays the LDM pass).
     try:
-        if max_ratio or sldm.coverage_probe(s_arr) >= sldm.DUP_THRESHOLD:
+        if (
+            seq_dict is not None
+            or max_ratio
+            or sldm.coverage_probe(s_arr) >= sldm.DUP_THRESHOLD
+        ):
             d = (
-                sldm.encode_bases(bases)
+                sldm.encode_bases(bases, prefix=seq_dict)
                 if bases is not None
-                else sldm.encode(s_arr, lengths)
+                else sldm.encode(s_arr, lengths, prefix=seq_dict)
             )
             if len(d) < bar:
                 best, bar = bytes([TAG_SLDM]) + d, len(d)
@@ -213,7 +221,7 @@ def _encode_tagged_headers(
 
 
 def _decode_tagged(
-    chunk: bytes, codec, count: int = 0, lengths=None
+    chunk: bytes, codec, count: int = 0, lengths=None, seq_dict=None
 ) -> bytes:
     if len(chunk) == 0:
         raise container.FormatError("truncated block payload")
@@ -257,7 +265,7 @@ def _decode_tagged(
                 "sldm stream outside the sequence slot"
             )
         try:
-            return sldm.decode(payload, lengths)
+            return sldm.decode(payload, lengths, prefix=seq_dict)
         except ValueError as e:
             raise container.FormatError(str(e)) from None
     raise container.FormatError(f"unknown stream codec tag: {tag}")
@@ -330,6 +338,7 @@ def encode_block_native(
     qual_offset: int,
     order1_qual: bool = False,
     encode_arrays=None,
+    seq_dict: np.ndarray | None = None,
 ) -> bytes:
     """Encode one record block to v3 wire bytes (header + tagged
     streams). Shared by the single-host pipeline and the multi-host
@@ -358,7 +367,9 @@ def encode_block_native(
         elif policy == "seq":
             lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
             comp.append(
-                _encode_tagged_seq(s, lengths, codec, order1_qual)
+                _encode_tagged_seq(
+                    s, lengths, codec, order1_qual, seq_dict
+                )
             )
         elif policy == "rans":
             comp.append(_encode_tagged(s, codec))
@@ -401,13 +412,23 @@ def compress_native(
 ) -> None:
     opts = opts or api.Options()
     block_size = api.resolve_block_size(opts)
+    if encode_arrays is None:
+        encode_arrays = api._default_encode_arrays()
 
     parser = FastqStreamParser(r, block_size=block_size)
     block_iter = parser.blocks()
     first_block: Optional[RecordBlock] = None
+    second_block: Optional[RecordBlock] = None
     for blk in block_iter:
         first_block = blk
         break
+    if first_block is not None:
+        # peek one more block (the reference's exact-one-block detect,
+        # E021): a single-block container gains nothing from a
+        # cross-block dictionary — its window already spans everything
+        for blk in block_iter:
+            second_block = blk
+            break
 
     qual_offset = refops.PHRED33_OFFSET
     if first_block is not None and first_block.n > 0:
@@ -419,24 +440,58 @@ def compress_native(
         if qual_offset == refops.PHRED64_OFFSET
         else 0
     )
+
+    # Cross-block sequence dictionary (E044): when block 0's coverage
+    # probe fires, its leading unpacked codes become a container-level
+    # LDM prefix shared by every TAG_SLDM stream, so coverage matches
+    # cross block boundaries (the per-block window forfeited them,
+    # E039). Gated on the probe in both modes: coverage-free data never
+    # pays the section. Decided before the header write — the flag and
+    # section precede the first block on the wire.
+    seq_dict = None
+    if (
+        first_block is not None
+        and first_block.n > 0
+        and second_block is not None
+    ):
+        from ..ops import sldm
+
+        raw0 = blockcodec.block_to_raw_streams(
+            first_block, qual_offset,
+            encode_arrays=encode_arrays, wide_npos=True,
+        )
+        packed0 = np.frombuffer(raw0.seq, np.uint8)
+        if sldm.coverage_probe(packed0) >= sldm.DUP_THRESHOLD:
+            lens0 = np.frombuffer(raw0.lengths, "<u4").astype(np.int64)
+            try:
+                seq_dict = sldm.build_dict(packed0, lens0)
+                flags |= container.FLAG_SEQ_DICT
+            except ValueError:
+                seq_dict = None
+
     container.FileHeader(
         version=container.VERSION_3_NATIVE,
         block_size=block_size,
         flags=flags,
     ).write(w)
+    if seq_dict is not None:
+        from ..ops import sldm
+
+        container.write_seq_dict_section(
+            w, sldm.compress_dict(seq_dict), len(seq_dict)
+        )
     if first_block is None:
         return
 
     def all_blocks():
         yield first_block
+        if second_block is not None:
+            yield second_block
         yield from block_iter
-
-    if encode_arrays is None:
-        encode_arrays = api._default_encode_arrays()
 
     def encode_one(blk: RecordBlock) -> bytes:
         return encode_block_native(
-            blk, qual_offset, opts.order1_qual, encode_arrays
+            blk, qual_offset, opts.order1_qual, encode_arrays, seq_dict
         )
 
     api.ordered_map_write(
@@ -449,6 +504,7 @@ def decode_block_payload(
     payload: bytes,
     codec,
     qual_offset: int,
+    seq_dict: np.ndarray | None = None,
 ) -> bytes:
     """Decode one v3 block payload (streams after the header) to FASTQ
     text, verifying the block CRC32."""
@@ -471,8 +527,15 @@ def decode_block_payload(
             parts.append(lengths_bytes)
         elif policy == "zstd":
             parts.append(codec.decompress(chunk))
-        elif i in (0, 1):
-            # seq and qual context codecs need record boundaries
+        elif i == 0:
+            # the sequence slot may reference the container dictionary
+            parts.append(
+                _decode_tagged(
+                    chunk, codec, hdr.num_records, lengths, seq_dict
+                )
+            )
+        elif i == 1:
+            # quality context codecs need record boundaries
             parts.append(
                 _decode_tagged(chunk, codec, hdr.num_records, lengths)
             )
@@ -499,6 +562,16 @@ def decompress_native(
     qual_offset: int,
     workers: int,
 ) -> None:
+    seq_dict = None
+    if fh.flags & container.FLAG_SEQ_DICT:
+        from ..ops import sldm
+
+        raw_len, comp = container.read_seq_dict_section(r)
+        try:
+            seq_dict = sldm.decompress_dict(comp, raw_len)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
+
     def read_jobs():
         while True:
             hdr = container.read_block_header(r, container.VERSION_3_NATIVE)
@@ -511,6 +584,8 @@ def decompress_native(
     def decode_one(job) -> bytes:
         hdr, payload = job
         codec = zstd_entropy.get_codec()
-        return decode_block_payload(hdr, payload, codec, qual_offset)
+        return decode_block_payload(
+            hdr, payload, codec, qual_offset, seq_dict
+        )
 
     api.ordered_map_write(w, read_jobs(), decode_one, workers)

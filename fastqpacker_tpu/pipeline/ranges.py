@@ -41,6 +41,8 @@ class FqzIndex:
 
     file_header: container.FileHeader
     entries: list[BlockEntry]
+    # v3 FLAG_SEQ_DICT: decoded container sequence dictionary (E044)
+    seq_dict: Optional[np.ndarray] = None
 
     @property
     def total_records(self) -> int:
@@ -72,6 +74,18 @@ def build_index(r: BinaryIO) -> FqzIndex:
         if fh.version == container.VERSION_3_NATIVE
         else fh.version
     )
+    seq_dict = None
+    if (
+        fh.version == container.VERSION_3_NATIVE
+        and fh.flags & container.FLAG_SEQ_DICT
+    ):
+        from ..ops import sldm
+
+        raw_len, comp = container.read_seq_dict_section(r)
+        try:
+            seq_dict = sldm.decompress_dict(comp, raw_len)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
     entries: list[BlockEntry] = []
     record_start = 0
     while True:
@@ -90,7 +104,7 @@ def build_index(r: BinaryIO) -> FqzIndex:
             )
         )
         record_start += hdr.num_records
-    return FqzIndex(file_header=fh, entries=entries)
+    return FqzIndex(file_header=fh, entries=entries, seq_dict=seq_dict)
 
 
 def index_path(path: str) -> FqzIndex:
@@ -99,7 +113,11 @@ def index_path(path: str) -> FqzIndex:
 
 
 def _decode_entry(
-    f: BinaryIO, fh: container.FileHeader, entry: BlockEntry, qual_offset: int
+    f: BinaryIO,
+    fh: container.FileHeader,
+    entry: BlockEntry,
+    qual_offset: int,
+    seq_dict: Optional[np.ndarray] = None,
 ) -> bytes:
     """Decode one indexed block to FASTQ text."""
     f.seek(entry.offset)
@@ -113,7 +131,9 @@ def _decode_entry(
     if fh.version == container.VERSION_3_NATIVE:
         from . import native as pnative
 
-        return pnative.decode_block_payload(hdr, payload, codec, qual_offset)
+        return pnative.decode_block_payload(
+            hdr, payload, codec, qual_offset, seq_dict
+        )
     ds = blockcodec.decode_streams(hdr, payload, fh.version, codec)
     return blockcodec.streams_to_fastq(ds, qual_offset)
 
@@ -160,7 +180,7 @@ def read_record_range(
     out = []
     with open(path, "rb") as f:
         for entry in idx.covering(start, stop):
-            text = _decode_entry(f, fh, entry, qual_offset)
+            text = _decode_entry(f, fh, entry, qual_offset, idx.seq_dict)
             first = max(0, start - entry.record_start)
             count = min(stop, entry.record_start + entry.num_records) - (
                 entry.record_start + first
