@@ -2449,7 +2449,12 @@ struct Sink {
       }
       return true;
     }
-    buf->insert(buf->end(), p, p + n);
+    try {
+      buf->insert(buf->end(), p, p + n);
+    } catch (const std::bad_alloc&) {
+      err_no = ENOMEM;
+      return false;
+    }
     return true;
   }
 };
@@ -3023,6 +3028,11 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
       djobs.push_back(d);
     }
   }
+  // Attacker-declared sizes can demand absurd output (headers/frames are
+  // untrusted): anything far beyond a plausible FASTQ expansion falls
+  // back to the per-block Python path, whose allocations fail with
+  // catchable errors (E038's bad_alloc-across-the-ABI lesson).
+  if (total_bound > 64 * n + (1LL << 30)) return MT_ERR_FALLBACK;
 
   OwnedBuf* owned = nullptr;
   Sink sink;
@@ -3030,7 +3040,12 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
     sink.fd = out_fd;
   } else {
     owned = new OwnedBuf();
-    owned->v.reserve((size_t)total_bound);
+    try {
+      owned->v.reserve((size_t)total_bound);
+    } catch (const std::bad_alloc&) {
+      delete owned;
+      return MT_ERR_FALLBACK;
+    }
     sink.buf = &owned->v;
   }
 

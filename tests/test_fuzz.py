@@ -273,3 +273,16 @@ def test_huge_declared_frame_content_size_rejected():
         mut[fh_block + 4] = desc
         with pytest.raises(EXPECTED_ERRORS + (RuntimeError,)):
             fq.decompress_bytes(bytes(mut))
+
+
+def test_hostile_num_records_falls_back_typed():
+    """A block header declaring ~2^31 records must not abort or balloon
+    the MT buffer reserve (bad_alloc across the C ABI, E038/E044): the
+    native path falls back and the per-block path fails typed."""
+    import struct
+
+    data = b"@r\nACGT\n+\nIIII\n" * 200
+    comp = bytearray(fq.compress_bytes(data, fq.Options(block_size=50)))
+    comp[10:14] = struct.pack("<I", 0x7FFFFFFF)
+    with pytest.raises(EXPECTED_ERRORS + (RuntimeError,)):
+        fq.decompress_bytes(bytes(comp))
