@@ -170,3 +170,115 @@ def encode_block_arrays(
         n_counts=np.asarray(ncnt).astype(np.int32),
         qual_delta=qual_delta,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused single-pass block decode: the kernel twin of the encode above
+# (journal E045). packed 2-bit bytes -> ACGT ASCII, quality deltas ->
+# absolute Phred bytes. Everything stays elementwise on the VPU: the
+# per-record running quality sum is 4 in-lane byte cumsums plus a
+# Hillis-Steele log-roll prefix scan across lanes (O(log W) pltpu.roll
+# steps) — no gathers, no cross-lane reshapes. N restoration stays on
+# host (the npos side stream is irregular), matching host_decode_arrays.
+# ---------------------------------------------------------------------------
+
+
+def _decode_tile_kernel(
+    packed_ref, delta_ref, seq_ref, qual_ref, *, qual_offset: int,
+    width: int
+):
+    p = packed_ref[:].astype(_u32)  # (TR, W): one packed byte per lane
+    d = delta_ref[:]                # (TR, W) u32: 4 delta bytes per lane
+    tr = p.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tr, width), 1)
+
+    seq_out = jnp.zeros(p.shape, dtype=_u32)
+    for k in range(4):
+        code = (p >> _u32(2 * k)) & _u32(3)
+        ascii_ = jnp.where(
+            code == 0,
+            _u32(65),
+            jnp.where(code == 1, _u32(67), jnp.where(code == 2, _u32(71), _u32(84))),
+        )
+        seq_out = seq_out | (ascii_ << _u32(8 * k))
+
+    # in-lane cumulative delta bytes
+    c0 = _byte(d, 0)
+    c1 = c0 + _byte(d, 1)
+    c2 = c1 + _byte(d, 2)
+    c3 = c2 + _byte(d, 3)
+    # inclusive prefix of lane totals (Hillis-Steele), then exclusive
+    s = c3
+    sh = 1
+    while sh < width:
+        s = s + jnp.where(col >= sh, pltpu.roll(s, sh, axis=1), _u32(0))
+        sh *= 2
+    base = (s - c3) + _u32(qual_offset)
+    q = (base + c0) & _u32(0xFF)
+    q = q | (((base + c1) & _u32(0xFF)) << _u32(8))
+    q = q | (((base + c2) & _u32(0xFF)) << _u32(16))
+    q = q | (((base + c3) & _u32(0xFF)) << _u32(24))
+
+    seq_ref[:] = seq_out
+    qual_ref[:] = q
+
+
+@partial(jax.jit, static_argnames=("qual_offset", "interpret"))
+def decode_arrays_pallas(
+    packed8: jax.Array,  # (R, W) uint8: one packed byte per output u32
+    delta32: jax.Array,  # (R, W) uint32: 4 quality-delta bytes per lane
+    qual_offset: int,
+    interpret: bool = False,
+):
+    """Fused decode over u32 lanes; returns (seq32, qual32) u32 rows."""
+    r, w = packed8.shape
+    tile = min(ROW_TILE, r)
+    grid = (pl.cdiv(r, tile),)
+    spec8 = pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec32 = pl.BlockSpec((tile, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_decode_tile_kernel, qual_offset=qual_offset, width=w),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, w), jnp.uint32),
+            jax.ShapeDtypeStruct((r, w), jnp.uint32),
+        ),
+        grid=grid,
+        in_specs=[spec8, spec32],
+        out_specs=(spec32, spec32),
+        interpret=interpret,
+    )(packed8, delta32)
+
+
+def decode_block_arrays(
+    packed: np.ndarray,
+    qual_delta: np.ndarray,
+    lengths: np.ndarray,
+    qual_offset: int,
+    interpret: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Backend adapter matching pipeline.blocks.host_decode_arrays via
+    Pallas: (packed rows, delta rows) -> (seq ASCII, qual ASCII).
+
+    N restoration and per-record trimming happen in the caller
+    (streams_to_fastq), exactly as with the host backend.
+    """
+    r, out_len = qual_delta.shape
+    l8 = max(8, -(-out_len // 8) * 8)
+    w = l8 // 4
+    if packed.shape[1] < w:
+        packed = np.pad(packed, ((0, 0), (0, w - packed.shape[1])))
+    else:
+        packed = packed[:, :w]
+    if out_len != l8:
+        qual_delta = np.pad(qual_delta, ((0, 0), (0, l8 - out_len)))
+    delta32 = np.ascontiguousarray(qual_delta).view("<u4")
+
+    seq32, qual32 = decode_arrays_pallas(
+        jnp.asarray(np.ascontiguousarray(packed)),
+        jnp.asarray(delta32),
+        qual_offset,
+        interpret=interpret,
+    )
+    seq = np.ascontiguousarray(np.asarray(seq32)).view(np.uint8)[:, :out_len]
+    qual = np.ascontiguousarray(np.asarray(qual32)).view(np.uint8)[:, :out_len]
+    return seq, qual
