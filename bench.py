@@ -209,12 +209,47 @@ def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
     return input_bytes / 1e6 / dt
 
 
+def bench_decode_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
+    """Steady-state Pallas fused-decode throughput (data resident):
+    packed 2-bit bytes -> ASCII + quality integration (E045)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastqpacker_tpu.ops import pallas_kernels as pk
+    from fastqpacker_tpu.ops import reference as refops
+
+    rng = np.random.default_rng(0)
+    ab = np.frombuffer(b"ACGT", np.uint8)
+    seq = ab[rng.integers(0, 4, size=(r, read_len))]
+    qual = rng.integers(33, 74, size=(r, read_len)).astype(np.uint8)
+    lengths = np.full(r, read_len, np.int32)
+    enc = refops.encode_block_arrays(seq, qual, lengths, 33)
+    l8 = -(-read_len // 8) * 8
+    packed = np.zeros((r, l8 // 4), np.uint8)
+    packed[:, : enc.packed.shape[1]] = enc.packed
+    delta = np.zeros((r, l8), np.uint8)
+    delta[:, :read_len] = enc.qual_delta
+    p_dev = jax.device_put(jnp.asarray(packed))
+    d_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(delta).view("<u4")))
+    jax.block_until_ready(pk.decode_arrays_pallas(p_dev, d_dev, 33))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = pk.decode_arrays_pallas(p_dev, d_dev, 33)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps
+    output_bytes = 2 * r * read_len  # seq + qual ASCII produced
+    return output_bytes / 1e6 / dt
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=128)
     ap.add_argument(
         "--metric",
-        choices=["compress", "decompress", "kernel", "micro", "ratio"],
+        choices=[
+            "compress", "decompress", "kernel", "decode-kernel", "micro",
+            "ratio",
+        ],
         default="compress",
     )
     # the dev host swings 30-40% run to run (PERFORMANCE.md E034);
@@ -330,6 +365,14 @@ def _run_metric(args, data, device) -> int:
             "value": round(mbps, 1),
             "unit": "MB/s",
             "vs_baseline": round(mbps / BASELINE_COMPRESS_MBPS, 3),
+        }
+    elif args.metric == "decode-kernel":
+        mbps = bench_decode_kernel()
+        result = {
+            "metric": "decode_kernel_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_DECOMPRESS_MBPS, 3),
         }
     elif args.metric == "decompress":
         mbps, best = bench_decompress(data, device, args.repeats)
