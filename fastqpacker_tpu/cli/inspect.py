@@ -43,14 +43,21 @@ def _iter_blocks(r: BinaryIO, fh: container.FileHeader):
         yield hdr, payload
 
 
-def _skip_seq_dict(r, fh):
+def _skip_seq_dict(r, fh, out=None):
     """Consume the v3 sequence-dictionary section if present; returns
-    its on-wire byte size (0 when absent)."""
+    its on-wire byte size (0 when absent). Prints a summary line when
+    ``out`` is given."""
     if (
         fh.version == container.VERSION_3_NATIVE
         and fh.flags & container.FLAG_SEQ_DICT
     ):
         raw_len, comp = container.read_seq_dict_section(r)
+        if out is not None:
+            print(
+                f"  seq dict:    {len(comp):,} bytes "
+                f"({raw_len:,} codes)",
+                file=out,
+            )
         return 8 + len(comp)
     return 0
 
@@ -77,7 +84,7 @@ def info(path: str, out=None) -> int:
 
         nblocks = 0
         records = 0
-        comp_bytes = container.FILE_HEADER_SIZE + _skip_seq_dict(r, fh)
+        comp_bytes = container.FILE_HEADER_SIZE + _skip_seq_dict(r, fh, out)
         orig_seq = orig_qual = 0
         per_stream = [0] * 6
         tag_counts: list[dict] = [dict() for _ in range(6)]

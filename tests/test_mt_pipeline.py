@@ -197,3 +197,27 @@ def test_mt_empty_and_tiny():
     one = b"@r\nA\n+\nI\n"
     assert fq.compress_bytes(one) == _per_block_compress(one)
     assert fq.decompress_bytes(fq.compress_bytes(one)) == one
+
+
+def test_mt_fd_write_failure_surfaces_oserror():
+    """A failing output fd (closed write end of a pipe) must surface a
+    typed OSError from the native writer, not hang or abort."""
+    import os
+
+    data = _fastq(800, seed=7)
+    rfd, wfd = os.pipe()
+    os.close(rfd)  # writes now fail with EPIPE
+    import signal
+
+    old = signal.signal(signal.SIGPIPE, signal.SIG_IGN)
+    try:
+        with os.fdopen(wfd, "wb", buffering=0) as w, tempfile.NamedTemporaryFile(
+            suffix=".fq"
+        ) as f:
+            f.write(data)
+            f.flush()
+            with open(f.name, "rb") as r:
+                with pytest.raises(OSError):
+                    fq.compress(r, w, fq.Options(block_size=100))
+    finally:
+        signal.signal(signal.SIGPIPE, old)
