@@ -338,11 +338,13 @@ class ZstdCodec:
         if nbytes == 0:
             return b""
         size = expected_size
+        guessed = False
         if size is None:
             got = self._lib.ZSTD_getFrameContentSize(src, nbytes)
             if got in (_ZSTD_CONTENTSIZE_UNKNOWN, _ZSTD_CONTENTSIZE_ERROR):
                 # Fall back to growing buffer via streaming-free retry.
                 size = max(4 * nbytes, 1 << 16)
+                guessed = True
             else:
                 size = got
         pk = psrc = pn = None
@@ -360,7 +362,17 @@ class ZstdCodec:
             )
             if self._lib.ZSTD_isError(code):
                 name = self._lib.ZSTD_getErrorName(code).decode()
-                if "too small" in name.lower() and expected_size is None:
+                # Grow ONLY when the size was a guess (frame without a
+                # declared content size) and within a sane cap: corrupt
+                # frames can report dstSize_tooSmall forever, and each
+                # retry zeroes a 4x larger buffer — an effective hang
+                # (found by the E048 fuzz campaign).
+                if (
+                    "too small" in name.lower()
+                    and expected_size is None
+                    and guessed
+                    and size < (1 << 31)
+                ):
                     size *= 4
                     continue
                 raise ZstdError(name)

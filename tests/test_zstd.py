@@ -50,3 +50,25 @@ def test_incompressible_data():
     data = os.urandom(10000)
     comp = z.compress(data)
     assert z.decompress(comp) == data
+
+
+def test_corrupt_declared_frame_fails_fast_no_retry_bomb():
+    """A frame with a declared content size whose decode reports
+    dstSize_tooSmall (mid-frame corruption) must raise immediately: the
+    old retry loop quadrupled a zeroed buffer without bound — an
+    effective hang found by the E048 fuzz campaign."""
+    import time
+
+    from fastqpacker_tpu.entropy.zstd import ZstdCodec, ZstdError
+
+    codec = ZstdCodec()
+    frame = codec.compress(bytes(range(256)) * 4096)
+    for off in (6, 10, 50, len(frame) // 2):
+        mut = bytearray(frame)
+        mut[off] ^= 0xFF
+        t0 = time.monotonic()
+        try:
+            codec.decompress(bytes(mut))
+        except ZstdError:
+            pass
+        assert time.monotonic() - t0 < 5.0
