@@ -187,8 +187,16 @@ def bench_decompress(data: bytes, device: bool, repeats: int = 3):
 
 
 def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
-    """Steady-state device encode kernel throughput (data resident)."""
+    """Steady-state device encode kernel throughput (data resident).
+
+    Iterations are CHAINED inside one jitted lax.fori_loop — each step's
+    inputs depend on the previous outputs — and the final reduction is
+    fetched to host. The relay dedupes identical dispatches and its
+    block_until_ready is unreliable (CLAUDE.md), so N independent
+    dispatches of the same arrays cannot be trusted for timing.
+    """
     import jax
+    import jax.numpy as jnp
 
     from fastqpacker_tpu.ops.device import encode_arrays_jit
 
@@ -199,13 +207,24 @@ def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
         rng.integers(33, 74, size=(r, read_len)).astype(np.uint8)
     )
     lengths = jax.device_put(np.full(r, read_len, dtype=np.int32))
-    jax.block_until_ready(encode_arrays_jit(seq, qual, lengths, 33))
+
+    @jax.jit
+    def chained(seq0, qual0):
+        def body(_, carry):
+            sq, ql = carry
+            enc = encode_arrays_jit(sq, ql, lengths, 33)
+            return (sq ^ enc.qual_delta, ql ^ enc.qual_delta)
+
+        sq, ql = jax.lax.fori_loop(0, steps, body, (seq0, qual0))
+        return jnp.sum(sq.astype(jnp.uint32)) + jnp.sum(
+            ql.astype(jnp.uint32)
+        )
+
+    float(chained(seq, qual))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(steps):
-        enc = encode_arrays_jit(seq, qual, lengths, 33)
-    jax.block_until_ready(enc)
+    float(chained(seq, qual))  # fetching the scalar forces execution
     dt = (time.perf_counter() - t0) / steps
-    input_bytes = 2 * r * read_len  # seq + qual
+    input_bytes = 2 * r * read_len  # seq + qual per step
     return input_bytes / 1e6 / dt
 
 
@@ -231,13 +250,24 @@ def bench_decode_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
     delta[:, :read_len] = enc.qual_delta
     p_dev = jax.device_put(jnp.asarray(packed))
     d_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(delta).view("<u4")))
-    jax.block_until_ready(pk.decode_arrays_pallas(p_dev, d_dev, 33))
+
+    # chained fori_loop + scalar fetch: dedupe-proof timing (see
+    # bench_kernel; the relay dedupes identical dispatches)
+    @jax.jit
+    def chained(p0, d0):
+        def body(_, carry):
+            p, d = carry
+            s32, q32 = pk.decode_arrays_pallas(p, d, 33)
+            return ((p + (q32 & 1).astype(jnp.uint8)), d ^ s32)
+
+        p, d = jax.lax.fori_loop(0, steps, body, (p0, d0))
+        return jnp.sum(p.astype(jnp.uint32)) + jnp.sum(d)
+
+    float(chained(p_dev, d_dev))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = pk.decode_arrays_pallas(p_dev, d_dev, 33)
-    jax.block_until_ready(out)
+    float(chained(p_dev, d_dev))
     dt = (time.perf_counter() - t0) / steps
-    output_bytes = 2 * r * read_len  # seq + qual ASCII produced
+    output_bytes = 2 * r * read_len  # seq + qual ASCII produced per step
     return output_bytes / 1e6 / dt
 
 

@@ -346,6 +346,11 @@ def index_blocks(path: str) -> tuple[container.FileHeader, list[tuple[int, int]]
     blocks = []
     with open(path, "rb") as f:
         fh = container.read_file_header(f)
+        if (
+            fh.version == container.VERSION_3_NATIVE
+            and fh.flags & container.FLAG_SEQ_DICT
+        ):
+            container.read_seq_dict_section(f)  # skip the dict section
         stream_version = (
             container.VERSION_2
             if fh.version == container.VERSION_3_NATIVE
@@ -400,11 +405,24 @@ def decompress_host_section(
         if fh.version == container.VERSION_3_NATIVE:
             from ..pipeline import native as pnative
 
+            seq_dict = None
+            if fh.flags & container.FLAG_SEQ_DICT:
+                from ..ops import sldm
+
+                f.seek(container.FILE_HEADER_SIZE)
+                raw_len, comp = container.read_seq_dict_section(f)
+                try:
+                    seq_dict = sldm.decompress_dict(comp, raw_len)
+                except ValueError as e:
+                    raise container.FormatError(str(e)) from None
             start = my_blocks[0][0]
             end = my_blocks[-1][0] + my_blocks[-1][1]
             f.seek(start)
             reader = _RangeReader(f, start, end)
-            pnative.decompress_native(reader, out, fh, qual_offset, 0)
+            pnative.decompress_native(
+                reader, out, fh, qual_offset, 0,
+                seq_dict=seq_dict, skip_sections=True,
+            )
         else:
             from ..entropy import zstd as zstd_entropy
             from ..pipeline import blocks as blockcodec

@@ -88,17 +88,22 @@ def _default_encode_arrays():
 
 
 def _sink_fd(w) -> int:
-    """OS fd of ``w`` when it is a real file/pipe (flushed first), else -1
-    (the native pipeline collects into a buffer we hand to ``w.write``)."""
+    """OS fd of ``w`` when writing to the fd IS writing to ``w`` — plain
+    FileIO or a buffered wrapper directly over one (flushed first).
+    Anything else returns -1 and gets bytes via ``w.write``: a transform
+    wrapper like GzipFile also exposes fileno(), but bytes sent to its
+    fd would bypass the transform and corrupt the output."""
     import io as _io
 
-    try:
-        fd = w.fileno()
-    except (AttributeError, OSError, _io.UnsupportedOperation):
+    raw = w
+    if isinstance(w, (_io.BufferedWriter, _io.BufferedRandom)):
+        raw = getattr(w, "raw", None)
+    if not isinstance(raw, _io.FileIO) or not raw.writable():
         return -1
     try:
+        fd = w.fileno()
         w.flush()
-    except (AttributeError, OSError):
+    except (AttributeError, OSError, ValueError, _io.UnsupportedOperation):
         return -1
     return fd
 

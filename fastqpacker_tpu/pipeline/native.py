@@ -339,10 +339,12 @@ def encode_block_native(
     order1_qual: bool = False,
     encode_arrays=None,
     seq_dict: np.ndarray | None = None,
+    raw=None,
 ) -> bytes:
     """Encode one record block to v3 wire bytes (header + tagged
     streams). Shared by the single-host pipeline and the multi-host
-    section compressor."""
+    section compressor. ``raw``: precomputed RawStreams for this block
+    (the dict probe already built block 0's; don't build them twice)."""
     if encode_arrays is None:
         encode_arrays = api._default_encode_arrays()
     # --max-ratio also buys a stronger zstd for whatever stays
@@ -352,9 +354,10 @@ def encode_block_native(
         if order1_qual
         else zstd_entropy.get_codec()
     )
-    raw = blockcodec.block_to_raw_streams(
-        blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
-    )
+    if raw is None:
+        raw = blockcodec.block_to_raw_streams(
+            blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
+        )
     ordered = raw.ordered(container.VERSION_2)
     crc = _crc_streams(ordered)
     comp = []
@@ -449,6 +452,7 @@ def compress_native(
     # pays the section. Decided before the header write — the flag and
     # section precede the first block on the wire.
     seq_dict = None
+    raw0 = None
     if (
         first_block is not None
         and first_block.n > 0
@@ -491,7 +495,8 @@ def compress_native(
 
     def encode_one(blk: RecordBlock) -> bytes:
         return encode_block_native(
-            blk, qual_offset, opts.order1_qual, encode_arrays, seq_dict
+            blk, qual_offset, opts.order1_qual, encode_arrays, seq_dict,
+            raw=raw0 if blk is first_block else None,
         )
 
     api.ordered_map_write(
@@ -561,9 +566,13 @@ def decompress_native(
     fh: container.FileHeader,
     qual_offset: int,
     workers: int,
+    seq_dict: Optional[np.ndarray] = None,
+    skip_sections: bool = False,
 ) -> None:
-    seq_dict = None
-    if fh.flags & container.FLAG_SEQ_DICT:
+    """``skip_sections``: the caller already consumed the file-level
+    sections (e.g. the multihost stripe reader starts mid-file) and
+    passes the decoded ``seq_dict`` itself."""
+    if not skip_sections and fh.flags & container.FLAG_SEQ_DICT:
         from ..ops import sldm
 
         raw_len, comp = container.read_seq_dict_section(r)

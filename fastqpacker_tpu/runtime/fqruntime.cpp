@@ -2723,22 +2723,28 @@ long long fq_compress_mt(const uint8_t* text, long long n,
 
   OwnedBuf* owned = nullptr;
   Sink sink;
-  if (out_fd >= 0) {
-    sink.fd = out_fd;
-  } else {
-    owned = new OwnedBuf();
-    owned->v.reserve((size_t)(n / 4 + 4096));
-    sink.buf = &owned->v;
-  }
   auto fail = [&](long long code) {
     delete owned;
     return code;
   };
-
-  // First block on the calling thread: Phred detection must precede the
-  // file header, and a block-0 parse error must produce no output at all
-  // (compress.go:137-168 ordering).
-  std::vector<long long> offs0((size_t)(block_records * 8));
+  // Allocations sized by caller-controlled values must not let
+  // std::bad_alloc cross the C ABI (process abort; the E038 lesson).
+  std::vector<long long> offs0;
+  try {
+    if (out_fd >= 0) {
+      sink.fd = out_fd;
+    } else {
+      owned = new OwnedBuf();
+      owned->v.reserve((size_t)(n / 4 + 4096));
+      sink.buf = &owned->v;
+    }
+    // First block on the calling thread: Phred detection must precede
+    // the file header, and a block-0 parse error must produce no output
+    // at all (compress.go:137-168 ordering).
+    offs0.resize((size_t)(block_records * 8));
+  } catch (const std::bad_alloc&) {
+    return fail(-12);
+  }
   long long consumed0 = 0;
   int scan_err = 0;
   long long cnt0 = n ? fq_scan_records(text, n, block_records, offs0.data(),
@@ -2778,13 +2784,20 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   std::mutex pool_mu;
   std::vector<std::vector<long long>> offs_pool;
   auto pool_get = [&](std::vector<long long>& v) {
-    std::lock_guard<std::mutex> lk(pool_mu);
-    if (!offs_pool.empty()) {
-      v = std::move(offs_pool.back());
-      offs_pool.pop_back();
-    } else {
-      v.resize((size_t)(block_records * 8));
+    {
+      std::lock_guard<std::mutex> lk(pool_mu);
+      if (!offs_pool.empty()) {
+        v = std::move(offs_pool.back());
+        offs_pool.pop_back();
+        return true;
+      }
     }
+    try {
+      v.resize((size_t)(block_records * 8));
+    } catch (const std::bad_alloc&) {
+      return false;
+    }
+    return true;
   };
   auto pool_put = [&](std::vector<long long>&& v) {
     std::lock_guard<std::mutex> lk(pool_mu);
@@ -2808,7 +2821,17 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     long long idx = 1;
     while (pos < n && !stop.load()) {
       std::vector<long long> offs;
-      pool_get(offs);
+      if (!pool_get(offs)) {
+        Res r;
+        r.err = -12;
+        {
+          std::lock_guard<std::mutex> lk(col.mu);
+          col.total.store(idx + 1);
+        }
+        col.deposit(idx, std::move(r));
+        jobs.close();
+        return;
+      }
       long long consumed = 0;
       int err = 0;
       long long cnt = 0;
@@ -2928,7 +2951,13 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       ret = r.err;
       err_info[0] = r.e0;
       err_info[1] = r.e1;
-      col.failed.store(true);
+      {
+        // failed must land under the collector's lock: a bare store can
+        // slot between a worker's predicate check and its park, and the
+        // notify is then missed forever (same invariant as total)
+        std::lock_guard<std::mutex> lk(col.mu);
+        col.failed.store(true);
+      }
       stop.store(true);
       jobs.close();
       col.cv.notify_all();
@@ -2939,7 +2968,10 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     if (!wok) {
       ret = MT_ERR_WRITE;
       err_info[0] = sink.err_no;
-      col.failed.store(true);
+      {
+        std::lock_guard<std::mutex> lk(col.mu);
+        col.failed.store(true);
+      }
       stop.store(true);
       jobs.close();
       col.cv.notify_all();
@@ -3053,7 +3085,6 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
   BufPool rpool;
   col.total.store((long long)djobs.size());
   std::atomic<long long> next_job{0};
-  std::atomic<bool> stop{false};
 
   const int nw = (int)std::min<long long>(workers, (long long)djobs.size());
   std::vector<std::thread> ws;
@@ -3071,7 +3102,6 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
         rpool.get(r.out);
         if (!r.out.ensure((size_t)std::max<long long>(d.bound, 1))) {
           r.err = -12;
-          stop.store(true);
         } else {
           const long long w = fq_decode_block_v2(d.payload, d.payload_n,
                                                  d.comp, d.raw, d.nrec,
@@ -3080,7 +3110,6 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
           if (w < 0) {
             r.out.len = 0;
             r.err = w;
-            stop.store(true);
           } else {
             r.out.len = (size_t)w;
           }
@@ -3106,16 +3135,20 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
     col.cv.notify_all();
     if (r.err) {
       ret = r.err;
-      col.failed.store(true);
-      stop.store(true);
+      {
+        std::lock_guard<std::mutex> lk(col.mu);
+        col.failed.store(true);
+      }
       col.cv.notify_all();
       break;
     }
     if (!sink.write(r.out.p, r.out.len)) {
       ret = MT_ERR_WRITE;
       err_info[0] = sink.err_no;
-      col.failed.store(true);
-      stop.store(true);
+      {
+        std::lock_guard<std::mutex> lk(col.mu);
+        col.failed.store(true);
+      }
       col.cv.notify_all();
       break;
     }

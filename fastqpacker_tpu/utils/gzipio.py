@@ -59,12 +59,24 @@ def wrap_input_maybe_gzip(path: str, raw: BinaryIO) -> BinaryIO:
     compress would silently take the streaming fallback.
     """
     if not path.lower().endswith(".gz"):
+        # prove seekability BEFORE consuming bytes: a reader whose
+        # tell()/read() work but whose seek() throws would otherwise
+        # lose the 2 sniffed bytes on the fallback path
         try:
             pos = raw.tell()
-            magic = raw.read(2)
             raw.seek(pos)
-        except (OSError, AttributeError):
+        except (OSError, AttributeError, ValueError):
             pr = PeekableReader(raw)
+            if has_gzip_magic(pr):
+                return gzip.GzipFile(fileobj=pr, mode="rb")  # type: ignore[return-value]
+            return pr  # type: ignore[return-value]
+        magic = raw.read(2)
+        try:
+            raw.seek(pos)
+        except OSError:
+            # seek regressed between probe and rewind: replay the bytes
+            pr = PeekableReader(raw)
+            pr._buf = bytes(magic) + pr._buf
             if has_gzip_magic(pr):
                 return gzip.GzipFile(fileobj=pr, mode="rb")  # type: ignore[return-value]
             return pr  # type: ignore[return-value]
