@@ -221,3 +221,35 @@ def test_mt_fd_write_failure_surfaces_oserror():
                     fq.compress(r, w, fq.Options(block_size=100))
     finally:
         signal.signal(signal.SIGPIPE, old)
+
+
+def test_transform_wrapper_sink_not_pierced():
+    """A GzipFile sink exposes fileno(), but bytes must flow through its
+    write() — the fd fast path once bypassed the transform and wrote raw
+    FASTQ into the gzip file (E049)."""
+    import gzip
+
+    data = _fastq(500, seed=9)
+    comp = fq.compress_bytes(data, fq.Options(block_size=100))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.fastq.gz")
+        with open(path, "wb") as f:
+            gz = gzip.GzipFile(fileobj=f, mode="wb")
+            fq.decompress(io.BytesIO(comp), gz)
+            gz.close()
+        assert gzip.open(path, "rb").read() == data
+        # compress direction too
+        cpath = os.path.join(d, "out.fqz.gz")
+        with open(cpath, "wb") as f:
+            gz = gzip.GzipFile(fileobj=f, mode="wb")
+            fq.compress(io.BytesIO(data), gz, fq.Options(block_size=100))
+            gz.close()
+        assert gzip.open(cpath, "rb").read() == comp
+
+
+def test_huge_block_size_raises_typed():
+    """Caller-sized native allocations must fail typed, never abort the
+    process via bad_alloc across the C ABI (E049)."""
+    data = b"@r\nACGT\n+\nIIII\n" * 10
+    with pytest.raises((RuntimeError, MemoryError)):
+        fq.compress_bytes(data, fq.Options(block_size=1 << 45))

@@ -169,3 +169,28 @@ def test_simulate_multihost_v3_roundtrip(tmp_path):
     plain = tmp_path / "plain.fq"
     mh.simulate_multihost_decompress(str(out), str(plain), 2)
     assert plain.read_bytes() == data
+
+
+def test_multihost_decompress_dict_container(tmp_path):
+    """The E044 dictionary section must not be parsed as a block header
+    by the multihost indexer/stripe reader (E049)."""
+    from bench import synth_fastq
+
+    import fastqpacker_tpu as fq
+    from fastqpacker_tpu.format import container
+    from fastqpacker_tpu.parallel import multihost as mh
+
+    data = synth_fastq(8, genomic=True, seed=5)
+    comp = fq.compress_bytes(
+        data, fq.Options(version=container.VERSION_3_NATIVE,
+                         block_size=5000)
+    )
+    fh = container.parse_file_header(comp[:10])
+    assert fh.flags & container.FLAG_SEQ_DICT
+    src = tmp_path / "in.fqz"
+    src.write_bytes(comp)
+    fh2, blocks = mh.index_blocks(str(src))
+    assert all(size < len(comp) for _, size in blocks)
+    out = tmp_path / "out.fq"
+    mh.simulate_multihost_decompress(str(src), str(out), num_hosts=3)
+    assert out.read_bytes() == data
