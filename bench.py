@@ -4,7 +4,9 @@ Prints ONE JSON line with the headline metric (single-host end-to-end
 compress MB/s, baseline: fqpack's 2,967.3 MB/s on an M4 MacBook Pro,
 README.md:19 / BASELINE.md). Additional diagnostics go to stderr.
 
-Usage: python bench.py [--mb 256] [--metric compress|decompress|kernel]
+Usage: python bench.py [--mb 256]
+       [--metric compress|decompress|kernel|decode-kernel|micro|ratio]
+       [--fixture iid|genomic] [--cpu] [--repeats N]
 """
 
 from __future__ import annotations
