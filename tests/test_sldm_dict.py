@@ -125,3 +125,28 @@ def test_dict_max_ratio_roundtrip(coverage_container):
     fh = container.parse_file_header(comp[:10])
     assert fh.flags & container.FLAG_SEQ_DICT
     assert fq.decompress_bytes(comp) == data
+
+
+def test_dict_with_paired_end():
+    """FLAG_SEQ_DICT composes with FLAG_PAIRED_END: interleaved mates
+    from coverage-redundant data engage the dictionary and split back
+    byte-identically."""
+    from bench import synth_fastq
+
+    from fastqpacker_tpu.pipeline import api
+
+    r1 = synth_fastq(6, genomic=True, seed=3)
+    r2 = synth_fastq(6, genomic=True, seed=4)
+    out = io.BytesIO()
+    api.compress_paired(
+        io.BytesIO(r1), io.BytesIO(r2), out,
+        fq.Options(version=container.VERSION_3_NATIVE, block_size=20000),
+    )
+    comp = out.getvalue()
+    fh = container.parse_file_header(comp[:10])
+    assert fh.flags & container.FLAG_SEQ_DICT
+    assert fh.flags & container.FLAG_PAIRED_END
+    w1, w2 = io.BytesIO(), io.BytesIO()
+    api.decompress_paired(io.BytesIO(comp), w1, w2)
+    assert w1.getvalue() == r1
+    assert w2.getvalue() == r2
