@@ -42,17 +42,30 @@ run_tool() {
         echo "$name: ROUND-TRIP FAILED" >&2
         return 1
     fi
-    local csize ct dt
+    local csize
     csize=$(stat -c %s "$out")
-    ct=$(echo "$t1 - $t0" | bc)
-    dt=$(echo "$t2 - $t1" | bc)
-    printf "%-12s %12d bytes  %6.2fx  compress %6.2fs (%7.1f MB/s)  decompress %6.2fs\n" \
-        "$name" "$csize" "$(echo "$SIZE / $csize" | bc -l)" \
-        "$ct" "$(echo "$SIZE / $ct / 1000000" | bc -l)" "$dt"
+    # awk, not bc: bc is not installed on minimal hosts
+    awk -v n="$name" -v sz="$SIZE" -v cs="$csize" \
+        -v t0="$t0" -v t1="$t1" -v t2="$t2" 'BEGIN {
+        ct = t1 - t0; dt = t2 - t1;
+        printf "%-12s %12d bytes  %6.2fx  compress %6.2fs (%7.1f MB/s)  decompress %6.2fs\n", \
+            n, cs, sz / cs, ct, sz / ct / 1000000, dt }'
+
 }
 
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 FQ="$PY -m fastqpacker_tpu.cli.fqpack"
+
+# Interpreter + JAX import cost is paid INSIDE each timed CLI run (the
+# reference binary starts in ms; this CLI in seconds) — print it so the
+# per-tool times can be read net of startup. Disk writeback on minimal
+# hosts (~60 MB/s) also bounds decompress-to-file at this size.
+b0=$(date +%s.%N)
+$FQ -version >/dev/null
+b1=$(date +%s.%N)
+awk -v a="$b0" -v b="$b1" 'BEGIN {
+    printf "CLI startup baseline (included in every timing): %.2fs\n\n", b - a }'
+
 
 run_tool "fqpack-tpu" \
     "$FQ -i '$INPUT' -o '$WORK/a.fqz'" \
