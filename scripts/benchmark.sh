@@ -60,8 +60,9 @@ FQ="$PY -m fastqpacker_tpu.cli.fqpack"
 # reference binary starts in ms; this CLI in seconds) — print it so the
 # per-tool times can be read net of startup. Disk writeback on minimal
 # hosts (~60 MB/s) also bounds decompress-to-file at this size.
+printf '@r\nACGT\n+\nIIII\n' > "$WORK/tiny.fq"
 b0=$(date +%s.%N)
-$FQ -version >/dev/null
+$FQ -i "$WORK/tiny.fq" -o "$WORK/tiny.fqz"
 b1=$(date +%s.%N)
 awk -v a="$b0" -v b="$b1" 'BEGIN {
     printf "CLI startup baseline (included in every timing): %.2fs\n\n", b - a }'
