@@ -206,14 +206,38 @@ def _execute_paired(args, inp: BinaryIO, out: BinaryIO) -> None:
 
 
 def _tpu_available() -> bool:
+    """Bounded accelerator probe for ``--backend auto``.
+
+    ``jax.devices()`` initializes the backend, which on a remote/relayed
+    platform can block for MINUTES when the link is unhealthy (observed
+    259 s on this host) — an unacceptable tax on every CLI compress. The
+    init runs in a daemon thread with a deadline (FQZ_PROBE_TIMEOUT
+    seconds, default 10); on timeout the CLI takes the host path and the
+    straggler thread finishes harmlessly in the background. ``--backend
+    tpu`` still waits unboundedly for the device the user insisted on.
+    """
     if os.environ.get("FQZ_FORCE_CPU"):
         return False
-    try:
-        import jax
+    import threading
 
-        return jax.devices()[0].platform not in ("cpu",)
-    except Exception:
-        return False
+    result: list[bool] = []
+
+    def probe() -> None:
+        try:
+            import jax
+
+            result.append(jax.devices()[0].platform not in ("cpu",))
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    try:
+        timeout = float(os.environ.get("FQZ_PROBE_TIMEOUT", "10"))
+    except ValueError:
+        timeout = 10.0
+    t.join(timeout)
+    return bool(result and result[0])
 
 
 def main(argv: list[str] | None = None) -> int:
