@@ -57,6 +57,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="spend more compute on ratio: enables the order-1 "
                         "context-modeled quality coder (implies "
                         "--format native)")
+    p.add_argument("--lossless", action="store_true", dest="lossless",
+                   help="strictly lossless: preserve lowercase bases and "
+                        "exotic symbols verbatim instead of the "
+                        "reference's normalization (implies --format "
+                        "native)")
     p.add_argument("--pair", dest="pair", default="",
                    help="paired-end mate file: on compress, the R2 input "
                         "(records interleave R1,R2,...; sets FlagPairedEnd); "
@@ -154,7 +159,7 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
         return
     version = (
         container.VERSION_3_NATIVE
-        if args.wire_format == "native" or args.max_ratio
+        if args.wire_format == "native" or args.max_ratio or args.lossless
         else container.CURRENT_VERSION
     )
     opts = api.Options(
@@ -162,6 +167,7 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
         workers=args.workers,
         version=version,
         order1_qual=args.max_ratio,
+        lossless=args.lossless,
     )
     if use_device or version == container.VERSION_3_NATIVE:
         from ..pipeline import device
@@ -189,7 +195,7 @@ def _execute_paired(args, inp: BinaryIO, out: BinaryIO) -> None:
     try:
         version = (
             container.VERSION_3_NATIVE
-            if args.wire_format == "native" or args.max_ratio
+            if args.wire_format == "native" or args.max_ratio or args.lossless
             else container.CURRENT_VERSION
         )
         api.compress_paired(
@@ -199,6 +205,7 @@ def _execute_paired(args, inp: BinaryIO, out: BinaryIO) -> None:
                 workers=args.workers,
                 version=version,
                 order1_qual=args.max_ratio,
+                lossless=args.lossless,
             ),
         )
     finally:

@@ -80,6 +80,8 @@ def info(path: str, out=None) -> int:
             flags.append("phred64")
         if fh.flags & container.FLAG_SEQ_DICT:
             flags.append("seq-dict")
+        if fh.flags & container.FLAG_LOSSLESS:
+            flags.append("lossless")
         print(f"  flags:       {', '.join(flags) or '(none)'}", file=out)
 
         nblocks = 0

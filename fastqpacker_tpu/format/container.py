@@ -34,6 +34,11 @@ FLAG_PHRED64 = 1 << 1
 # unpacked base codes, shared by every TAG_SLDM stream as an LDM prefix so
 # coverage matches cross block boundaries (ops/sldm.py, journal E044).
 FLAG_SEQ_DICT = 1 << 2
+# v3 only: strictly lossless mode — the npos slot additionally carries a
+# per-base lowercase bitmask and the verbatim bytes of non-ACGTN symbols,
+# so decode restores the exact input (the reference normalizes lowercase
+# to uppercase and exotic symbols to N by design; journal E052).
+FLAG_LOSSLESS = 1 << 4
 
 SEQ_DICT_MAX_RAW = 64 << 20  # bound attacker-declared dictionary sizes
 

@@ -215,7 +215,8 @@ def compress_host_section(
             for blk in all_blocks():
                 out.write(
                     pnative.encode_block_native(
-                        blk, qual_offset, opts.order1_qual
+                        blk, qual_offset, opts.order1_qual,
+                        lossless=opts.lossless,
                     )
                 )
         else:

@@ -63,6 +63,10 @@ class Options:
     # (ops/qualctx.py) when its estimated size wins. Slower compress,
     # better ratio (CLI: --max-ratio).
     order1_qual: bool = False
+    # v3 only: strictly lossless mode (CLI --lossless): preserve
+    # lowercase bases and exotic symbols verbatim instead of the
+    # reference's normalization (acgt -> ACGT, non-ACGTN -> N).
+    lossless: bool = False
 
 
 @dataclass

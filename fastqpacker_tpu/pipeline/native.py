@@ -333,6 +333,70 @@ def _crc_streams(ordered: list[bytes]) -> int:
     return crc & 0xFFFFFFFF
 
 
+def _lossless_extra(blk: RecordBlock, lengths: np.ndarray) -> bytes:
+    """FLAG_LOSSLESS payload appended to the npos slot (journal E052):
+    little-endian-packed per-base lowercase bits (record-concatenated,
+    ceil(total/8) bytes) followed by one verbatim byte per npos entry
+    (the original non-ACGT symbols, in npos order). Sizes are derivable
+    from the lengths and npos streams, so the blob is self-locating."""
+    from ..utils import varlen
+
+    seq = blk.seq
+    w = seq.shape[1]
+    col = np.arange(w, dtype=np.int64)[None, :]
+    in_len = col < lengths[:, None]
+    lower = (seq >= 97) & (seq <= 122) & in_len
+    flat_bits = varlen.flatten_rows(
+        lower.astype(np.uint8), lengths
+    )
+    case_bytes = np.packbits(flat_bits, bitorder="little").tobytes()
+    amb = refops.ambiguity_mask(seq, lengths, npos_cap=1 << 62)
+    rows, cols = np.nonzero(amb)
+    exotic = seq[rows, cols].tobytes()
+    return case_bytes + exotic
+
+
+def _apply_lossless_extra(
+    text: bytearray,
+    extra: np.ndarray,
+    lengths: np.ndarray,
+    hdr_lens: np.ndarray,
+    plus_lens: np.ndarray,
+    n_counts: np.ndarray,
+    n_rows: np.ndarray,
+    n_pos: np.ndarray,
+) -> None:
+    """Restore case and verbatim exotic bytes on assembled FASTQ text."""
+    total = int(lengths.sum())
+    case_len = -(-total // 8)
+    n_exotic = int(n_counts.sum())
+    if len(extra) != case_len + n_exotic:
+        raise container.FormatError("truncated lossless side data")
+    # absolute offset of each record's sequence line within the text
+    rec_sizes = (
+        (hdr_lens + 2) + (lengths + 1) + (plus_lens + 2) + (lengths + 1)
+    )
+    rec_offs = np.zeros(len(lengths), dtype=np.int64)
+    if len(lengths) > 1:
+        np.cumsum(rec_sizes[:-1], out=rec_offs[1:])
+    seq_line = rec_offs + hdr_lens + 2
+    buf = np.frombuffer(text, np.uint8)
+    if n_exotic:
+        dst = seq_line[n_rows] + n_pos
+        buf[dst] = extra[case_len:]
+    bits = np.unpackbits(extra[:case_len], bitorder="little", count=total)
+    idx = np.flatnonzero(bits)
+    if len(idx):
+        # map flat base index -> (record, in-record position)
+        starts = np.zeros(len(lengths), dtype=np.int64)
+        if len(lengths) > 1:
+            np.cumsum(lengths[:-1], out=starts[1:])
+        rec = np.searchsorted(starts, idx, side="right") - 1
+        pos = idx - starts[rec]
+        dst = seq_line[rec] + pos
+        buf[dst] |= 0x20
+
+
 def encode_block_native(
     blk: RecordBlock,
     qual_offset: int,
@@ -340,6 +404,7 @@ def encode_block_native(
     encode_arrays=None,
     seq_dict: np.ndarray | None = None,
     raw=None,
+    lossless: bool = False,
 ) -> bytes:
     """Encode one record block to v3 wire bytes (header + tagged
     streams). Shared by the single-host pipeline and the multi-host
@@ -357,6 +422,14 @@ def encode_block_native(
     if raw is None:
         raw = blockcodec.block_to_raw_streams(
             blk, qual_offset, encode_arrays=encode_arrays, wide_npos=True
+        )
+    if lossless:
+        lens64 = blk.lengths.astype(np.int64)
+        raw.npos = np.concatenate(
+            [
+                np.frombuffer(raw.npos, np.uint8),
+                np.frombuffer(_lossless_extra(blk, lens64), np.uint8),
+            ]
         )
     ordered = raw.ordered(container.VERSION_2)
     crc = _crc_streams(ordered)
@@ -443,6 +516,8 @@ def compress_native(
         if qual_offset == refops.PHRED64_OFFSET
         else 0
     )
+    if opts.lossless:
+        flags |= container.FLAG_LOSSLESS
 
     # Cross-block sequence dictionary (E044): when block 0's coverage
     # probe fires, its leading unpacked codes become a container-level
@@ -497,6 +572,7 @@ def compress_native(
         return encode_block_native(
             blk, qual_offset, opts.order1_qual, encode_arrays, seq_dict,
             raw=raw0 if blk is first_block else None,
+            lossless=opts.lossless,
         )
 
     api.ordered_map_write(
@@ -510,6 +586,7 @@ def decode_block_payload(
     codec,
     qual_offset: int,
     seq_dict: np.ndarray | None = None,
+    lossless: bool = False,
 ) -> bytes:
     """Decode one v3 block payload (streams after the header) to FASTQ
     text, verifying the block CRC32."""
@@ -548,16 +625,45 @@ def decode_block_payload(
             parts.append(_decode_tagged(chunk, codec, hdr.num_records))
     if _crc_streams(parts) != hdr.crc32:
         raise container.FormatError("block CRC32 mismatch: corrupted data")
+    npos_full = np.frombuffer(parts[4], np.uint8)
+    extra = None
+    n_counts = n_rows = n_pos = None
+    if lossless:
+        # FLAG_LOSSLESS: the npos slot carries [npos][case bits][exotic
+        # bytes]; npos is self-delimiting, split after parsing it
+        n_counts, n_rows, n_pos = blockcodec.parse_npos_stream(
+            npos_full, hdr.num_records, wide=True
+        )
+        boundary = 4 * (hdr.num_records + int(n_counts.sum()))
+        extra = npos_full[boundary:]
+        npos_full = npos_full[:boundary]
     ds = blockcodec.DecodedStreams(
         seq=np.frombuffer(parts[0], np.uint8),
         qual=np.frombuffer(parts[1], np.uint8),
         headers=np.frombuffer(parts[2], np.uint8),
         plus=np.frombuffer(parts[3], np.uint8),
-        npos=np.frombuffer(parts[4], np.uint8),
+        npos=npos_full,
         lengths=np.frombuffer(parts[5], np.uint8),
         num_records=hdr.num_records,
     )
-    return blockcodec.streams_to_fastq(ds, qual_offset, wide_npos=True)
+    text = blockcodec.streams_to_fastq(ds, qual_offset, wide_npos=True)
+    if lossless:
+        hdr_starts, hdr_lens = blockcodec.parse_len16_stream(
+            ds.headers, hdr.num_records, "header"
+        )
+        if len(ds.plus):
+            _, plus_lens = blockcodec.parse_len16_stream(
+                ds.plus, hdr.num_records, "plus-line payload"
+            )
+        else:
+            plus_lens = np.zeros(hdr.num_records, np.int64)
+        out = bytearray(text)
+        _apply_lossless_extra(
+            out, extra, lengths, hdr_lens, plus_lens,
+            n_counts, n_rows, n_pos,
+        )
+        return bytes(out)
+    return text
 
 
 def decompress_native(
@@ -590,11 +696,13 @@ def decompress_native(
             payload = r.read(payload_size)
             yield hdr, payload
 
+    lossless = bool(fh.flags & container.FLAG_LOSSLESS)
+
     def decode_one(job) -> bytes:
         hdr, payload = job
         codec = zstd_entropy.get_codec()
         return decode_block_payload(
-            hdr, payload, codec, qual_offset, seq_dict
+            hdr, payload, codec, qual_offset, seq_dict, lossless=lossless
         )
 
     api.ordered_map_write(w, read_jobs(), decode_one, workers)

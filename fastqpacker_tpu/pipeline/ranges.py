@@ -132,7 +132,8 @@ def _decode_entry(
         from . import native as pnative
 
         return pnative.decode_block_payload(
-            hdr, payload, codec, qual_offset, seq_dict
+            hdr, payload, codec, qual_offset, seq_dict,
+            lossless=bool(fh.flags & container.FLAG_LOSSLESS),
         )
     ds = blockcodec.decode_streams(hdr, payload, fh.version, codec)
     return blockcodec.streams_to_fastq(ds, qual_offset)
