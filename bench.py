@@ -307,15 +307,34 @@ def main() -> int:
     malloc_tuning.warm_heap(min(args.mb * 4, 512) << 20)
     log(f"heap warm in {time.perf_counter()-t0:.1f}s")
 
-    import jax
+    # Bounded backend init: on a remote/relayed platform jax.devices()
+    # can block for minutes when the link is unhealthy (E050); the
+    # headline metric runs on the host path regardless, so fall back to
+    # platform=cpu when the init misses its deadline.
+    import threading
 
-    platform = jax.devices()[0].platform
+    _plat: list[str] = []
+
+    def _probe() -> None:
+        try:
+            import jax
+
+            _plat.append(jax.devices()[0].platform)
+        except Exception:
+            _plat.append("cpu")
+
+    _t = threading.Thread(target=_probe, daemon=True)
+    _t.start()
+    _t.join(60 if args.metric in ("kernel", "decode-kernel") else 30)
+    platform = _plat[0] if _plat else "cpu"
+    if not _plat:
+        log("backend init timed out; assuming cpu/host path")
     device = platform != "cpu" and not args.cpu
     if args.cpu:
         import os as _os
 
         _os.environ["FQZ_BACKEND"] = "cpu"
-    log(f"platform={platform} devices={jax.devices()} device_pipeline={device}")
+    log(f"platform={platform} device_pipeline={device}")
     if device:
         from fastqpacker_tpu.pipeline import auto
 

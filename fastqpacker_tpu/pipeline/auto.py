@@ -49,17 +49,40 @@ def transfer_bandwidth_mbps(nbytes: int = 2 << 20) -> float:
 
 @lru_cache(maxsize=1)
 def device_worthwhile() -> bool:
-    """Should block transforms run on the accelerator?"""
+    """Should block transforms run on the accelerator?
+
+    The probe (backend init + two transfers) runs in a daemon thread
+    with a deadline: on an unhealthy relayed link either step can block
+    for minutes (E050), and an auto decision that slow is already the
+    wrong one — route host and let the straggler finish harmlessly.
+    """
     force = os.environ.get("FQZ_BACKEND", "").lower()
     if force in ("tpu", "device"):
         return True
     if force in ("cpu", "host"):
         return False
-    try:
-        import jax
+    import threading
 
-        if jax.devices()[0].platform == "cpu":
-            return False
-        return transfer_bandwidth_mbps() >= MIN_TRANSFER_MBPS
-    except Exception:
-        return False
+    result: list[bool] = []
+
+    def probe() -> None:
+        try:
+            import jax
+
+            if jax.devices()[0].platform == "cpu":
+                result.append(False)
+                return
+            result.append(
+                transfer_bandwidth_mbps() >= MIN_TRANSFER_MBPS
+            )
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    try:
+        timeout = float(os.environ.get("FQZ_PROBE_TIMEOUT", "30"))
+    except ValueError:
+        timeout = 30.0
+    t.join(timeout)
+    return bool(result and result[0])
