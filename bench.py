@@ -308,27 +308,21 @@ def main() -> int:
     log(f"heap warm in {time.perf_counter()-t0:.1f}s")
 
     # Bounded backend init: on a remote/relayed platform jax.devices()
-    # can block for minutes when the link is unhealthy (E050); the
+    # can block for minutes when the link is unhealthy (E050/E053); the
     # headline metric runs on the host path regardless, so fall back to
     # platform=cpu when the init misses its deadline.
-    import threading
+    from fastqpacker_tpu.pipeline.auto import bounded_probe
 
-    _plat: list[str] = []
+    def _platform() -> str:
+        import jax
 
-    def _probe() -> None:
-        try:
-            import jax
+        return jax.devices()[0].platform
 
-            _plat.append(jax.devices()[0].platform)
-        except Exception:
-            _plat.append("cpu")
-
-    _t = threading.Thread(target=_probe, daemon=True)
-    _t.start()
-    _t.join(60 if args.metric in ("kernel", "decode-kernel") else 30)
-    platform = _plat[0] if _plat else "cpu"
-    if not _plat:
+    deadline = 60 if args.metric in ("kernel", "decode-kernel") else 30
+    platform = bounded_probe(_platform, deadline, None)
+    if platform is None:
         log("backend init timed out; assuming cpu/host path")
+        platform = "cpu"
     device = platform != "cpu" and not args.cpu
     if args.cpu:
         import os as _os
@@ -338,9 +332,10 @@ def main() -> int:
     if device:
         from fastqpacker_tpu.pipeline import auto
 
+        # device_worthwhile is deadline-bounded; the raw bandwidth call
+        # is NOT and can hang on a relay outage, so only log the routing
         log(
-            f"probed transfer bandwidth: "
-            f"{auto.transfer_bandwidth_mbps():.0f} MB/s -> "
+            "transfer probe -> "
             f"{'device' if auto.device_worthwhile() else 'host'} transforms"
         )
 

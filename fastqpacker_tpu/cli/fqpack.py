@@ -225,26 +225,14 @@ def _tpu_available() -> bool:
     """
     if os.environ.get("FQZ_FORCE_CPU"):
         return False
-    import threading
+    from ..pipeline.auto import bounded_probe
 
-    result: list[bool] = []
+    def probe() -> bool:
+        import jax
 
-    def probe() -> None:
-        try:
-            import jax
+        return jax.devices()[0].platform not in ("cpu",)
 
-            result.append(jax.devices()[0].platform not in ("cpu",))
-        except Exception:
-            result.append(False)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    try:
-        timeout = float(os.environ.get("FQZ_PROBE_TIMEOUT", "10"))
-    except ValueError:
-        timeout = 10.0
-    t.join(timeout)
-    return bool(result and result[0])
+    return bool(bounded_probe(probe, 10.0, False))
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -253,7 +253,13 @@ def _section_bytes(
     """Host 0 prepends the file header; other hosts emit bare blocks."""
     if section.host_id != 0:
         return section.payload
-    flags = container.FLAG_PHRED64 if section.qual_offset == 64 else 0
+    flags = opts.flags | (
+        container.FLAG_PHRED64 if section.qual_offset == 64 else 0
+    )
+    if opts.version == container.VERSION_3_NATIVE and opts.lossless:
+        # blocks were encoded with the lossless side data (E052); the
+        # header must say so or decode silently normalizes
+        flags |= container.FLAG_LOSSLESS
     header = container.FileHeader(
         version=opts.version,
         block_size=api.resolve_block_size(opts),

@@ -175,6 +175,13 @@ def compress(
 ) -> None:
     """Compress FASTQ from ``r`` into an FQZ container on ``w``."""
     opts = opts or Options()
+    if opts.lossless and opts.version != container.VERSION_3_NATIVE:
+        # a flag whose whole contract is "do not lose data" must never
+        # be silently ignored (the v1/v2 wire has nowhere to put it)
+        raise ValueError(
+            "lossless mode requires the v3 native container "
+            "(Options(version=VERSION_3_NATIVE) / --format native)"
+        )
     if opts.version == container.VERSION_3_NATIVE:
         # v3 streams carry per-stream codec tags; only the native
         # pipeline writes them (untagged v3 output would not decode).

@@ -18,6 +18,34 @@ from functools import lru_cache
 
 import numpy as np
 
+def bounded_probe(fn, default_timeout: float, fallback):
+    """Run ``fn`` in a daemon thread with a deadline (FQZ_PROBE_TIMEOUT
+    overrides ``default_timeout``); return ``fallback`` on timeout or
+    error. On an unhealthy relayed link, backend init and device_put can
+    block for minutes (E050/E053) — a probe that slow has already made
+    the decision."""
+    import threading
+
+    result = []
+
+    def run() -> None:
+        try:
+            result.append(fn())
+        except Exception:
+            pass
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        timeout = float(
+            os.environ.get("FQZ_PROBE_TIMEOUT", str(default_timeout))
+        )
+    except ValueError:
+        timeout = default_timeout
+    t.join(timeout)
+    return result[0] if result else fallback
+
+
 # Minimum round-trip bandwidth for the device path to beat the host path:
 # the host pipeline sustains hundreds of MB/s, and the device path moves
 # ~1.3x the input over the link (in: seq+qual, out: packed+delta+masks).
@@ -61,28 +89,11 @@ def device_worthwhile() -> bool:
         return True
     if force in ("cpu", "host"):
         return False
-    import threading
+    def probe() -> bool:
+        import jax
 
-    result: list[bool] = []
+        if jax.devices()[0].platform == "cpu":
+            return False
+        return transfer_bandwidth_mbps() >= MIN_TRANSFER_MBPS
 
-    def probe() -> None:
-        try:
-            import jax
-
-            if jax.devices()[0].platform == "cpu":
-                result.append(False)
-                return
-            result.append(
-                transfer_bandwidth_mbps() >= MIN_TRANSFER_MBPS
-            )
-        except Exception:
-            result.append(False)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    try:
-        timeout = float(os.environ.get("FQZ_PROBE_TIMEOUT", "30"))
-    except ValueError:
-        timeout = 30.0
-    t.join(timeout)
-    return bool(result and result[0])
+    return bool(bounded_probe(probe, 30.0, False))

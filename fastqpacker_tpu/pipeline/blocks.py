@@ -101,9 +101,11 @@ def _build_npos_numpy(
 def _parse_npos_numpy_wide(
     data: np.ndarray, count: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    if len(data) % 4 != 0:
-        raise container.FormatError("truncated N position data")
-    u32 = data.view("<u4")
+    # Trailing bytes after the last record are tolerated, matching the
+    # C++ twin (fq_parse_npos32): FLAG_LOSSLESS appends its side data
+    # to this slot (E052), and the parse is self-delimiting.
+    usable = len(data) - (len(data) % 4)
+    u32 = data[:usable].view("<u4")
     counts = np.zeros(count, dtype=np.int64)
     rows_list, pos_list = [], []
     off = 0

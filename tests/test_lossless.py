@@ -116,3 +116,60 @@ def test_lossless_paired():
     api.decompress_paired(io.BytesIO(out.getvalue()), w1, w2)
     assert w1.getvalue() == r1
     assert w2.getvalue() == r2
+
+
+def test_lossless_numpy_fallback_decodes(tmp_path):
+    """FQZ_NO_NATIVE decode of lossless containers: the numpy npos
+    parser must tolerate the appended side data like the C++ twin
+    (second-review finding)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os\n"
+        "os.environ['FQZ_NO_NATIVE']='1'\n"
+        "os.environ['JAX_PLATFORMS']='cpu'\n"
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "import fastqpacker_tpu as fq\n"
+        "from fastqpacker_tpu.format import container\n"
+        "d = b'@r1\\nacgtNnRy.\\n+\\n!!!!!!!!!\\n' * 30\n"
+        "o = fq.Options(version=container.VERSION_3_NATIVE,"
+        " lossless=True, block_size=8)\n"
+        "comp = fq.compress_bytes(d, o)\n"
+        "assert fq.decompress_bytes(comp) == d\n"
+        "print('OK')\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert res.stdout.strip() == "OK", res.stderr[-800:]
+
+
+def test_lossless_requires_v3():
+    """Options(lossless=True) with a v1/v2 version must raise, never
+    silently produce lossy output (second-review finding)."""
+    with pytest.raises(ValueError, match="lossless mode requires"):
+        fq.compress_bytes(b"@r\nacgt\n+\nIIII\n", fq.Options(lossless=True))
+
+
+def test_lossless_multihost(tmp_path):
+    """Multihost sections must carry FLAG_LOSSLESS in the file header
+    (second-review finding: the flag was dropped and decode silently
+    normalized)."""
+    from fastqpacker_tpu.parallel import multihost as mh
+
+    d = b"@r1\nacgtNnRy.\n+\n!!!!!!!!!\n" * 200
+    src = tmp_path / "in.fq"
+    dst = tmp_path / "out.fqz"
+    src.write_bytes(d)
+    mh.simulate_multihost(
+        str(src), str(dst), num_hosts=2,
+        opts=fq.Options(
+            version=container.VERSION_3_NATIVE, lossless=True,
+            block_size=64,
+        ),
+    )
+    comp = dst.read_bytes()
+    fh = container.parse_file_header(comp[:10])
+    assert fh.flags & container.FLAG_LOSSLESS
+    assert fq.decompress_bytes(comp) == d
