@@ -173,3 +173,21 @@ def test_lossless_multihost(tmp_path):
     fh = container.parse_file_header(comp[:10])
     assert fh.flags & container.FLAG_LOSSLESS
     assert fq.decompress_bytes(comp) == d
+
+
+def test_lossless_composes_with_seq_dict():
+    """FLAG_LOSSLESS + FLAG_SEQ_DICT in one container round-trips."""
+    from bench import synth_fastq
+
+    base = bytearray(synth_fastq(12, genomic=True, seed=5))
+    arr = np.frombuffer(bytes(base), np.uint8)
+    nl = np.flatnonzero(arr == 0x0A)
+    seq_line_starts = np.concatenate(([0], nl[:-1] + 1))[1::4][:100]
+    for s in seq_line_starts:
+        base[s] = ord(chr(base[s]).lower())
+    data = bytes(base)
+    comp = fq.compress_bytes(data, _opts(block_size=5000))
+    fh = container.parse_file_header(comp[:10])
+    assert fh.flags & container.FLAG_SEQ_DICT
+    assert fh.flags & container.FLAG_LOSSLESS
+    assert fq.decompress_bytes(comp) == data
