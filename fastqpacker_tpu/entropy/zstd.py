@@ -36,10 +36,12 @@ _ZSTD_CONTENTSIZE_ERROR = 2**64 - 2
 
 DEFAULT_LEVEL = 1  # SpeedFastest equivalent
 
-# Level-1 tuning (journal E028): hashLog 15 is ~10% faster than the level-1
-# default at byte-equal output on the FASTQ stream mix; zstd clamps it for
+# Level-1 tuning (journal E028/E055): hashLog 13 keeps the fast-strategy
+# hash table at 32 KB — inside this host's L1d — which is ~1.5x faster than
+# hashLog 15 on the dominant quality-delta stream at byte-equal output
+# (identical compressed sizes on every FASTQ stream); zstd clamps it for
 # small inputs, so it is safe to set unconditionally at level 1.
-_FAST_HASH_LOG = 15
+_FAST_HASH_LOG = 13
 
 # compress_adaptive probe: sample this prefix at normal settings; if it
 # stays above the ratio threshold the stream is treated as incompressible

@@ -27,7 +27,8 @@
 // ---------------------------------------------------------------------------
 // SIMD row kernels (AVX2/SSE). Each has a scalar twin in the callers below;
 // byte-identical output is asserted by the runtime equivalence tests
-// (tests/test_runtime.py) against ops/reference.py.
+// (tests/test_codec_reference.py, tests/test_mt_pipeline.py) against
+// ops/reference.py.
 // ---------------------------------------------------------------------------
 #ifdef FQ_AVX2
 namespace {
@@ -880,6 +881,35 @@ extern "C" {
 // lengths u32. sizes_out[0..5] receive byte counts; min_qual_out gets the
 // minimum quality byte (for Phred detection); returns 0, or 1 if a
 // header/plus field exceeds 65535 bytes.
+// Inline small copy tuned for FASTQ header/plus fields (tens of bytes,
+// uniform within a file so every branch predicts): fixed-size memcpy
+// chunks compile to bare register moves, and the overlapping final chunk
+// bounds every read and write to [p, p+n) exactly — no overshoot, so no
+// slack contract on either buffer. A libc memcpy call costs ~20-30 cycles
+// of PLT + size dispatch per field, which at two fields per record was
+// ~20% of fq_build_streams (E056).
+static inline void fq_copy_small(uint8_t* d, const uint8_t* s, size_t n) {
+  if (n >= 32) {
+    size_t i = 0;
+    do {
+      memcpy(d + i, s + i, 32);
+      i += 32;
+    } while (i + 32 <= n);
+    if (i < n) memcpy(d + n - 32, s + n - 32, 32);
+  } else if (n >= 16) {
+    memcpy(d, s, 16);
+    memcpy(d + n - 16, s + n - 16, 16);
+  } else if (n >= 8) {
+    memcpy(d, s, 8);
+    memcpy(d + n - 8, s + n - 8, 8);
+  } else if (n >= 4) {
+    memcpy(d, s, 4);
+    memcpy(d + n - 4, s + n - 4, 4);
+  } else {
+    for (size_t i = 0; i < n; i++) d[i] = s[i];
+  }
+}
+
 int fq_build_streams(const uint8_t* text, const long long* offs,
                      long long n, uint8_t qoffset, int wide,
                      long long npos_cap, uint8_t* seq_out, uint8_t* qual_out,
@@ -1009,11 +1039,11 @@ int fq_build_streams(const uint8_t* text, const long long* offs,
     if (o[1] > 0xFFFF || o[5] > 0xFFFF) return 1;
     hdr_out[ho++] = (uint8_t)(o[1] & 0xFF);
     hdr_out[ho++] = (uint8_t)(o[1] >> 8);
-    memcpy(hdr_out + ho, text + o[0], (size_t)o[1]);
+    fq_copy_small(hdr_out + ho, text + o[0], (size_t)o[1]);
     ho += o[1];
     plus_out[po++] = (uint8_t)(o[5] & 0xFF);
     plus_out[po++] = (uint8_t)(o[5] >> 8);
-    memcpy(plus_out + po, text + o[4], (size_t)o[5]);
+    fq_copy_small(plus_out + po, text + o[4], (size_t)o[5]);
     po += o[5];
 
     // length: u32le
@@ -2034,7 +2064,7 @@ int fq_sldm_pack(const uint8_t* bases, long long total,
 // leaves Python one call per block (reference analog: the whole of
 // compressBlockWithBuffers, internal/compress/compress.go:471-552).
 //
-// zstd policy mirrors entropy/zstd.py: level 1 (SpeedFastest), hashLog 15,
+// zstd policy mirrors entropy/zstd.py: level 1 (SpeedFastest), hashLog 13,
 // frame checksums on, plus the E028 incompressibility probe (sample 128 KB
 // of streams >= 1 MB; near-incompressible streams recompress under an
 // accelerated context with targetLength 1024).
@@ -2147,7 +2177,10 @@ struct ZstdWorker {
       ZSTD_CCtx* c = ZSTD_createCCtx();
       if (!c) return nullptr;
       ZSTD_CCtx_setParameter(c, ZSTD_c_compressionLevel, 1);
-      ZSTD_CCtx_setParameter(c, ZSTD_c_hashLog, 15);
+      // hashLog 13 = 32 KB fast-strategy hash table, fits L1d (E055):
+      // ~1.5x faster than hashLog 15 on the quality-delta stream at
+      // byte-equal compressed sizes on every stream in the FASTQ mix
+      ZSTD_CCtx_setParameter(c, ZSTD_c_hashLog, 13);
       ZSTD_CCtx_setParameter(c, ZSTD_c_checksumFlag, 1);
       if (accelerated) ZSTD_CCtx_setParameter(c, ZSTD_c_targetLength, 1024);
       *slot = c;
@@ -2638,14 +2671,34 @@ inline uint8_t detect_qual_offset(const uint8_t* text,
                                   const long long* offs, long long n) {
   uint8_t mn = 0xFF;
   bool any = false;
+#ifdef FQ_AVX2
+  // This runs serially on the caller thread before the worker pool can
+  // start (the file header needs the flag); scalar byte-at-a-time cost
+  // ~7 ms on a 15 MB first block — vectorized it is <1 ms (E056).
+  __m256i vmin = _mm256_set1_epi8((char)0xFF);
+#endif
   for (long long i = 0; i < n; i++) {
     const long long* o = offs + i * 8;
     const uint8_t* q = text + o[6];
     const long long len = o[7];
     if (len > 0) any = true;
-    for (long long j = 0; j < len; j++)
+    long long j = 0;
+#ifdef FQ_AVX2
+    for (; j + 32 <= len; j += 32)
+      vmin = _mm256_min_epu8(vmin,
+                             _mm256_loadu_si256((const __m256i*)(q + j)));
+#endif
+    for (; j < len; j++)
       if (q[j] < mn) mn = q[j];
   }
+#ifdef FQ_AVX2
+  {
+    uint8_t tmp[32];
+    _mm256_storeu_si256((__m256i*)tmp, vmin);
+    for (int k = 0; k < 32; k++)
+      if (tmp[k] < mn) mn = tmp[k];
+  }
+#endif
   if (!any) return 33;
   if (mn < 59) return 33;
   if (mn >= 64) return 64;
@@ -3085,6 +3138,8 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
   BufPool rpool;
   col.total.store((long long)djobs.size());
   std::atomic<long long> next_job{0};
+  MtStats stats;
+  const double t_start = mt_now();
 
   const int nw = (int)std::min<long long>(workers, (long long)djobs.size());
   std::vector<std::thread> ws;
@@ -3095,7 +3150,8 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
         // Never skip a fetched index on `stop`: the collector still needs
         // every deposit below the errored block to reach it in order.
         if (i >= (long long)djobs.size()) return;
-        col.wait_credit(i, (long long)workers * 2 + 2);
+        FQ_MT_TIME(stats.credit_us,
+                   col.wait_credit(i, (long long)workers * 2 + 2));
         if (col.failed.load()) return;
         const DJob& d = djobs[(size_t)i];
         Res r;
@@ -3103,10 +3159,11 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
         if (!r.out.ensure((size_t)std::max<long long>(d.bound, 1))) {
           r.err = -12;
         } else {
-          const long long w = fq_decode_block_v2(d.payload, d.payload_n,
-                                                 d.comp, d.raw, d.nrec,
-                                                 qoffset, version, r.out.p,
-                                                 d.bound);
+          long long w = 0;
+          FQ_MT_TIME(stats.encode_us,
+                     w = fq_decode_block_v2(d.payload, d.payload_n, d.comp,
+                                            d.raw, d.nrec, qoffset, version,
+                                            r.out.p, d.bound));
           if (w < 0) {
             r.out.len = 0;
             r.err = w;
@@ -3142,7 +3199,9 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
       col.cv.notify_all();
       break;
     }
-    if (!sink.write(r.out.p, r.out.len)) {
+    bool wok = true;
+    FQ_MT_TIME(stats.write_us, wok = sink.write(r.out.p, r.out.len));
+    if (!wok) {
       ret = MT_ERR_WRITE;
       err_info[0] = sink.err_no;
       {
@@ -3158,6 +3217,7 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
   }
 
   for (auto& t : ws) t.join();
+  stats.dump("decompress", mt_now() - t_start, ret > 0 ? ret : 0);
   if (ret < 0) {
     delete owned;
     return ret;
