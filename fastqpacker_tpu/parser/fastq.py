@@ -392,8 +392,15 @@ class FastqStreamParser:
                 if n >= self.block_size or self._eof:
                     break
                 avg *= 2  # underestimated record size; read more
+                # never shrink below the bytes already read: after avg
+                # adapts down on small records, one huge record otherwise
+                # makes this target smaller than `filled` (broadcast crash)
                 bigger = np.empty(
-                    int(self.block_size * avg * 1.15) + 1024, np.uint8
+                    max(
+                        int(self.block_size * avg * 1.15) + 1024,
+                        filled * 2,
+                    ),
+                    np.uint8,
                 )
                 bigger[:filled] = buf[:filled]
                 buf = bigger

@@ -14,6 +14,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <new>
 #include <vector>
 
@@ -2162,11 +2163,34 @@ size_t fq_zstd_store_raw(const uint8_t* src, size_t n, uint8_t* dst,
   return (size_t)(p - dst);
 }
 
+// Grow-only UNINITIALIZED arena: std::vector::resize would memset the
+// whole capacity, and the stream-build arenas are written before they are
+// read — on the fused path that memset alone (~250 MB per fresh worker
+// thread) costs more than a block's entire encode (E056).
+struct RawArena {
+  uint8_t* p = nullptr;
+  size_t cap = 0;
+  RawArena() = default;
+  RawArena(const RawArena&) = delete;
+  RawArena& operator=(const RawArena&) = delete;
+  ~RawArena() { free(p); }
+  size_t size() const { return cap; }
+  uint8_t* data() { return p; }
+  bool ensure(size_t n) {
+    if (cap >= n) return true;
+    uint8_t* q = (uint8_t*)realloc(p, n);
+    if (!q) return false;
+    p = q;
+    cap = n;
+    return true;
+  }
+};
+
 struct ZstdWorker {
   ZSTD_CCtx* cctx = nullptr;   // normal level-1 context
   ZSTD_CCtx* accel = nullptr;  // incompressible-stream context
-  std::vector<uint8_t> scratch;  // raw stream build arena (grow-only)
-  std::vector<uint8_t> probe;    // probe compress destination
+  RawArena scratch;            // raw stream build arena (grow-only, no init)
+  std::vector<uint8_t> probe;  // probe compress destination (tiny)
   ~ZstdWorker() {
     if (cctx) ZSTD_freeCCtx(cctx);
     if (accel) ZSTD_freeCCtx(accel);
@@ -2190,6 +2214,37 @@ struct ZstdWorker {
 };
 
 thread_local ZstdWorker g_zstd_worker;
+
+// MT worker threads are created per fq_compress_mt call, so their
+// thread_local workers (and grow-only arenas) would be torn down and
+// re-faulted every run. They borrow pooled workers instead; the Python
+// per-block path keeps the plain thread_local (its executor threads are
+// long-lived).
+std::mutex g_zw_mu;
+std::vector<ZstdWorker*> g_zw_pool;
+thread_local ZstdWorker* g_zw_override = nullptr;
+
+inline ZstdWorker& current_zstd_worker() {
+  return g_zw_override ? *g_zw_override : g_zstd_worker;
+}
+
+ZstdWorker* zw_acquire() {
+  {
+    std::lock_guard<std::mutex> lk(g_zw_mu);
+    if (!g_zw_pool.empty()) {
+      ZstdWorker* w = g_zw_pool.back();
+      g_zw_pool.pop_back();
+      return w;
+    }
+  }
+  return new (std::nothrow) ZstdWorker();
+}
+
+void zw_release(ZstdWorker* w) {
+  if (!w) return;
+  std::lock_guard<std::mutex> lk(g_zw_mu);
+  g_zw_pool.push_back(w);
+}
 
 // compress_adaptive twin (entropy/zstd.py:199-226): probe big streams,
 // accelerate the incompressible ones. Returns compressed size or a zstd
@@ -2262,10 +2317,10 @@ long long fq_encode_block_v2(const uint8_t* text, const long long* offs,
   const long long npos_cap = 2 * n + 2 * total_len;
   const long long len_cap = 4 * n;
 
-  ZstdWorker& w = g_zstd_worker;
+  ZstdWorker& w = current_zstd_worker();
   const size_t need = (size_t)(seq_cap + total_len + hdr_cap + plus_cap +
                                npos_cap + len_cap + 64);
-  if (w.scratch.size() < need) w.scratch.resize(need);
+  if (!w.scratch.ensure(need)) return -4;
   uint8_t* seq_s = w.scratch.data();
   uint8_t* qual_s = seq_s + seq_cap;
   uint8_t* hdr_s = qual_s + total_len;
@@ -2296,6 +2351,271 @@ long long fq_encode_block_v2(const uint8_t* text, const long long* offs,
   }
   *total_len_out = total_len;
   return pos - hdr_reserve;
+}
+
+// One-pass scan+encode of a line-framed FASTQ slice (E056): parse, 2-bit
+// pack, quality delta, header/plus/npos/length stream build, and zstd all
+// in a single walk over the text — no offsets table (the scan->offs->
+// re-walk pipeline moved ~190 MB of extra memory traffic per 136 MB input).
+// The slice must start at a line boundary that is also a record boundary;
+// block framing by line count is semantically exact because the parser
+// always consumes exactly 4 lines per record with no resynchronization, so
+// record k occupies lines [4k, 4k+4) wherever the block boundaries fall.
+// Validation matches fq_scan_records line for line (same FQ_ERR codes,
+// complete lines of a trailing partial record are validated, unterminated
+// tail bytes are not), and the wire payload matches fq_encode_block_v2
+// byte for byte.
+//
+// Returns payload bytes written after hdr_reserve (0 records -> 0), or:
+//   -1   header/plus field longer than 65535 bytes
+//   -3   out_cap too small (caller sized the buffer wrong)
+//   -4   zstd error
+//   -6   ambiguous bases beyond the u16 npos tracking cap
+//        (err_detail[0] = record row in slice, err_detail[1] = its length);
+//        reported only when no parse error exists anywhere in the slice —
+//        parse errors win, matching the scan-first offs-table path
+//   -10  FASTQ parse error (err_detail[0] = FQ_ERR_*)
+//   -12  allocation failure
+long long fq_encode_block_fused(const uint8_t* text, long long n,
+                                uint8_t qoffset, int version,
+                                long long hdr_reserve, uint8_t* out,
+                                long long out_cap, long long* comp_sizes,
+                                long long* total_len_out,
+                                long long* nrec_out,
+                                long long* err_detail) {
+  static uint8_t code_lut[256];
+  static uint8_t valid_lut[256];
+  static int lut_init = 0;
+  if (!lut_init) {
+    for (int i = 0; i < 256; i++) {
+      int u = i & 0xDF;
+      code_lut[i] =
+          (uint8_t)((u == 'C') ? 1 : (u == 'G') ? 2 : (u == 'T') ? 3 : 0);
+      valid_lut[i] = (uint8_t)(u == 'A' || u == 'C' || u == 'G' || u == 'T');
+    }
+    lut_init = 1;
+  }
+  err_detail[0] = err_detail[1] = 0;
+  *nrec_out = 0;
+  *total_len_out = 0;
+
+  // Stream arenas sized from the slice alone (single pass, so per-record
+  // sums are unknown upfront): nrec <= n/6 (minimal record "@\n\n+\n\n"),
+  // seq lines sum to < n/2 of the slice. Grow-only per worker.
+  ZstdWorker& w = current_zstd_worker();
+  const long long nrec_bound = n / 6 + 1;
+  const long long seq_cap = (n >> 2) + nrec_bound + 64;
+  const long long qual_cap = n + 64;
+  const long long hdr_cap = n + 2 * nrec_bound + 64;
+  const long long plus_cap = n + 2 * nrec_bound + 64;
+  const long long npos_cap_b = 2 * n + 2 * nrec_bound + 64;
+  const long long len_cap = 4 * nrec_bound + 64;
+  const size_t need = (size_t)(seq_cap + qual_cap + hdr_cap + plus_cap +
+                               npos_cap_b + len_cap + 64);
+  if (!w.scratch.ensure(need)) return -12;
+  uint8_t* seq_s = w.scratch.data();
+  uint8_t* qual_s = seq_s + seq_cap;
+  uint8_t* hdr_s = qual_s + qual_cap;
+  uint8_t* plus_s = hdr_s + hdr_cap;
+  uint8_t* npos_s = plus_s + plus_cap;
+  uint8_t* len_s = npos_s + npos_cap_b;
+
+  const long long npos_cap = 65536;  // u16 N-tracking cap (sequence.go:11)
+  long long so = 0, qo = 0, ho = 0, po = 0, no = 0, lo = 0;
+  long long nrec = 0, total_len = 0;
+  long long ambig_row = -1, ambig_len = 0;
+
+#ifdef FQ_AVX2
+  FqNlIter nl_it(text, n);
+#endif
+  long long pos = 0;
+  for (;;) {
+    long long line_start[4], line_len[4];
+    long long p = pos;
+    int complete = 1;
+    for (int li = 0; li < 4; li++) {
+#ifdef FQ_AVX2
+      const long long end = nl_it.next();
+      if (end < 0) {
+        complete = 0;
+        break;
+      }
+#else
+      const uint8_t* nl =
+          (const uint8_t*)memchr(text + p, '\n', (size_t)(n - p));
+      if (!nl) {
+        complete = 0;
+        break;
+      }
+      long long end = nl - text;
+#endif
+      long long len = end - p;
+      if (len > 0 && text[end - 1] == '\r') len--;
+      if (li == 0) {
+        if (len == 0 || text[p] != '@') {
+          err_detail[0] = FQ_ERR_HEADER;
+          return -10;
+        }
+        line_start[0] = p + 1;
+        line_len[0] = len - 1;
+      } else if (li == 2) {
+        if (len == 0 || text[p] != '+') {
+          err_detail[0] = FQ_ERR_PLUS;
+          return -10;
+        }
+        line_start[2] = p + 1;
+        line_len[2] = len - 1;
+      } else {
+        line_start[li] = p;
+        line_len[li] = len;
+      }
+      p = end + 1;
+    }
+    if (!complete) break;
+    if (line_len[1] != line_len[3]) {
+      err_detail[0] = FQ_ERR_LEN_MISMATCH;
+      return -10;
+    }
+    pos = p;
+    const long long len = line_len[1];
+
+    // Long-read ambiguous-base fail-fast (compress.go:477-488): remember
+    // the first offending record but keep PARSING (not encoding) so a
+    // later parse error in the slice still wins, like the path where the
+    // whole block is scanned before any encode.
+    if (len > npos_cap && ambig_row < 0) {
+      const uint8_t* s = text + line_start[1];
+      for (long long j2 = npos_cap; j2 < len; j2++) {
+        if (!valid_lut[s[j2]]) {
+          ambig_row = nrec;
+          ambig_len = len;
+          break;
+        }
+      }
+    }
+    if (ambig_row >= 0) {
+      nrec++;
+      continue;  // validation-only mode
+    }
+
+    const uint8_t* seq = text + line_start[1];
+    const uint8_t* qual = text + line_start[3];
+
+    // sequence: 2-bit pack + N positions inline (fq_build_streams body)
+    long long j = 0;
+    const long long cap = len < npos_cap ? len : npos_cap;
+    const long long npos_cnt_off = no;
+    no += 2;
+    uint32_t cnt = 0;
+#ifdef FQ_AVX2
+    for (; j + 32 <= len; j += 32) {
+      uint32_t inv = pack32_avx2(seq + j, seq_s + so);
+      so += 8;
+      while (inv) {
+        const long long posn = j + __builtin_ctz(inv);
+        inv &= inv - 1;
+        if (posn < cap) {
+          npos_s[no++] = (uint8_t)(posn & 0xFF);
+          npos_s[no++] = (uint8_t)(posn >> 8);
+          cnt++;
+        }
+      }
+    }
+#endif
+    for (; j + 4 <= len; j += 4) {
+      uint8_t b0 = seq[j], b1 = seq[j + 1], b2 = seq[j + 2], b3 = seq[j + 3];
+      seq_s[so++] = (uint8_t)(code_lut[b0] | (code_lut[b1] << 2) |
+                              (code_lut[b2] << 4) | (code_lut[b3] << 6));
+      if (!(valid_lut[b0] & valid_lut[b1] & valid_lut[b2] & valid_lut[b3])) {
+        for (int k = 0; k < 4; k++) {
+          const long long posn = j + k;
+          if (posn < cap && !valid_lut[seq[posn]]) {
+            npos_s[no++] = (uint8_t)(posn & 0xFF);
+            npos_s[no++] = (uint8_t)(posn >> 8);
+            cnt++;
+          }
+        }
+      }
+    }
+    if (j < len) {
+      uint8_t b = 0;
+      for (long long k = j; k < len; k++) {
+        b = (uint8_t)(b | (code_lut[seq[k]] << ((k - j) << 1)));
+        if (k < cap && !valid_lut[seq[k]]) {
+          npos_s[no++] = (uint8_t)(k & 0xFF);
+          npos_s[no++] = (uint8_t)(k >> 8);
+          cnt++;
+        }
+      }
+      seq_s[so++] = b;
+    }
+    npos_s[npos_cnt_off] = (uint8_t)(cnt & 0xFF);
+    npos_s[npos_cnt_off + 1] = (uint8_t)((cnt >> 8) & 0xFF);
+
+    // quality: offset + delta
+    if (len > 0) {
+      qual_s[qo++] = (uint8_t)(qual[0] - qoffset);
+      long long k = 1;
+#ifdef FQ_AVX2
+      for (; k + 32 <= len; k += 32) {
+        const __m256i cur = _mm256_loadu_si256((const __m256i*)(qual + k));
+        const __m256i prev =
+            _mm256_loadu_si256((const __m256i*)(qual + k - 1));
+        _mm256_storeu_si256((__m256i*)(qual_s + qo),
+                            _mm256_sub_epi8(cur, prev));
+        qo += 32;
+      }
+#endif
+      for (; k < len; k++) qual_s[qo++] = (uint8_t)(qual[k] - qual[k - 1]);
+    }
+
+    // header / plus: u16 length prefix + bytes
+    if (line_len[0] > 0xFFFF || line_len[2] > 0xFFFF) return -1;
+    hdr_s[ho++] = (uint8_t)(line_len[0] & 0xFF);
+    hdr_s[ho++] = (uint8_t)(line_len[0] >> 8);
+    fq_copy_small(hdr_s + ho, text + line_start[0], (size_t)line_len[0]);
+    ho += line_len[0];
+    plus_s[po++] = (uint8_t)(line_len[2] & 0xFF);
+    plus_s[po++] = (uint8_t)(line_len[2] >> 8);
+    fq_copy_small(plus_s + po, text + line_start[2], (size_t)line_len[2]);
+    po += line_len[2];
+
+    const uint32_t l32 = (uint32_t)len;
+    memcpy(len_s + lo, &l32, 4);
+    lo += 4;
+
+    total_len += len;
+    nrec++;
+  }
+
+  if (ambig_row >= 0) {
+    err_detail[0] = ambig_row;
+    err_detail[1] = ambig_len;
+    return -6;
+  }
+  *nrec_out = nrec;
+  *total_len_out = total_len;
+  if (nrec == 0) {
+    for (int i = 0; i < 6; i++) comp_sizes[i] = 0;
+    return 0;
+  }
+
+  const long long sizes[6] = {so, qo, ho, po, no, lo};
+  const uint8_t* stream_ptr[6] = {seq_s, qual_s, hdr_s, plus_s, npos_s,
+                                  len_s};
+  long long opos = hdr_reserve;
+  int out_idx = 0;
+  for (int i = 0; i < 6; i++) {
+    if (version == 1 && i == 3) continue;  // v1 has no plus stream
+    const size_t bound = ZSTD_compressBound((size_t)sizes[i]);
+    if (opos + (long long)bound > out_cap) return -3;
+    const size_t cn = fq_zstd_adaptive(w, stream_ptr[i], (size_t)sizes[i],
+                                       out + opos, (size_t)(out_cap - opos));
+    if (ZSTD_isError(cn)) return -4;
+    comp_sizes[out_idx++] = (long long)cn;
+    opos += (long long)cn;
+  }
+  return opos - hdr_reserve;
 }
 
 }  // extern "C"
@@ -2620,8 +2940,9 @@ struct Queue {
 struct CJob {
   long long idx = 0;
   const uint8_t* data = nullptr;
-  std::vector<long long> offs;
+  std::vector<long long> offs;  // non-empty: pre-scanned block (block 0)
   long long nrec = 0;
+  long long slice = 0;  // offs empty: fused scan+encode over data[0:slice)
 };
 
 // FQZ_MT_STATS=1: per-stage busy-time accounting printed to stderr —
@@ -2833,30 +3154,6 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   MtStats stats;
   const double t_start = mt_now();
 
-  // offsets-array freelist (the reference's sync.Pool batch reuse)
-  std::mutex pool_mu;
-  std::vector<std::vector<long long>> offs_pool;
-  auto pool_get = [&](std::vector<long long>& v) {
-    {
-      std::lock_guard<std::mutex> lk(pool_mu);
-      if (!offs_pool.empty()) {
-        v = std::move(offs_pool.back());
-        offs_pool.pop_back();
-        return true;
-      }
-    }
-    try {
-      v.resize((size_t)(block_records * 8));
-    } catch (const std::bad_alloc&) {
-      return false;
-    }
-    return true;
-  };
-  auto pool_put = [&](std::vector<long long>&& v) {
-    std::lock_guard<std::mutex> lk(pool_mu);
-    offs_pool.push_back(std::move(v));
-  };
-
   // Block 0 must enter the queue BEFORE the scanner can fill it: with all
   // workers credit-stalled on high indices and the queue full, a late
   // job-0 push would deadlock the whole pipeline.
@@ -2870,46 +3167,75 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   }
 
   std::thread scanner([&] {
-    long long pos = consumed0;
+    // Light scan (E056): block boundaries are pure line-count framing —
+    // the byte just past every (4*block_records)-th newline. One
+    // movemask+popcount sweep; records are parsed, validated, and encoded
+    // by the workers in a single fused pass (fq_encode_block_fused).
+    // Framing by line count is exact: the parser consumes exactly 4 lines
+    // per record with no resynchronization, so the records of block k are
+    // the same under sliced and sequential parsing.
+    const double ts0 = mt_stats_on() ? mt_now() : 0.0;
+    const long long lines_per_block = 4 * block_records;
+    long long remaining = lines_per_block;
+    long long start = consumed0;
     long long idx = 1;
-    while (pos < n && !stop.load()) {
-      std::vector<long long> offs;
-      if (!pool_get(offs)) {
-        Res r;
-        r.err = -12;
-        {
-          std::lock_guard<std::mutex> lk(col.mu);
-          col.total.store(idx + 1);
-        }
-        col.deposit(idx, std::move(r));
-        jobs.close();
-        return;
-      }
-      long long consumed = 0;
-      int err = 0;
-      long long cnt = 0;
-      FQ_MT_TIME(stats.scan_us,
-                 cnt = fq_scan_records(text + pos, n - pos, block_records,
-                                       offs.data(), &consumed, &err));
-      if (cnt < 0) {
-        Res r;
-        r.err = MT_ERR_SCAN;
-        r.e0 = err;
-        col.total.store(idx + 1);
-        col.deposit(idx, std::move(r));
-        jobs.close();
-        return;
-      }
-      if (cnt == 0) break;  // validated partial tail at EOF
+    long long pos = consumed0;
+    bool ok = true;
+    double push_s = 0.0;  // queue backpressure, excluded from scan_us
+    auto emit = [&](long long end_off) -> bool {
       CJob j;
       j.idx = idx;
-      j.data = text + pos;
-      j.offs = std::move(offs);
-      j.nrec = cnt;
-      if (!jobs.push(std::move(j))) return;
-      pos += consumed;
+      j.data = text + start;
+      j.slice = end_off - start;
+      bool pushed;
+      if (mt_stats_on()) {
+        const double tp0 = mt_now();
+        pushed = jobs.push(std::move(j));
+        push_s += mt_now() - tp0;
+      } else {
+        pushed = jobs.push(std::move(j));
+      }
+      if (!pushed) return false;
+      start = end_off;
       idx++;
+      return true;
+    };
+    while (pos < n && ok && !stop.load()) {
+      long long chunk_end = pos + (1 << 20);  // stop-check granularity
+      if (chunk_end > n) chunk_end = n;
+#ifdef FQ_AVX2
+      const __m256i nlv = _mm256_set1_epi8('\n');
+      while (pos + 32 <= chunk_end && ok) {
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+            _mm256_loadu_si256((const __m256i*)(text + pos)), nlv));
+        long long c = __builtin_popcount(m);
+        while (c >= remaining && ok) {  // rare: boundary in this chunk
+          uint32_t mm = m;
+          for (long long k = 1; k < remaining; k++) mm &= mm - 1;
+          const int bit = __builtin_ctz(mm);
+          ok = emit(pos + bit + 1);
+          m = (bit >= 31) ? 0u : (m & ~((2u << bit) - 1u));
+          c = __builtin_popcount(m);
+          remaining = lines_per_block;
+        }
+        remaining -= c;
+        pos += 32;
+      }
+      if (chunk_end < n) continue;  // next chunk picks up the <32 B seam
+#endif
+      while (pos < chunk_end && ok) {
+        if (text[pos++] == '\n' && --remaining == 0) {
+          ok = emit(pos);
+          remaining = lines_per_block;
+        }
+      }
     }
+    // Trailing slice: a short final block and/or a partial record whose
+    // complete lines still need validation (scan-path semantics).
+    if (ok && !stop.load() && start < n) emit(n);
+    if (mt_stats_on())
+      stats.scan_us.fetch_add(
+          (long long)((mt_now() - ts0 - push_s) * 1e6));
     {
       // total must land under the collector's lock + notify: a bare store
       // after the last deposit was consumed would leave the collector
@@ -2922,6 +3248,47 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   });
 
   auto encode_one = [&](const CJob& j, Res& r) {
+    if (j.offs.empty()) {
+      // Fused path (every block but 0): parse + validate + encode in one
+      // pass. Output capacity from the slice alone: raw streams total at
+      // most ~2.4x the slice bytes (worst case all-N minimal records).
+      const long long raw = (5 * j.slice) / 2 + 4096;
+      const long long cap = hdr_size + raw + (raw >> 7) + 8192;
+      if (!r.out.ensure((size_t)cap)) {
+        r.err = -12;
+        return;
+      }
+      long long comp[6];
+      long long total_len = 0, nrec = 0, detail[2] = {0, 0};
+      const long long payload = fq_encode_block_fused(
+          j.data, j.slice, qoffset, version, hdr_size, r.out.p, cap, comp,
+          &total_len, &nrec, detail);
+      if (payload < 0) {
+        r.out.len = 0;
+        switch (payload) {
+          case -1: r.err = MT_ERR_FIELD_LEN; break;
+          case -6:
+            r.err = MT_ERR_AMBIG;
+            r.e0 = detail[0];
+            r.e1 = detail[1];
+            break;
+          case -10:
+            r.err = MT_ERR_SCAN;
+            r.e0 = detail[0];
+            break;
+          case -12: r.err = -12; break;
+          default: r.err = MT_ERR_ZSTD; break;
+        }
+        return;
+      }
+      if (nrec == 0) {
+        r.out.len = 0;  // validated partial tail at EOF: no block
+        return;
+      }
+      write_block_header(r.out.p, version, nrec, comp, total_len);
+      r.out.len = (size_t)(hdr_size + payload);
+      return;
+    }
     const long long row =
         ambiguous_overflow_row(j.data, j.offs.data(), j.nrec, 65536);
     if (row >= 0) {
@@ -2958,6 +3325,10 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   ws.reserve((size_t)workers);
   for (int t = 0; t < workers; t++) {
     ws.emplace_back([&] {
+      // Borrow a pooled zstd worker: these threads live for one call, so
+      // a thread_local would re-fault its contexts and arena every run.
+      ZstdWorker* zw = zw_acquire();
+      g_zw_override = zw;
       for (;;) {
         CJob j;
         bool got = false;
@@ -2965,17 +3336,15 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         if (!got) break;
         FQ_MT_TIME(stats.credit_us,
                    col.wait_credit(j.idx, (long long)workers * 2 + 2));
-        if (col.failed.load()) {
-          pool_put(std::move(j.offs));
-          continue;  // drain
-        }
+        if (col.failed.load()) continue;  // drain
         Res r;
         rpool.get(r.out);
         FQ_MT_TIME(stats.encode_us, encode_one(j, r));
-        pool_put(std::move(j.offs));
         if (r.err) stop.store(true);
         col.deposit(j.idx, std::move(r));
       }
+      g_zw_override = nullptr;
+      zw_release(zw);
     });
   }
 

@@ -253,3 +253,119 @@ def test_huge_block_size_raises_typed():
     data = b"@r\nACGT\n+\nIIII\n" * 10
     with pytest.raises((RuntimeError, MemoryError)):
         fq.compress_bytes(data, fq.Options(block_size=1 << 45))
+
+
+# ---------------------------------------------------------------------------
+# Fused scan+encode path (E056): blocks 1+ are parsed, validated, and
+# encoded in a single pass from light line-count framing. These pin the
+# byte identity and the error semantics of that path.
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_fastq() -> bytes:
+    """CRLF lines, empty sequences, plus payloads, lowercase, Ns, and a
+    partial trailing record — every parser edge in one corpus."""
+    import random
+
+    random.seed(7)
+    recs = []
+    for i in range(4000):
+        ln = random.choice([0, 1, 2, 3, 5, 31, 32, 33, 151, 152])
+        seq = "".join(random.choice("ACGTNacgt") for _ in range(ln))
+        q = "".join(chr(random.randint(33, 74)) for _ in range(ln))
+        plus = "+payload%d" % i if i % 3 == 0 else "+"
+        eol = "\r\n" if i % 5 == 0 else "\n"
+        recs.append(f"@read{i} desc{eol}{seq}{eol}{plus}{eol}{q}{eol}")
+    recs.append("@tail\nACG")  # unterminated partial record
+    return "".join(recs).encode()
+
+
+def test_fused_identical_to_per_block_adversarial():
+    data = _adversarial_fastq()
+    opts = fq.Options(block_size=300)  # many fused blocks + short tail
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "in.fq")
+        with open(path, "wb") as f:
+            f.write(data)
+        out = io.BytesIO()
+        with open(path, "rb") as r:  # file source -> MT fused path
+            fq.compress(r, out, opts)
+    assert out.getvalue() == _per_block_compress(data, opts)
+    # normalizing round trip agrees between paths too
+    assert fq.decompress_bytes(out.getvalue()) == _per_block_decompress(
+        out.getvalue()
+    )
+
+
+@pytest.mark.parametrize(
+    "mutate, match",
+    [
+        (lambda p: p.__setitem__(333, p[333].replace("@r333", "r333")),
+         "header line must start"),
+        (lambda p: p.__setitem__(290, "@r290\nACGTACGT\n+\nIII\n"),
+         "lengths must match"),
+        (lambda p: p.__setitem__(320, "@r320\nACGT\nX\nIIII\n"),
+         "separator line must start"),
+    ],
+)
+def test_fused_parse_errors_in_later_blocks(mutate, match):
+    from fastqpacker_tpu.parser.fastq import FastqParseError
+
+    parts = [f"@r{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(400)]
+    mutate(parts)
+    data = "".join(parts).encode()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "in.fq")
+        with open(path, "wb") as f:
+            f.write(data)
+        with pytest.raises(FastqParseError, match=match):
+            with open(path, "rb") as r:
+                fq.compress(r, io.BytesIO(), fq.Options(block_size=100))
+
+
+def test_fused_ambiguous_overflow_in_later_block():
+    long_seq = "A" * 65536 + "N" + "A" * 10
+    parts = [f"@r{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(150)]
+    parts[120] = "@long\n" + long_seq + "\n+\n" + "I" * len(long_seq) + "\n"
+    data = "".join(parts).encode()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "in.fq")
+        with open(path, "wb") as f:
+            f.write(data)
+        # row is block-relative: record 120 is row 20 of block 1
+        with pytest.raises(ValueError, match="record 20.*ambiguous bases"):
+            with open(path, "rb") as r:
+                fq.compress(r, io.BytesIO(), fq.Options(block_size=100))
+
+
+def test_fused_parse_error_beats_ambiguous_overflow():
+    """The offs-table path scans (validates) a whole block before the
+    ambiguity check; the fused path must keep that precedence even though
+    it meets the ambiguous record first."""
+    from fastqpacker_tpu.parser.fastq import FastqParseError
+
+    long_seq = "A" * 65536 + "N" + "A" * 10
+    parts = [f"@r{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(200)]
+    parts[110] = "@long\n" + long_seq + "\n+\n" + "I" * len(long_seq) + "\n"
+    parts[130] = "@r130\nACGT\n+\nIII\n"  # parse error after the ambig row
+    data = "".join(parts).encode()
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "in.fq")
+        with open(path, "wb") as f:
+            f.write(data)
+        with pytest.raises(FastqParseError, match="lengths must match"):
+            with open(path, "rb") as r:
+                fq.compress(r, io.BytesIO(), fq.Options(block_size=100))
+
+
+def test_parser_grow_buffer_never_shrinks_below_filled():
+    """After `avg` adapts down on tiny records, one huge record made the
+    grow-buffer target smaller than the bytes already read (numpy
+    broadcast crash in _blocks_native)."""
+    long_seq = "A" * 65536 + "N" + "A" * 10
+    recs = [f"@r{i}\nACGTACGT\n+\nIIIIIIII\n" for i in range(150)]
+    recs[120] = "@long\n" + long_seq + "\n+\n" + "I" * len(long_seq) + "\n"
+    data = "".join(recs).encode()
+    # per-block (streaming) path: must fail typed, not crash
+    with pytest.raises(ValueError, match="ambiguous bases"):
+        _per_block_compress(data, fq.Options(block_size=100))
