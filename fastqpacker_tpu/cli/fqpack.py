@@ -62,6 +62,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "exotic symbols verbatim instead of the "
                         "reference's normalization (implies --format "
                         "native)")
+    p.add_argument("--mesh", action="store_true", dest="mesh",
+                   help="compress v3 with the entropy stage on the "
+                        "device mesh (TAG_RANS seq/qual streams, one "
+                        "block per device per round; implies --format "
+                        "native). Decode needs no special flag.")
     p.add_argument("--pair", dest="pair", default="",
                    help="paired-end mate file: on compress, the R2 input "
                         "(records interleave R1,R2,...; sets FlagPairedEnd); "
@@ -165,10 +170,20 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
     opts = api.Options(
         block_size=args.block_size,
         workers=args.workers,
-        version=version,
+        version=(
+            container.VERSION_3_NATIVE if getattr(args, "mesh", False)
+            else version
+        ),
         order1_qual=args.max_ratio,
         lossless=args.lossless,
     )
+    if getattr(args, "mesh", False):
+        if args.lossless:
+            raise RuntimeError("--mesh does not support --lossless")
+        from ..pipeline import meshpipe
+
+        meshpipe.compress_mesh(inp, out, opts)
+        return
     if use_device or version == container.VERSION_3_NATIVE:
         from ..pipeline import device
 

@@ -156,25 +156,43 @@ def _pow2ceil(x: int, lo: int) -> int:
     return max(lo, 1 << max(x - 1, 0).bit_length())
 
 
-def entropy_table(streams: np.ndarray, pad_sym: int | None = None):
-    """File-static rANS table over ``(D, M)`` per-device streams.
+def entropy_table(
+    streams: np.ndarray,
+    pad_sym: int | None = None,
+    raw_lens: np.ndarray | None = None,
+):
+    """Group-shared rANS table over ``(D, M)`` per-device streams.
 
     The per-block host pipeline builds adaptive per-stream tables; the
     sharded device pipeline instead shares one replicated table (as the
     reference fixes the quality encoding from the first batch,
     compress.go:137-154) so the encode step stays a single compiled
-    program with no host round-trip. Lane padding symbols are included.
+    program with no host round-trip. Lane padding symbols are included:
+    with ``raw_lens`` given, each stream ``i`` pads only to
+    ``ceil(raw_lens[i]/N)*N`` (the per-shard dynamic-steps encode);
+    otherwise every stream pads to ``ceil(M/N)*N``.
     Returns (freq_cum (2, 256) u32, pad_sym).
     """
     from ..ops import rans
 
     d, m = streams.shape
-    steps = -(-m // ENTROPY_LANES)
-    pad_count = steps * ENTROPY_LANES - m
-    hist = np.bincount(streams.reshape(-1), minlength=256).astype(np.int64)
+    n_lanes = ENTROPY_LANES
+    if raw_lens is None:
+        steps = -(-m // n_lanes)
+        pad_count = (steps * n_lanes - m) * d
+        hist = np.bincount(
+            streams.reshape(-1), minlength=256
+        ).astype(np.int64)
+    else:
+        lens = np.asarray(raw_lens, np.int64)
+        coded = -(-lens // n_lanes) * n_lanes
+        pad_count = int((coded - lens).sum())
+        hist = np.zeros(256, np.int64)
+        for i in range(d):
+            hist += np.bincount(streams[i, : lens[i]], minlength=256)
     if pad_sym is None:
         pad_sym = int(np.argmax(hist))
-    hist[pad_sym] += pad_count * d
+    hist[pad_sym] += pad_count
     freq = rans.normalize_freqs(hist)
     freq_cum = np.stack(
         [freq.astype(np.uint32), rans.cumulative(freq).astype(np.uint32)]
@@ -188,6 +206,7 @@ def entropy_table(streams: np.ndarray, pad_sym: int | None = None):
 def entropy_encode_sharded(
     streams: jax.Array,  # (D, M) uint8, sharded on axis 0
     freq_cum: jax.Array,  # (2, 256) uint32, replicated
+    raw_lens: jax.Array | None = None,  # (D,) int32, sharded; None -> M
     *,
     mesh: Mesh,
     pad_sym: int,
@@ -195,25 +214,36 @@ def entropy_encode_sharded(
 ):
     """Per-shard interleaved-lane rANS encode (ops/rans.py kernels) with
     an in-program all_gather of emitted word counts — the entropy stage
-    of the fully sharded compress step. Returns
-    (words (D, W) u16, states (D, N) u32, totals (D,) i32, offsets (D,)).
+    of the fully sharded compress step.
+
+    ``raw_lens`` gives each shard its own stream length: the kernel's
+    trip count is a traced scalar, so shards code only
+    ``ceil(raw_lens[d]/N)`` steps of their padded row — the same steps a
+    standalone ``rans.decode_stream`` of that stream will compute from
+    its header, which is what makes the per-shard outputs valid
+    standalone wire streams (see ``entropy_encode_streams``). Rows must
+    be pre-padded with ``pad_sym`` up to the coded range.
+
+    Returns (words (D, W) u16, states (D, N) u32, totals (D,) i32,
+    offsets (D,) i32 — exclusive prefix over shards).
     """
     from ..ops import rans
 
     N = ENTROPY_LANES
-    steps = -(-m_per_shard // N)
-    S = rans._pick_smax(steps)
+    max_steps = -(-m_per_shard // N)
+    S = rans._pick_smax(max_steps)
 
-    def local(streams_l, fc):
+    def local(streams_l, fc, rl):
         stream = streams_l.reshape(-1)  # (M,)
-        mat = jnp.full((steps * N,), jnp.uint8(pad_sym))
+        steps_l = (rl.reshape(()) + (N - 1)) // N
+        mat = jnp.full((max_steps * N,), jnp.uint8(pad_sym))
         mat = jax.lax.dynamic_update_slice(mat, stream, (0,))
         padded = jnp.zeros((S, N), dtype=jnp.uint8)
         padded = jax.lax.dynamic_update_slice(
-            padded, mat.reshape(steps, N), (0, 0)
+            padded, mat.reshape(max_steps, N), (0, 0)
         )
         emits, emask, states = rans._encode_kernel.__wrapped__(
-            padded, jnp.int32(steps), fc, S, N
+            padded, steps_l.astype(jnp.int32), fc, S, N
         )
         flat, total = rans._compact_global.__wrapped__(emits, emask, S, N)
         totals = jax.lax.all_gather(total, BLOCK_AXIS)  # (D,)
@@ -225,13 +255,17 @@ def entropy_encode_sharded(
             offsets[jax.lax.axis_index(BLOCK_AXIS)][None],
         )
 
+    if raw_lens is None:
+        raw_lens = jnp.full(
+            (streams.shape[0],), m_per_shard, dtype=jnp.int32
+        )
     # check_vma off: the rANS kernels' loop-carry inits are unvarying
     # constants that become shard-varying through the body (a false
     # positive for the varying-manual-axes checker)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS, None), P()),
+        in_specs=(P(BLOCK_AXIS, None), P(), P(BLOCK_AXIS)),
         out_specs=(
             P(BLOCK_AXIS, None),
             P(BLOCK_AXIS, None),
@@ -239,7 +273,87 @@ def entropy_encode_sharded(
             P(BLOCK_AXIS),
         ),
         check_vma=False,
-    )(streams, freq_cum)
+    )(streams, freq_cum, raw_lens)
+
+
+def entropy_encode_streams(
+    streams: list[bytes | np.ndarray],
+    mesh: Optional[Mesh] = None,
+) -> list[bytes]:
+    """Encode one byte stream per device through the sharded rANS coder
+    and return **standalone wire payloads** (the exact
+    ``ops/rans.py`` stream format: header, freq table, lane states, word
+    count, words) — each decodable independently by
+    ``rans.decode_stream`` on any backend. This is the production
+    entry the v3 mesh pipeline writes TAG_RANS streams through
+    (pipeline/meshpipe.py).
+
+    The group shares one frequency table (computed here, embedded in
+    every stream) so the whole batch is a single compiled program with
+    no host round-trip between shards; per-stream lengths ride the
+    dynamic-steps path. Streams longer than the group are padded on
+    host with the table's pad symbol. Empty streams come back as the
+    canonical empty payload.
+    """
+    import struct
+
+    from ..ops import rans
+
+    mesh = mesh or make_mesh()
+    d = len(mesh.devices.flat)
+    if len(streams) != d:
+        raise ValueError(f"need {d} streams (one per device), got {len(streams)}")
+    rows = [
+        np.frombuffer(s, np.uint8) if isinstance(s, (bytes, bytearray)) else s
+        for s in streams
+    ]
+    lens = np.array([len(r) for r in rows], np.int32)
+    if int(lens.max(initial=0)) == 0:
+        return [struct.pack(rans.HEADER_FMT, 0, 0)] * d
+
+    N = ENTROPY_LANES
+    # bucket the padded width (pow2) to bound recompiles across groups
+    m = _pow2ceil(int(lens.max()), N)
+    batch = np.empty((d, m), np.uint8)
+    freq_cum, pad_sym = None, None
+    # table first (needs a cheap pass anyway); then pad rows with pad_sym
+    tmp = np.zeros((d, m), np.uint8)
+    for i, r in enumerate(rows):
+        tmp[i, : len(r)] = r
+    freq_cum, pad_sym = entropy_table(tmp, raw_lens=lens)
+    batch.fill(pad_sym)
+    for i, r in enumerate(rows):
+        batch[i, : len(r)] = r
+
+    sh = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    lsh = NamedSharding(mesh, P(BLOCK_AXIS))
+    words, states, totals, _ = entropy_encode_sharded(
+        jax.device_put(batch, sh),
+        jax.device_put(jnp.asarray(freq_cum), replicated(mesh)),
+        jax.device_put(lens, lsh),
+        mesh=mesh,
+        pad_sym=pad_sym,
+        m_per_shard=m,
+    )
+    words = np.asarray(words)
+    states = np.asarray(states)
+    totals = np.asarray(totals)
+    freq = freq_cum[0].astype("<u2")
+    out = []
+    for i in range(d):
+        n = int(lens[i])
+        if n == 0:
+            out.append(struct.pack(rans.HEADER_FMT, 0, 0))
+            continue
+        t = int(totals[i])
+        payload = bytearray()
+        payload += struct.pack(rans.HEADER_FMT, n, N.bit_length() - 1)
+        payload += freq.tobytes()
+        payload += states[i].astype("<u4").tobytes()
+        payload += struct.pack("<I", t)
+        payload += words[i, :t].astype("<u2").tobytes()
+        out.append(bytes(payload))
+    return out
 
 
 @partial(

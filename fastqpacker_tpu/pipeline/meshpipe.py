@@ -1,0 +1,166 @@
+"""FQZ v3 compression with the entropy stage on the device mesh.
+
+This is the production path for the framework's core thesis: the entropy
+coder (the reference's dominant CPU cost, internal/compress/compress.go:
+523-528) runs ON the accelerator mesh, not on host. Blocks are grouped in
+rounds of D (one per device); each round's sequence and quality streams
+are rANS-coded by ``parallel.mesh.entropy_encode_streams`` — a single
+compiled ``shard_map`` program per group whose in-program ``all_gather``
+of word counts replaces the reference's ordered collector — and come back
+as standalone TAG_RANS wire streams. The container written here is a
+standard FQZ v3 file: ``pipeline.native.decompress_native`` (and the
+``fqpack`` CLI) decode it with no knowledge of how it was produced.
+
+Host keeps the irregular byte work it is good at (record scan, stream
+building, header/plus/npos/length side streams via zstd), exactly the
+split SURVEY.md §8 prescribes.
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..format import container
+from ..ops import reference as refops
+from ..parser.fastq import FastqStreamParser, RecordBlock
+from ..entropy import zstd as zstd_entropy
+from . import api
+from . import blocks as blockcodec
+from . import native
+
+
+def _encode_round(
+    blks: list[RecordBlock],
+    raws: list,
+    qual_offset: int,
+    mesh,
+    codec,
+) -> list[bytes]:
+    """Encode one round of <=D blocks; returns v3 wire bytes per block."""
+    from ..parallel import mesh as pmesh
+
+    d = len(mesh.devices.flat)
+    ordereds = [raw.ordered(container.VERSION_2) for raw in raws]
+    pad = d - len(blks)
+    seq_group = [o[0] for o in ordereds] + [b""] * pad
+    qual_group = [o[1] for o in ordereds] + [b""] * pad
+    seq_payloads = pmesh.entropy_encode_streams(seq_group, mesh)
+    qual_payloads = pmesh.entropy_encode_streams(qual_group, mesh)
+
+    out = []
+    for bi, (raw, ordered) in enumerate(zip(raws, ordereds)):
+        crc = native._crc_streams(ordered)
+        # v3 wire: streams 0-2 are codec-tagged, 3-5 are raw zstd frames
+        # (pipeline/native.py STREAM_CODECS + decode_block_payload)
+        comp = [
+            bytes([native.TAG_RANS]) + seq_payloads[bi],
+            bytes([native.TAG_RANS]) + qual_payloads[bi],
+            bytes([native.TAG_ZSTD])
+            + native._zstd_candidate(codec, ordered[2]),
+        ]
+        for s in ordered[3:]:
+            comp.append(native._zstd_candidate(codec, s))
+        hdr = container.BlockHeader(
+            num_records=raw.num_records,
+            seq_data_size=len(comp[0]),
+            qual_data_size=len(comp[1]),
+            header_data_size=len(comp[2]),
+            plus_data_size=len(comp[3]),
+            npositions_size=len(comp[4]),
+            seq_lengths_size=len(comp[5]),
+            original_seq_size=raw.original_seq_size,
+            original_qual_size=raw.original_qual_size,
+            crc32=crc,
+        )
+        out.append(
+            hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp)
+        )
+    return out
+
+
+def compress_mesh(
+    r: BinaryIO,
+    w: BinaryIO,
+    opts: Optional[api.Options] = None,
+    mesh=None,
+) -> None:
+    """Compress FASTQ from ``r`` into a standard FQZ v3 container whose
+    seq/qual entropy stage ran on the device mesh (TAG_RANS streams,
+    one block per device per round). Decode with the ordinary
+    ``fastqpacker_tpu.decompress`` / CLI — nothing mesh-specific
+    survives in the container.
+    """
+    from ..parallel import mesh as pmesh
+
+    opts = opts or api.Options()
+    if opts.lossless:
+        raise ValueError(
+            "compress_mesh does not implement lossless mode; use the "
+            "host v3 pipeline (Options(lossless=True))"
+        )
+    mesh = mesh or pmesh.make_mesh()
+    d = len(mesh.devices.flat)
+    block_size = api.resolve_block_size(opts)
+    encode_arrays = api._default_encode_arrays()
+    codec = zstd_entropy.get_codec()
+
+    parser = FastqStreamParser(r, block_size=block_size)
+    block_iter = parser.blocks()
+    first_block: Optional[RecordBlock] = None
+    for blk in block_iter:
+        first_block = blk
+        break
+
+    qual_offset = refops.PHRED33_OFFSET
+    if first_block is not None and first_block.n > 0:
+        qual_offset = refops.detect_encoding(
+            first_block.qual, first_block.lengths
+        )
+    flags = opts.flags | (
+        container.FLAG_PHRED64
+        if qual_offset == refops.PHRED64_OFFSET
+        else 0
+    )
+    container.FileHeader(
+        version=container.VERSION_3_NATIVE,
+        block_size=block_size,
+        flags=flags,
+    ).write(w)
+    if first_block is None:
+        return
+
+    def all_blocks():
+        yield first_block
+        yield from block_iter
+
+    pending_blks: list[RecordBlock] = []
+    pending_raws: list = []
+    for blk in all_blocks():
+        pending_blks.append(blk)
+        pending_raws.append(
+            blockcodec.block_to_raw_streams(
+                blk, qual_offset,
+                encode_arrays=encode_arrays, wide_npos=True,
+            )
+        )
+        if len(pending_blks) == d:
+            for payload in _encode_round(
+                pending_blks, pending_raws, qual_offset, mesh, codec
+            ):
+                w.write(payload)
+            pending_blks, pending_raws = [], []
+    if pending_blks:
+        for payload in _encode_round(
+            pending_blks, pending_raws, qual_offset, mesh, codec
+        ):
+            w.write(payload)
+
+
+def compress_mesh_bytes(data: bytes, opts=None, mesh=None) -> bytes:
+    import io
+
+    out = io.BytesIO()
+    compress_mesh(io.BytesIO(data), out, opts, mesh)
+    return out.getvalue()
