@@ -272,11 +272,14 @@ def bench_mesh_entropy(mb: int = 32, steps: int = 8):
 
     from fastqpacker_tpu.parallel import mesh as pmesh
 
+    from fastqpacker_tpu.ops import rans as rans_mod
+
     mesh = pmesh.make_mesh(1)
     rng = np.random.default_rng(0)
     m = mb << 20
+    lanes = rans_mod._pick_lanes(m)
     streams = rng.integers(0, 45, size=(1, m)).astype(np.uint8)
-    freq_cum, pad_sym = pmesh.entropy_table(streams)
+    freq_cum, pad_sym = pmesh.entropy_table(streams, lanes=lanes)
     lens = np.asarray([m], np.int32)
 
     st_dev = jax.device_put(jnp.asarray(streams))
@@ -288,19 +291,22 @@ def bench_mesh_entropy(mb: int = 32, steps: int = 8):
         def body(_, carry):
             st, acc = carry
             st = jnp.roll(st, 1, axis=1)
-            words, states, totals, _ = pmesh.entropy_encode_sharded(
-                st, fc_dev, ln_dev,
-                mesh=mesh, pad_sym=pad_sym, m_per_shard=m,
+            emits, mask_bits, states, totals, _ = (
+                pmesh.entropy_encode_sharded_raw(
+                    st, fc_dev, ln_dev,
+                    mesh=mesh, pad_sym=pad_sym, m_per_shard=m, lanes=lanes,
+                )
             )
-            # sum over words forces the compaction to materialize (no DCE)
+            # sums force emits/mask to materialize (no DCE)
             acc = (
                 acc
-                + totals[0].astype(jnp.int64)
-                + jnp.sum(words.astype(jnp.uint32)).astype(jnp.int64)
+                + totals[0].astype(jnp.int32)
+                + jnp.sum(emits.astype(jnp.uint32)).astype(jnp.int32)
+                + jnp.sum(mask_bits.astype(jnp.uint32)).astype(jnp.int32)
             )
             return (st, acc)
 
-        st, acc = jax.lax.fori_loop(0, steps, body, (st0, jnp.int64(0)))
+        st, acc = jax.lax.fori_loop(0, steps, body, (st0, jnp.int32(0)))
         return acc
 
     int(chained(st_dev))  # compile + warm

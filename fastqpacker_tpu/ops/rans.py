@@ -172,29 +172,45 @@ def _encode_kernel(
     """
     # packed per-symbol table: (freq-1) in bits 0-11, cum in bits 12-23
     packed_tab = (freq_cum[0] - 1) | (freq_cum[1] << 12)
+    # Table lookup WITHOUT a gather (takes de-vectorize to ~12 ns/element
+    # on XLA:TPU, E005/E057): 256 broadcast-compare accumulation passes
+    # over the whole matrix — bulk elementwise work the VPU streams.
+    def tab_body(k, acc):
+        return acc | jnp.where(
+            data == k.astype(jnp.uint8), packed_tab[k], _u32(0)
+        )
 
-    def body(i, carry):
-        x, emits, emask = carry
-        t = steps - 1 - i
-        row = jax.lax.dynamic_slice(data, (t, 0), (1, N))[0]
-        s = row.astype(jnp.int32)
-        e = jnp.take(packed_tab, s)
+    e_all = jax.lax.fori_loop(
+        0, 256, tab_body, jnp.zeros(data.shape, _u32)
+    )  # (S, N) u32
+
+    # lax.scan, NOT fori_loop with carried (S, N) buffers: on XLA:TPU the
+    # dynamic-index updates into loop-carried emit matrices materialized
+    # a copy of the whole carry every step (~48 MB x steps — the encode
+    # ran at ~60 MB/s, E057). scan stacks per-step outputs instead. The
+    # encoder walks BACKWARD from row steps-1; scan feeds rows in fixed
+    # order, so rows are pre-reversed (flip + dynamic roll) and the
+    # outputs un-reversed the same way. Rows at scan index >= steps are
+    # masked no-ops (x and emit untouched), keeping dynamic `steps`.
+    e_rev = jnp.roll(jnp.flip(e_all, axis=0), -(S - steps), axis=0)
+    valid = jax.lax.iota(jnp.int32, S) < steps
+
+    def body(x, inp):
+        e, v = inp
         f = (e & _u32(0xFFF)) + 1
         c = (e >> 12) & _u32(0xFFF)
         # renorm: emit low 16 bits when x >= f << 20  (== x>>20 >= f)
-        emit = (x >> 20) >= f
+        emit = ((x >> 20) >= f) & v
         word = (x & _u32(0xFFFF)).astype(_u16)
-        x = jnp.where(emit, x >> 16, x)
-        q, r = _divmod_state(x, f)
-        x = (q << PROB_BITS) + r + c
-        emits = jax.lax.dynamic_update_slice(emits, word[None, :], (t, 0))
-        emask = jax.lax.dynamic_update_slice(emask, emit[None, :], (t, 0))
-        return x, emits, emask
+        x1 = jnp.where(emit, x >> 16, x)
+        q, r = _divmod_state(x1, f)
+        x = jnp.where(v, (q << PROB_BITS) + r + c, x)
+        return x, (word, emit)
 
     x0 = jnp.full((N,), RANS_L, dtype=_u32)
-    emits0 = jnp.zeros((S, N), dtype=_u16)
-    emask0 = jnp.zeros((S, N), dtype=jnp.bool_)
-    x, emits, emask = jax.lax.fori_loop(0, steps, body, (x0, emits0, emask0))
+    x, (words_rev, emask_rev) = jax.lax.scan(body, x0, (e_rev, valid))
+    emits = jnp.flip(jnp.roll(words_rev, S - steps, axis=0), axis=0)
+    emask = jnp.flip(jnp.roll(emask_rev, S - steps, axis=0), axis=0)
     return emits, emask, x
 
 
@@ -207,14 +223,43 @@ def _compact_global(emits: jax.Array, emask: jax.Array, S: int, N: int):
     per step instead of doing per-lane pointer gathers.
     Returns (flat (S*N,) u16, total i32).
     """
-    m_flat = emask.reshape(-1).astype(jnp.int32)
+    # Two-level prefix sum: a flat cumsum over S*N elements runs at
+    # ~16 ns/element on XLA:TPU (the E005 de-vectorization — 261 ms on a
+    # 16M-slot matrix), while a row-wise cumsum vectorizes across rows
+    # and the row-offset cumsum is only S long.
+    mi = emask.astype(jnp.int32)
+    incl_rows = jnp.cumsum(mi, axis=1)  # (S, N)
+    row_tot = incl_rows[:, -1]  # (S,)
+    row_off = jnp.cumsum(row_tot) - row_tot  # exclusive, length S
+    total = row_tot.sum()
+    m_flat = mi.reshape(-1)
     e_flat = emits.reshape(-1)
-    idx = jnp.cumsum(m_flat) - 1
-    total = jnp.sum(m_flat)
-    dst = jnp.where(m_flat > 0, idx, S * N)
-    out = jnp.zeros((S * N + 1,), dtype=_u16)
-    out = out.at[dst].set(e_flat, mode="drop")
-    return out[: S * N], total
+    rank = (incl_rows - mi + row_off[:, None]).reshape(-1)
+    # Stream compaction via a log-depth monotone routing network — no
+    # scatter (de-vectorizes to ~12 ns/element on XLA:TPU, E005/E057)
+    # and no 16M-pair sort (~100 ms): each kept word's left-shift
+    # distance d = position - rank is monotone non-decreasing, so
+    # routing LSB-first by distance bits is collision-free for kept
+    # elements (validated exhaustively against numpy in
+    # tests/test_rans.py::test_compact_global_routing). Garbage slots
+    # may be overwritten freely; log2(S*N) vectorized passes total.
+    n = S * N
+    lane = jax.lax.iota(jnp.int32, n)
+    kept = m_flat > 0
+    d = jnp.where(kept, lane - rank, 0)
+    v = e_flat
+    k = kept
+    for b in range(max(n - 1, 1).bit_length()):
+        sh = 1 << b
+        sv = jnp.roll(v, -sh)
+        sd = jnp.roll(d, -sh)
+        sk = jnp.roll(k, -sh)
+        move_in = sk & (((sd >> b) & 1) == 1)
+        leaving = k & (((d >> b) & 1) == 1)
+        v = jnp.where(move_in, sv, v)
+        d = jnp.where(move_in, sd - sh, d)
+        k = move_in | (k & ~leaving)
+    return v, total
 
 
 # ---------------------------------------------------------------------------
@@ -262,28 +307,31 @@ def _decode_kernel(
     """
 
     slot_tab = slot_tabs.reshape(-1)
+    # scan (per-step stacked outputs), not fori_loop carrying the (S, N)
+    # symbol matrix: dynamic-index updates into a loop carry copy the
+    # whole buffer every step on XLA:TPU (E057)
+    valid = jax.lax.iota(jnp.int32, S) < steps
 
-    def body(t, carry):
-        x, base, out = carry
+    def body(carry, v):
+        x, base = carry
         slot = (x & _u32(PROB_SCALE - 1)).astype(jnp.int32)
         e = jnp.take(slot_tab, slot)
         f = (e & _u32(0xFFF)) + 1
         c = (e >> 12) & _u32(0xFFF)
         s = (e >> 24).astype(jnp.uint8)
-        x = f * (x >> PROB_BITS) + slot.astype(_u32) - c
-        need = x < _u32(RANS_L)
+        x1 = f * (x >> PROB_BITS) + slot.astype(_u32) - c
+        need = (x1 < _u32(RANS_L)) & v
         ni = need.astype(jnp.int32)
         rank = jnp.cumsum(ni) - ni
         chunk = jax.lax.dynamic_slice(words, (base,), (N,))
         w = jnp.take(chunk, rank).astype(_u32)
-        x = jnp.where(need, (x << 16) | w, x)
+        x1 = jnp.where(need, (x1 << 16) | w, x1)
+        x = jnp.where(v, x1, x)
         base = base + jnp.sum(ni)
-        out = jax.lax.dynamic_update_slice(out, s[None, :], (t, 0))
-        return x, base, out
+        return (x, base), s
 
-    out0 = jnp.zeros((S, N), dtype=jnp.uint8)
-    x, base, out = jax.lax.fori_loop(
-        0, steps, body, (states, jnp.int32(0), out0)
+    (x, base), out = jax.lax.scan(
+        body, (states, jnp.int32(0)), valid
     )
     return out, x, base
 
@@ -327,32 +375,31 @@ def _decode_kernel_nogather(
     dcum = tabs[1]
     dsym = tabs[2]
     pfreq = tabs[3]
+    # scan for the same reason as _decode_kernel: no (S, N) loop carry
+    valid = jax.lax.iota(jnp.int32, S) < steps
 
-    def body(t, carry):
-        x, base, out = carry
+    def body(carry, v):
+        x, base = carry
         slot = x & _u32(PROB_SCALE - 1)
         ge = (slot[:, None] >= pcum[None, :]).astype(_u32)  # (N, B)
         sym = jnp.sum(ge * dsym[None, :], axis=1)
         c = jnp.sum(ge * dcum[None, :], axis=1)
         cnext = jnp.sum(ge * pfreq[None, :], axis=1)
         f = cnext - c
-        x = f * (x >> PROB_BITS) + slot - c
-        need = x < _u32(RANS_L)
+        x1 = f * (x >> PROB_BITS) + slot - c
+        need = (x1 < _u32(RANS_L)) & v
         ni = need.astype(jnp.int32)
         incl = _cumsum_rolls(ni, N)
         rank = incl - ni
         chunk = jax.lax.dynamic_slice(words, (base,), (N,))
         w = _monotonic_gather(chunk, rank, N).astype(_u32)
-        x = jnp.where(need, (x << 16) | w, x)
+        x1 = jnp.where(need, (x1 << 16) | w, x1)
+        x = jnp.where(v, x1, x)
         base = base + incl[-1]
-        out = jax.lax.dynamic_update_slice(
-            out, sym.astype(jnp.uint8)[None, :], (t, 0)
-        )
-        return x, base, out
+        return (x, base), sym.astype(jnp.uint8)
 
-    out0 = jnp.zeros((S, N), dtype=jnp.uint8)
-    x, base, out = jax.lax.fori_loop(
-        0, steps, body, (states, jnp.int32(0), out0)
+    (x, base), out = jax.lax.scan(
+        body, (states, jnp.int32(0)), valid
     )
     return out, x, base
 
@@ -384,6 +431,12 @@ def compact_tables(freq: np.ndarray) -> np.ndarray:
 
 
 def _pick_lanes(n: int) -> int:
+    # wider interleave = fewer sequential steps on the device (E057 lane
+    # sweep: 16384 lanes ~900 MB/s vs 4096 ~700 on v5e; 32768 falls off
+    # a VMEM cliff). Lane-state wire overhead is 4 B/lane, so the wide
+    # tiers only engage when that is <1% of the stream.
+    if n >= (8 << 20):
+        return 16384
     return 4096 if n >= (2 << 20) else 256
 
 
@@ -412,7 +465,10 @@ def _use_host_backend() -> bool:
 
 
 def _pick_smax(steps: int) -> int:
-    s = 4096
+    # pow2 bucket for the kernel's static step capacity (bounds
+    # recompiles); floor 1024 so wide-lane configs don't pay 4x their
+    # step count in masked no-ops (E057)
+    s = 1024
     while s < steps:
         s *= 2
     return s

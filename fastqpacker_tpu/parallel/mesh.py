@@ -160,6 +160,7 @@ def entropy_table(
     streams: np.ndarray,
     pad_sym: int | None = None,
     raw_lens: np.ndarray | None = None,
+    lanes: int = ENTROPY_LANES,
 ):
     """Group-shared rANS table over ``(D, M)`` per-device streams.
 
@@ -176,7 +177,7 @@ def entropy_table(
     from ..ops import rans
 
     d, m = streams.shape
-    n_lanes = ENTROPY_LANES
+    n_lanes = lanes
     if raw_lens is None:
         steps = -(-m // n_lanes)
         pad_count = (steps * n_lanes - m) * d
@@ -201,7 +202,7 @@ def entropy_table(
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "pad_sym", "m_per_shard")
+    jax.jit, static_argnames=("mesh", "pad_sym", "m_per_shard", "lanes")
 )
 def entropy_encode_sharded(
     streams: jax.Array,  # (D, M) uint8, sharded on axis 0
@@ -211,6 +212,7 @@ def entropy_encode_sharded(
     mesh: Mesh,
     pad_sym: int,
     m_per_shard: int,
+    lanes: int = ENTROPY_LANES,
 ):
     """Per-shard interleaved-lane rANS encode (ops/rans.py kernels) with
     an in-program all_gather of emitted word counts — the entropy stage
@@ -229,7 +231,7 @@ def entropy_encode_sharded(
     """
     from ..ops import rans
 
-    N = ENTROPY_LANES
+    N = lanes
     max_steps = -(-m_per_shard // N)
     S = rans._pick_smax(max_steps)
 
@@ -276,6 +278,81 @@ def entropy_encode_sharded(
     )(streams, freq_cum, raw_lens)
 
 
+@partial(
+    jax.jit, static_argnames=("mesh", "pad_sym", "m_per_shard", "lanes")
+)
+def entropy_encode_sharded_raw(
+    streams: jax.Array,  # (D, M) uint8, sharded on axis 0
+    freq_cum: jax.Array,  # (2, 256) uint32, replicated
+    raw_lens: jax.Array,  # (D,) int32, sharded
+    *,
+    mesh: Mesh,
+    pad_sym: int,
+    m_per_shard: int,
+    lanes: int = ENTROPY_LANES,
+):
+    """Device stage of the production rANS encode: per-shard scan +
+    emit-bitmask pack + in-program all_gather of word counts. The word
+    compaction deliberately stays on HOST (bindings.rans_compact): every
+    on-device formulation — scatter, sort, 16M-element prefix sums,
+    log-shift routing — hits XLA:TPU de-vectorization (~1-2 GB/s flat-op
+    throughput, E057), while the sequential host pass runs at memcpy
+    speed on bytes that must reach the host anyway to be written.
+
+    Returns (emits (D, S*N) u16 dense slot matrix, mask_bits (D, S*N/8)
+    u8 LSB-first, states (D, N) u32, totals (D,) i32, offsets (D,) i32).
+    """
+    from ..ops import rans
+
+    N = lanes
+    max_steps = -(-m_per_shard // N)
+    S = rans._pick_smax(max_steps)
+
+    def local(streams_l, fc, rl):
+        stream = streams_l.reshape(-1)
+        steps_l = (rl.reshape(()) + (N - 1)) // N
+        mat = jnp.full((max_steps * N,), jnp.uint8(pad_sym))
+        mat = jax.lax.dynamic_update_slice(mat, stream, (0,))
+        padded = jnp.zeros((S, N), dtype=jnp.uint8)
+        padded = jax.lax.dynamic_update_slice(
+            padded, mat.reshape(max_steps, N), (0, 0)
+        )
+        emits, emask, states = rans._encode_kernel.__wrapped__(
+            padded, steps_l.astype(jnp.int32), fc, S, N
+        )
+        # LSB-first bitpack in global (step, lane) order: elementwise
+        # shifts+adds only (8-wide reduce), no big prefix ops
+        bits = emask.reshape(-1, 8).astype(jnp.uint8)
+        weights = (jnp.uint8(1) << jax.lax.iota(jnp.uint8, 8))[None, :]
+        mask_bits = jnp.sum(
+            bits * weights, axis=1, dtype=jnp.uint8
+        )
+        total = jnp.sum(emask.astype(jnp.int32))
+        totals = jax.lax.all_gather(total, BLOCK_AXIS)
+        offsets = jnp.cumsum(totals) - totals
+        return (
+            emits.reshape(-1)[None, :],
+            mask_bits[None, :],
+            states[None, :],
+            totals[jax.lax.axis_index(BLOCK_AXIS)][None],
+            offsets[jax.lax.axis_index(BLOCK_AXIS)][None],
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS, None), P(), P(BLOCK_AXIS)),
+        out_specs=(
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS),
+            P(BLOCK_AXIS),
+        ),
+        check_vma=False,
+    )(streams, freq_cum, raw_lens)
+
+
 def entropy_encode_streams(
     streams: list[bytes | np.ndarray],
     mesh: Optional[Mesh] = None,
@@ -311,7 +388,10 @@ def entropy_encode_streams(
     if int(lens.max(initial=0)) == 0:
         return [struct.pack(rans.HEADER_FMT, 0, 0)] * d
 
-    N = ENTROPY_LANES
+    # lane count scales with stream size like rans._pick_lanes: on the
+    # real TPU 256 lanes on a multi-MB stream means tens of thousands of
+    # tiny sequential fori_loop steps — pure dispatch latency (E057)
+    N = rans._pick_lanes(int(lens.max()))
     # bucket the padded width (pow2) to bound recompiles across groups
     m = _pow2ceil(int(lens.max()), N)
     batch = np.empty((d, m), np.uint8)
@@ -320,22 +400,26 @@ def entropy_encode_streams(
     tmp = np.zeros((d, m), np.uint8)
     for i, r in enumerate(rows):
         tmp[i, : len(r)] = r
-    freq_cum, pad_sym = entropy_table(tmp, raw_lens=lens)
+    freq_cum, pad_sym = entropy_table(tmp, raw_lens=lens, lanes=N)
     batch.fill(pad_sym)
     for i, r in enumerate(rows):
         batch[i, : len(r)] = r
 
     sh = NamedSharding(mesh, P(BLOCK_AXIS, None))
     lsh = NamedSharding(mesh, P(BLOCK_AXIS))
-    words, states, totals, _ = entropy_encode_sharded(
+    emits, mask_bits, states, totals, _ = entropy_encode_sharded_raw(
         jax.device_put(batch, sh),
         jax.device_put(jnp.asarray(freq_cum), replicated(mesh)),
         jax.device_put(lens, lsh),
         mesh=mesh,
         pad_sym=pad_sym,
         m_per_shard=m,
+        lanes=N,
     )
-    words = np.asarray(words)
+    from ..runtime import bindings as rt
+
+    emits = np.asarray(emits)
+    mask_bits = np.asarray(mask_bits)
     states = np.asarray(states)
     totals = np.asarray(totals)
     freq = freq_cum[0].astype("<u2")
@@ -345,19 +429,20 @@ def entropy_encode_streams(
         if n == 0:
             out.append(struct.pack(rans.HEADER_FMT, 0, 0))
             continue
-        t = int(totals[i])
+        words = rt.rans_compact(emits[i], mask_bits[i])
+        assert len(words) == int(totals[i])
         payload = bytearray()
         payload += struct.pack(rans.HEADER_FMT, n, N.bit_length() - 1)
         payload += freq.tobytes()
         payload += states[i].astype("<u4").tobytes()
-        payload += struct.pack("<I", t)
-        payload += words[i, :t].astype("<u2").tobytes()
+        payload += struct.pack("<I", len(words))
+        payload += words.astype("<u2").tobytes()
         out.append(bytes(payload))
     return out
 
 
 @partial(
-    jax.jit, static_argnames=("mesh", "m_per_shard")
+    jax.jit, static_argnames=("mesh", "m_per_shard", "lanes")
 )
 def entropy_decode_sharded(
     words: jax.Array,  # (D, W) uint16, sharded
@@ -366,12 +451,13 @@ def entropy_decode_sharded(
     *,
     mesh: Mesh,
     m_per_shard: int,
+    lanes: int = ENTROPY_LANES,
 ):
     """Per-shard gather-free rANS decode; inverse of
     :func:`entropy_encode_sharded`. Returns (D, M) uint8."""
     from ..ops import rans
 
-    N = ENTROPY_LANES
+    N = lanes
     steps = -(-m_per_shard // N)
     S = rans._pick_smax(steps)
     B = tabs.shape[1]

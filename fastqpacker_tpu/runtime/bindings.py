@@ -1046,6 +1046,39 @@ def sldm_pack(bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out[:plen]
 
 
+def _bind_rans_compact(lib):
+    lib.fq_rans_compact.restype = ctypes.c_longlong
+    lib.fq_rans_compact.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16), _u8p, ctypes.c_longlong,
+        ctypes.POINTER(ctypes.c_uint16),
+    ]
+
+
+def rans_compact(emits: np.ndarray, mask_bits: np.ndarray) -> np.ndarray:
+    """Compact a dense (slots,) u16 emit matrix by its LSB-first bitmask
+    into the flat word stream (decoder consumption order) — the host
+    finish of the device rANS encode (E057). Falls back to numpy when
+    the native runtime is absent."""
+    emits = np.ascontiguousarray(emits.reshape(-1), dtype=np.uint16)
+    mask_bits = np.ascontiguousarray(mask_bits.reshape(-1), dtype=np.uint8)
+    n = emits.shape[0]
+    lib = _load()
+    if lib is None:
+        bits = np.unpackbits(mask_bits, bitorder="little")[:n]
+        return emits[bits.astype(bool)]
+    if not hasattr(lib.fq_rans_compact, "argtypes") or (
+        lib.fq_rans_compact.argtypes is None
+    ):
+        _bind_rans_compact(lib)
+    out = np.empty(n, np.uint16)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    total = lib.fq_rans_compact(
+        emits.ctypes.data_as(u16p), _nz_u8(mask_bits), n,
+        out.ctypes.data_as(u16p),
+    )
+    return out[:total]
+
+
 # ---------------------------------------------------------------------------
 # Whole-file multithreaded pipeline (fq_compress_mt / fq_decompress_mt):
 # one GIL-released native call per file; a native scanner thread + encode

@@ -2282,6 +2282,37 @@ extern "C" {
 uint64_t fq_xxh64_c(const uint8_t* p, long long n, uint64_t seed) {
   return fq_xxh64(p, (size_t)n, seed);
 }
+
+// rANS word-stream compaction (host finish of the device encode,
+// ops/rans.py E057): the TPU kernel emits a dense (steps, lanes) word
+// matrix plus an LSB-first emit bitmask; every on-device compaction
+// formulation (scatter, sort, prefix sums, routing nets) hits XLA:TPU
+// de-vectorization at 16M+ slots, while this sequential pass runs at
+// memcpy speed. Writes emitted words in slot order (the decoder's
+// global (step, lane) consumption order); returns the word count.
+long long fq_rans_compact(const uint16_t* emits, const uint8_t* mask_bits,
+                          long long n_slots, uint16_t* out) {
+  long long w = 0;
+  long long i = 0;
+  const long long nb = n_slots >> 3;
+  for (long long b = 0; b < nb; b++) {
+    uint8_t m = mask_bits[b];
+    if (m == 0xFF) {  // common on dense streams: copy the whole byte run
+      memcpy(out + w, emits + (b << 3), 16);
+      w += 8;
+      continue;
+    }
+    while (m) {
+      const int bit = __builtin_ctz(m);
+      m = (uint8_t)(m & (m - 1));
+      out[w++] = emits[(b << 3) + bit];
+    }
+  }
+  for (i = nb << 3; i < n_slots; i++) {
+    if (mask_bits[i >> 3] & (1u << (i & 7))) out[w++] = emits[i];
+  }
+  return w;
+}
 long long fq_zstd_store_raw_c(const uint8_t* src, long long n, uint8_t* dst,
                               long long cap) {
   return (long long)fq_zstd_store_raw(src, (size_t)n, dst, (size_t)cap);

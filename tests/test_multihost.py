@@ -194,3 +194,49 @@ def test_multihost_decompress_dict_container(tmp_path):
     out = tmp_path / "out.fq"
     mh.simulate_multihost_decompress(str(src), str(out), num_hosts=3)
     assert out.read_bytes() == data
+
+
+def test_detection_block_only_in_host0_range(tmp_path):
+    """The file-wide Phred flag comes from the FILE's first block; a
+    file whose first block says +64 but whose later (host 1+) ranges
+    contain sub-59 bytes must still encode EVERY host against +64 —
+    per-host detection would silently corrupt host 1's qualities
+    against a host-0 header flag (VERDICT r1 missing #3)."""
+    n = 400
+    seq = "ACGTACGTAA"
+    hi = chr(70) * len(seq)   # >= 64 everywhere -> first block detects +64
+    lo = chr(40) * len(seq)   # < 59 -> a host-local detect would say +33
+    recs = [f"@r{i}\n{seq}\n+\n{hi}\n" for i in range(n // 2)]
+    recs += [f"@r{i}\n{seq}\n+\n{lo}\n" for i in range(n // 2, n)]
+    data = "".join(recs).encode()
+    src = tmp_path / "in.fq"
+    src.write_bytes(data)
+
+    # sanity: the detection-relevant block must span only the head, and
+    # a host-local detect on the last host's range really would disagree
+    ranges = mh.host_ranges(str(src), 4)
+    assert ranges[0][1] < len(data) // 2
+    from fastqpacker_tpu.ops import reference as refops
+    from fastqpacker_tpu.parser.fastq import FastqStreamParser
+
+    with open(src, "rb") as f:
+        f.seek(ranges[3][0])
+        tail = f.read(ranges[3][1] - ranges[3][0])
+    blk = next(FastqStreamParser(io.BytesIO(tail), block_size=100).blocks())
+    assert refops.detect_encoding(blk.qual, blk.lengths) == 33  # would-be bug
+
+    # the file-level rule says +64
+    assert mh._detect_file_qual_offset(str(src), fq.Options(block_size=100)) == 64
+
+    multi = tmp_path / "multi.fqz"
+    mh.simulate_multihost(str(src), str(multi), 4, fq.Options(block_size=100))
+    comp = multi.read_bytes()
+    from fastqpacker_tpu.format import container
+
+    assert container.parse_file_header(comp[:10]).phred64
+    # every host encoded against +64: qualities survive byte-exactly
+    assert fq.decompress_bytes(comp) == data
+
+    out = tmp_path / "rt.fq"
+    mh.simulate_multihost_decompress(str(multi), str(out), 3)
+    assert out.read_bytes() == data

@@ -192,3 +192,25 @@ def test_host_backend_corrupt_words_rejected(monkeypatch, _native_runtime):
     # truncate the word payload but keep the header/total intact
     with pytest.raises(rans.RansError, match="truncated"):
         rans.decode_stream(bytes(enc[:-7]))
+
+
+def test_wide_lane_roundtrip_16384():
+    """The >=8 MB lane tier (E057): 16384 lanes must round-trip on both
+    backends; exercised at a small size via the explicit lanes param."""
+    import os
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 60, size=1 << 20).astype(np.uint8).tobytes()
+    payload = rans.encode_stream(data, lanes=16384)
+    assert rans.decode_stream(payload) == data
+    old = os.environ.get("FQZ_RANS_BACKEND")
+    try:
+        os.environ["FQZ_RANS_BACKEND"] = "host"
+        assert rans.decode_stream(payload) == data
+        host_payload = rans.encode_stream(data, lanes=16384)
+        assert host_payload == payload  # byte-identical twins
+    finally:
+        if old is None:
+            os.environ.pop("FQZ_RANS_BACKEND", None)
+        else:
+            os.environ["FQZ_RANS_BACKEND"] = old
