@@ -18,6 +18,27 @@ build-pgo:
 test:
 	$(PY) -m pytest tests/ -x -q
 
+# Sanitizer legs for the 3k-line MT C++ runtime — the analog of the
+# reference's `go test -race` (Makefile:13-14, ci.yml:22). Each builds an
+# instrumented libfqruntime.so, hammers the MT + fuzz suites under the
+# preloaded sanitizer runtime, then restores the production build.
+CXXBIN ?= g++
+test-tsan:
+	$(PY) fastqpacker_tpu/runtime/build.py --tsan
+	LD_PRELOAD=$$($(CXXBIN) -print-file-name=libtsan.so) \
+	TSAN_OPTIONS="halt_on_error=1 report_signal_unsafe=0 allocator_may_return_null=1" \
+	JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
+	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py -x -q
+	$(PY) fastqpacker_tpu/runtime/build.py --force
+
+test-asan:
+	$(PY) fastqpacker_tpu/runtime/build.py --asan
+	LD_PRELOAD=$$($(CXXBIN) -print-file-name=libasan.so) \
+	ASAN_OPTIONS="detect_leaks=0 halt_on_error=1 allocator_may_return_null=1" \
+	JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
+	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py -x -q
+	$(PY) fastqpacker_tpu/runtime/build.py --force
+
 lint:
 	$(PY) -m compileall -q fastqpacker_tpu tests bench.py __graft_entry__.py
 

@@ -107,9 +107,33 @@ def build_pgo() -> str | None:
     return LIB
 
 
+def build_sanitized(kind: str) -> str | None:
+    """Sanitizer build (the analog of the reference's `go test -race`,
+    Makefile:13-14): -fsanitize=thread|address at -O1 with frame
+    pointers. Overwrites the production .so — rebuild plain (or PGO)
+    afterwards; `make test-tsan`/`test-asan` do this automatically."""
+    flags = [
+        f"-fsanitize={kind}", "-O1", "-g", "-fno-omit-frame-pointer",
+    ]
+    # drop -O3 so sanitizer instrumentation stays precise
+    global FLAGS
+    saved = FLAGS
+    FLAGS = [f for f in FLAGS if f != "-O3"]
+    try:
+        return LIB if _compile(flags) else None
+    finally:
+        FLAGS = saved
+
+
 if __name__ == "__main__":
     if "--pgo" in sys.argv:
         path = build_pgo()
+    elif "--tsan" in sys.argv:
+        path = build_sanitized("thread")
+    elif "--asan" in sys.argv:
+        path = build_sanitized("address")
+    elif "--force" in sys.argv:
+        path = LIB if _compile([]) else None
     else:
         path = ensure_built(verbose=True)
     print(path or "BUILD FAILED")

@@ -699,15 +699,18 @@ void fq_encode_block(const uint8_t* seq, const uint8_t* qual,
   const long long mw = (w + 7) / 8;
   static uint8_t code_lut[256];
   static uint8_t valid_lut[256];
-  static int lut_init = 0;
-  if (!lut_init) {
+  // one-time fill under a C++11 magic-static guard: compress/decode
+  // workers race to the first call, and the old `if (!lut_init)`
+  // double-check was a genuine data race (caught by make test-tsan)
+  static const bool lut_ready = [&] {
     for (int i = 0; i < 256; i++) {
       int u = i & 0xDF;
       code_lut[i] = (uint8_t)((u == 'C') ? 1 : (u == 'G') ? 2 : (u == 'T') ? 3 : 0);
       valid_lut[i] = (uint8_t)(u == 'A' || u == 'C' || u == 'G' || u == 'T');
     }
-    lut_init = 1;
-  }
+    return true;
+  }();
+  (void)lut_ready;
   for (long long i = 0; i < r; i++) {
     const uint8_t* srow = seq + i * w;
     const uint8_t* qrow = qual + i * w;
@@ -838,8 +841,10 @@ void fq_decode_block(const uint8_t* packed, const long long* lens,
                      long long r, long long pw, long long w,
                      uint8_t* out) {
   static uint32_t lut[256];
-  static int lut_init = 0;
-  if (!lut_init) {
+  // one-time fill under a C++11 magic-static guard: compress/decode
+  // workers race to the first call, and the old `if (!lut_init)`
+  // double-check was a genuine data race (caught by make test-tsan)
+  static const bool lut_ready = [&] {
     const char bases[4] = {'A', 'C', 'G', 'T'};
     for (int i = 0; i < 256; i++) {
       uint32_t v = 0;
@@ -848,8 +853,9 @@ void fq_decode_block(const uint8_t* packed, const long long* lens,
       }
       lut[i] = v;
     }
-    lut_init = 1;
-  }
+    return true;
+  }();
+  (void)lut_ready;
   for (long long i = 0; i < r; i++) {
     const uint8_t* prow = packed + i * pw;
     uint8_t* orow = out + i * w;
@@ -919,15 +925,18 @@ int fq_build_streams(const uint8_t* text, const long long* offs,
                      int32_t* min_qual_out) {
   static uint8_t code_lut[256];
   static uint8_t valid_lut[256];
-  static int lut_init = 0;
-  if (!lut_init) {
+  // one-time fill under a C++11 magic-static guard: compress/decode
+  // workers race to the first call, and the old `if (!lut_init)`
+  // double-check was a genuine data race (caught by make test-tsan)
+  static const bool lut_ready = [&] {
     for (int i = 0; i < 256; i++) {
       int u = i & 0xDF;
       code_lut[i] = (uint8_t)((u == 'C') ? 1 : (u == 'G') ? 2 : (u == 'T') ? 3 : 0);
       valid_lut[i] = (uint8_t)(u == 'A' || u == 'C' || u == 'G' || u == 'T');
     }
-    lut_init = 1;
-  }
+    return true;
+  }();
+  (void)lut_ready;
   long long so = 0, qo = 0, ho = 0, po = 0, no = 0, lo = 0;
   int32_t minq = 255;
 #ifdef FQ_AVX2
@@ -1088,8 +1097,10 @@ long long fq_decode_block_full(
     long long npos_n, const uint8_t* len_s, long long len_n,
     long long n, uint8_t qoffset, int wide, int has_plus, uint8_t* out) {
   static uint32_t lut[256];
-  static int lut_init = 0;
-  if (!lut_init) {
+  // one-time fill under a C++11 magic-static guard: compress/decode
+  // workers race to the first call, and the old `if (!lut_init)`
+  // double-check was a genuine data race (caught by make test-tsan)
+  static const bool lut_ready = [&] {
     const char bases[4] = {'A', 'C', 'G', 'T'};
     for (int i = 0; i < 256; i++) {
       uint32_t v = 0;
@@ -1097,8 +1108,9 @@ long long fq_decode_block_full(
         v |= ((uint32_t)(uint8_t)bases[(i >> (2 * k)) & 3]) << (8 * k);
       lut[i] = v;
     }
-    lut_init = 1;
-  }
+    return true;
+  }();
+  (void)lut_ready;
   long long so = 0, qo = 0, ho = 0, po = 0, no = 0, lo = 0, oo = 0;
   for (long long i = 0; i < n; i++) {
     // length (u32le)
@@ -2006,13 +2018,16 @@ int fq_sldm_unpack(const uint8_t* packed, long long packed_len,
                    const long long* lengths, long long nrec,
                    uint8_t* bases) {
   static uint32_t lut[256];
-  static int lut_init = 0;
-  if (!lut_init) {
+  // one-time fill under a C++11 magic-static guard: compress/decode
+  // workers race to the first call, and the old `if (!lut_init)`
+  // double-check was a genuine data race (caught by make test-tsan)
+  static const bool lut_ready = [&] {
     for (int b = 0; b < 256; b++)
       lut[b] = (uint32_t)((b & 3) | (((b >> 2) & 3) << 8) |
                           (((b >> 4) & 3) << 16) | (((b >> 6) & 3) << 24));
-    lut_init = 1;
-  }
+    return true;
+  }();
+  (void)lut_ready;
   long long j = 0, pi = 0;
   for (long long r = 0; r < nrec; r++) {
     const long long L = lengths[r];
@@ -2416,16 +2431,19 @@ long long fq_encode_block_fused(const uint8_t* text, long long n,
                                 long long* err_detail) {
   static uint8_t code_lut[256];
   static uint8_t valid_lut[256];
-  static int lut_init = 0;
-  if (!lut_init) {
+  // one-time fill under a C++11 magic-static guard: compress/decode
+  // workers race to the first call, and the old `if (!lut_init)`
+  // double-check was a genuine data race (caught by make test-tsan)
+  static const bool lut_ready = [&] {
     for (int i = 0; i < 256; i++) {
       int u = i & 0xDF;
       code_lut[i] =
           (uint8_t)((u == 'C') ? 1 : (u == 'G') ? 2 : (u == 'T') ? 3 : 0);
       valid_lut[i] = (uint8_t)(u == 'A' || u == 'C' || u == 'G' || u == 'T');
     }
-    lut_init = 1;
-  }
+    return true;
+  }();
+  (void)lut_ready;
   err_detail[0] = err_detail[1] = 0;
   *nrec_out = 0;
   *total_len_out = 0;

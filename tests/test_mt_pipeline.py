@@ -247,6 +247,11 @@ def test_transform_wrapper_sink_not_pierced():
         assert gzip.open(cpath, "rb").read() == comp
 
 
+@pytest.mark.skipif(
+    bool(os.environ.get("FQZ_SANITIZE")),
+    reason="ASan aborts inside operator new on huge requests before the "
+    "bad_alloc our typed-error contract catches",
+)
 def test_huge_block_size_raises_typed():
     """Caller-sized native allocations must fail typed, never abort the
     process via bad_alloc across the C ABI (E049)."""
