@@ -240,14 +240,18 @@ def _tpu_available() -> bool:
     """
     if os.environ.get("FQZ_FORCE_CPU"):
         return False
-    from ..pipeline.auto import bounded_probe
+    from ..pipeline.auto import bounded_probe, cached_probe
 
     def probe() -> bool:
         import jax
 
         return jax.devices()[0].platform not in ("cpu",)
 
-    return bool(bounded_probe(probe, 10.0, False))
+    # memoized across CLI processes (E058): on a sick relay the bounded
+    # init probe otherwise burns its full deadline on EVERY invocation
+    return cached_probe(
+        "tpu_available", lambda: bounded_probe(probe, 10.0, False)
+    )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -335,4 +339,13 @@ def _main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    # Exit without interpreter teardown: when the axon relay is
+    # unhealthy its client threads abort the process during normal exit
+    # ("terminate called ... exception not rethrown", status 134) AFTER
+    # the work already succeeded. All outputs are flushed/closed by
+    # execute's finally; nothing here needs finalizers. Library callers
+    # (tests) use main() directly and are unaffected.
+    _rc = main()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_rc)

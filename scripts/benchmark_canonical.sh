@@ -1,0 +1,78 @@
+#!/usr/bin/env bash
+#
+# Canonical single-file benchmark: the disciplined README-row run
+# (reference analog: scripts/benchmark_fqpack_9gb.sh — one verified
+# round trip for size + correctness, then timed best-of-N runs).
+#
+# Usage:
+#   ./scripts/benchmark_canonical.sh [input.fastq] [iterations]
+#
+# Input resolution order: $1, benchmark_data/ERR532393_1.fastq, else a
+# generated real-shaped synthetic corpus (clearly labeled in the output;
+# see download-benchmark-data.sh --synthetic).
+
+set -euo pipefail
+SCRIPT_DIR="$(cd "$(dirname "$0")" && pwd)"
+REPO_ROOT="$(cd "$SCRIPT_DIR/.." && pwd)"
+cd "$REPO_ROOT"
+
+INPUT="${1:-}"
+ITER="${2:-3}"
+LABEL="real"
+if [[ -z "$INPUT" ]]; then
+    if [[ -f "benchmark_data/ERR532393_1.fastq" ]]; then
+        INPUT="benchmark_data/ERR532393_1.fastq"
+    else
+        echo "No real dataset found; generating a 1 GB synthetic genomic corpus" >&2
+        ./scripts/download-benchmark-data.sh benchmark_data --synthetic 1024 >&2
+        INPUT="benchmark_data/synthetic_genomic_1024mb.fastq"
+        LABEL="synthetic-genomic (NOT comparable to published real-data rows)"
+    fi
+fi
+[[ -f "$INPUT" ]] || { echo "error: input not found: $INPUT" >&2; exit 1; }
+
+FQ="python -m fastqpacker_tpu.cli.fqpack"
+TMP="$(mktemp -d)"
+trap 'rm -rf "$TMP"' EXIT
+OUT="$TMP/out.fqz"; DEC="$TMP/dec.fq"
+
+input_size=$(stat -c%s "$INPUT")
+echo "input: $INPUT ($input_size bytes, $LABEL)" >&2
+
+# One verified run: size + byte-exact round trip (cmp, like the ref).
+$FQ -i "$INPUT" -o "$OUT"
+compressed_size=$(stat -c%s "$OUT")
+$FQ -d -i "$OUT" -o "$DEC"
+cmp "$INPUT" "$DEC" || { echo "error: round-trip verification failed" >&2; exit 1; }
+echo "round trip verified (cmp)" >&2
+
+now_ms() { python -c 'import time; print(int(time.time()*1000))'; }
+best_ms() { # best-of-N wall time of "$@"
+    local best=99999999 t0 t1 dt
+    for _ in $(seq "$ITER"); do
+        t0=$(now_ms); "$@" ; t1=$(now_ms)
+        dt=$((t1 - t0)); [[ $dt -lt $best ]] && best=$dt
+    done
+    echo "$best"
+}
+
+compress_ms=$(best_ms $FQ -i "$INPUT" -o "$OUT")
+decompress_ms=$(best_ms $FQ -d -i "$OUT" -o "$DEC")
+
+awk -v in_sz="$input_size" -v out_sz="$compressed_size" \
+    -v cms="$compress_ms" -v dms="$decompress_ms" -v label="$LABEL" 'BEGIN {
+  ratio = in_sz / out_sz
+  speed = (in_sz / 1e6) / (cms / 1000)
+  printf "\nCompressed bytes: %d\nRatio: %.2fx\nCompress: %d ms\nDecompress: %d ms\nSpeed: %.1f MB/s\n\n", out_sz, ratio, cms, dms, speed
+  printf "README row (%s):\n", label
+  printf "| **fqz-tpu** | **%d MB** | **%.2fx** | **%.2fs** | **%.2fs** | **%.1f MB/s** |\n", out_sz/1000000, ratio, cms/1000, dms/1000, speed
+}'
+
+# v3 native ratio on the same input (our format's headline)
+$FQ --format native -i "$INPUT" -o "$TMP/out3.fqz"
+v3_size=$(stat -c%s "$TMP/out3.fqz")
+$FQ -d -i "$TMP/out3.fqz" -o "$DEC"
+cmp "$INPUT" "$DEC" || { echo "error: v3 round-trip failed" >&2; exit 1; }
+awk -v in_sz="$input_size" -v v3="$v3_size" -v v2="$compressed_size" 'BEGIN {
+  printf "v3 native: %d MB (%.2fx; %.1f%% of the v2/fqpack-class size)\n", v3/1000000, in_sz/v3, 100*v3/v2
+}'
