@@ -29,7 +29,7 @@ test-tsan:
 	TSAN_OPTIONS="halt_on_error=1 report_signal_unsafe=0 allocator_may_return_null=1" \
 	JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
 	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py -x -q
-	$(PY) fastqpacker_tpu/runtime/build.py --force
+	$(PY) fastqpacker_tpu/runtime/build.py --pgo  # restore the production (PGO) build
 
 test-asan:
 	$(PY) fastqpacker_tpu/runtime/build.py --asan
@@ -37,7 +37,7 @@ test-asan:
 	ASAN_OPTIONS="detect_leaks=0 halt_on_error=1 allocator_may_return_null=1" \
 	JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
 	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py -x -q
-	$(PY) fastqpacker_tpu/runtime/build.py --force
+	$(PY) fastqpacker_tpu/runtime/build.py --pgo  # restore the production (PGO) build
 
 lint:
 	$(PY) -m compileall -q fastqpacker_tpu tests bench.py __graft_entry__.py
