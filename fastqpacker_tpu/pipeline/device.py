@@ -179,6 +179,31 @@ def decompress_device(
     from . import auto
 
     use_device = auto.device_worthwhile()
+    if not use_device:
+        # Probed transfer path can't beat the host pipeline; route there
+        # (the whole-file MT decode path — compress_device has had the
+        # same delegation from the start, decompress lacked it and fell
+        # into its per-block Python loop, ~2x slower end to end)
+        from ..utils.inmem import source_view
+
+        view = source_view(r)
+        if view is not None:
+            from ..runtime import bindings
+
+            if bindings.available() and bindings.mt_available():
+                fd = api._sink_fd(w)
+                if fd >= 0 or len(view) <= api._MT_BUFFER_CAP_DECODE:
+                    res = bindings.decompress_mt(
+                        np.frombuffer(view, np.uint8),
+                        fh.version, qual_offset,
+                        api._resolve_workers(opts.workers), fd, sink=w,
+                    )
+                    if res is not None:
+                        return
+            # fall through to the per-block path over the in-memory view
+            import io as _io
+
+            r = _io.BytesIO(view)
 
     def read_jobs():
         while True:
