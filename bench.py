@@ -316,6 +316,66 @@ def bench_mesh_entropy(mb: int = 32, steps: int = 8):
     return m / 1e6 / dt
 
 
+def bench_mesh_entropy_decode(mb: int = 16, steps: int = 6):
+    """Single-chip device rANS decode throughput (gather-free kernel,
+    E057 discipline). The chain feeds each iteration the previous
+    iteration's final lane states (data-dependent), so XLA cannot hoist
+    the loop-invariant decode and the relay cannot dedupe."""
+    import struct as _struct
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastqpacker_tpu.ops import rans
+
+    m = mb << 20
+    N = rans._pick_lanes(m)
+    nsteps = m // N
+    S = rans._pick_smax(nsteps)
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 45, size=m).astype(np.uint8)
+    payload = rans.encode_stream(data.tobytes(), lanes=N)
+    hdr = _struct.calcsize(rans.HEADER_FMT)
+    buf = np.frombuffer(payload, np.uint8)
+    freq = buf[hdr : hdr + 512].view("<u2").astype(np.uint16)
+    states = buf[hdr + 512 : hdr + 512 + 4 * N].view("<u4").astype(np.uint32)
+    (total,) = _struct.unpack(
+        "<I", buf[hdr + 512 + 4 * N : hdr + 516 + 4 * N].tobytes()
+    )
+    words = np.zeros(rans._pow2ceil(total + N, 2 * N), np.uint16)
+    words[:total] = buf[hdr + 516 + 4 * N : hdr + 516 + 4 * N + 2 * total].view(
+        "<u2"
+    )
+    tabs = rans.compact_tables(freq)
+    wd = jax.device_put(jnp.asarray(words))
+    st = jax.device_put(jnp.asarray(states))
+    tb = jax.device_put(jnp.asarray(tabs))
+
+    @jax.jit
+    def chained(s0):
+        def body(_, carry):
+            s, acc = carry
+            out, fx, consumed = rans._decode_kernel_nogather.__wrapped__(
+                wd, s, jnp.int32(nsteps), tb, S, N, tabs.shape[1]
+            )
+            s2 = jnp.maximum(fx, jnp.uint32(1 << 16))
+            return (
+                s2,
+                acc
+                + consumed
+                + jnp.sum(out.astype(jnp.uint32)).astype(jnp.int32),
+            )
+
+        _, acc = jax.lax.fori_loop(0, steps, body, (s0, jnp.int32(0)))
+        return acc
+
+    int(chained(st))  # compile + warm
+    t0 = time.perf_counter()
+    int(chained(st))
+    dt = (time.perf_counter() - t0) / steps
+    return m / 1e6 / dt
+
+
 def bench_decode_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
     """Steady-state Pallas fused-decode throughput (data resident):
     packed 2-bit bytes -> ASCII + quality integration (E045)."""
@@ -370,7 +430,7 @@ def main() -> int:
         "--metric",
         choices=[
             "compress", "decompress", "kernel", "decode-kernel",
-            "mesh-entropy", "micro", "ratio",
+            "mesh-entropy", "mesh-entropy-decode", "micro", "ratio",
         ],
         default="compress",
     )
@@ -409,7 +469,7 @@ def main() -> int:
         return jax.devices()[0].platform
 
     deadline = (
-        60 if args.metric in ("kernel", "decode-kernel", "mesh-entropy")
+        60 if args.metric.startswith(("kernel", "decode-kernel", "mesh-entropy"))
         else 30
     )
     platform = bounded_probe(_platform, deadline, None)
@@ -520,6 +580,14 @@ def _run_metric(args, data, device) -> int:
             "value": round(mbps, 1),
             "unit": "MB/s",
             "vs_baseline": round(mbps / BASELINE_COMPRESS_MBPS, 3),
+        }
+    elif args.metric == "mesh-entropy-decode":
+        mbps = bench_mesh_entropy_decode(min(args.mb, 64))
+        result = {
+            "metric": "mesh_entropy_decode_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_DECOMPRESS_MBPS, 3),
         }
     elif args.metric == "decompress":
         mbps, best = bench_decompress(data, device, args.repeats)
