@@ -286,3 +286,44 @@ def test_hostile_num_records_falls_back_typed():
     comp[10:14] = struct.pack("<I", 0x7FFFFFFF)
     with pytest.raises(EXPECTED_ERRORS + (RuntimeError,)):
         fq.decompress_bytes(bytes(comp))
+
+
+def test_mutated_mesh_v3_containers_never_crash():
+    """Mesh-written v3 containers (TAG_RANS seq/qual via the sharded
+    coder, E057) under byte mutation and truncation: typed failures or
+    correct decode only."""
+    import numpy as np
+
+    import fastqpacker_tpu as fq
+    from fastqpacker_tpu.format import container
+    from fastqpacker_tpu.entropy.zstd import ZstdError
+    from fastqpacker_tpu.ops.rans import RansError
+    from fastqpacker_tpu.parallel import mesh as pmesh
+    from fastqpacker_tpu.pipeline import api, meshpipe
+
+    rng = np.random.default_rng(42)
+    recs = []
+    for i in range(600):
+        ln = int(rng.integers(0, 120))
+        s = "".join("ACGTN"[b] for b in rng.integers(0, 5, ln))
+        q = "".join(chr(33 + int(b)) for b in rng.integers(0, 42, ln))
+        recs.append(f"@m{i}\n{s}\n+\n{q}\n")
+    data = "".join(recs).encode()
+    mesh = pmesh.make_mesh(8)
+    good = meshpipe.compress_mesh_bytes(data, fq.Options(block_size=60), mesh)
+    assert api.decompress_bytes(good) == data
+    typed = (container.FormatError, ZstdError, RansError, ValueError,
+             RuntimeError)
+    for _ in range(60):
+        b = bytearray(good)
+        for _ in range(int(rng.integers(1, 5))):
+            b[int(rng.integers(0, len(b)))] ^= int(rng.integers(1, 256))
+        try:
+            api.decompress_bytes(bytes(b))
+        except typed:
+            pass
+    for cut in range(0, len(good), max(len(good) // 25, 1)):
+        try:
+            api.decompress_bytes(good[:cut])
+        except typed:
+            pass
