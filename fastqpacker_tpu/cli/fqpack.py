@@ -151,8 +151,15 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
         args.backend == "auto" and _tpu_available()
     )
     if args.pair:
+        if getattr(args, "mesh", False):
+            raise RuntimeError("--mesh does not support --pair yet")
         _execute_paired(args, inp, out)
         return
+    if getattr(args, "mesh", False) and args.max_ratio:
+        raise RuntimeError(
+            "--mesh does not support --max-ratio (the mesh path codes "
+            "seq/qual with order-0 rANS on the device)"
+        )
     if args.decompress:
         dopts = api.DecompressOptions(workers=args.workers)
         if use_device:

@@ -79,9 +79,26 @@ FQZ_V3_MAX = CodecModel(
     max_ratio=True,
 )
 
+FQZ_V3_MESH = CodecModel(
+    name="fqz-v3-mesh",
+    version=container.VERSION_3_NATIVE,
+    description=(
+        "FQZ v3 with the entropy stage ON the device mesh (CLI --mesh): "
+        "seq/qual streams rANS-coded one block per device per round "
+        "(parallel.mesh.entropy_encode_streams), side streams host zstd; "
+        "the container is standard v3 — decode needs no mesh"
+    ),
+    stream_codecs=("rans", "rans", "zstd", "zstd", "zstd", "zstd"),
+    wide_npos=True,
+    block_crc32=True,
+)
+
 FLAGSHIP = FQZ_V2_ZSTD  # default output format (interop first)
 
-REGISTRY = {m.name: m for m in (FQZ_V2_ZSTD, FQZ_V3_NATIVE, FQZ_V3_MAX)}
+REGISTRY = {
+    m.name: m
+    for m in (FQZ_V2_ZSTD, FQZ_V3_NATIVE, FQZ_V3_MAX, FQZ_V3_MESH)
+}
 
 # CLI --format aliases
 ALIASES = {"zstd": FQZ_V2_ZSTD.name, "native": FQZ_V3_NATIVE.name}
