@@ -36,6 +36,13 @@ jax.distributed.initialize(
 import fastqpacker_tpu as fq
 from fastqpacker_tpu.parallel import multihost as mh
 mh.compress_multihost(in_path, out_path, fq.Options(block_size=150))
+# The size all-gather happens BEFORE the pwrites, so returning from
+# compress_multihost does NOT mean the peers' sections are on disk —
+# barrier before reading the container back (separate invocations in
+# production; the coordinator owns this ordering).
+from jax.experimental import multihost_utils
+multihost_utils.sync_global_devices("fqz-compress-complete")
+mh.decompress_multihost(out_path, out_path + ".fq")
 """
 
 
@@ -89,6 +96,8 @@ def test_two_process_jax_distributed_compress(tmp_path):
 
     comp = out_path.read_bytes()
     assert fq.decompress_bytes(comp) == data
+    # distributed decompress (real block-stripe sharding) round-trips
+    assert (tmp_path / "out.fqz.fq").read_bytes() == data
     # byte-identical to the single-process simulation of the same layout
     sim_path = tmp_path / "sim.fqz"
     mh.simulate_multihost(
