@@ -5,7 +5,7 @@ compress MB/s, baseline: fqpack's 2,967.3 MB/s on an M4 MacBook Pro,
 README.md:19 / BASELINE.md). Additional diagnostics go to stderr.
 
 Usage: python bench.py [--mb 256]
-       [--metric compress|decompress|kernel|decode-kernel|micro|ratio]
+       [--metric compress|decompress|kernel|decode-kernel|mesh-entropy|mesh-entropy-decode|micro|ratio]
        [--fixture iid|genomic] [--cpu] [--repeats N]
 """
 
