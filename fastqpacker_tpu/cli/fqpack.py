@@ -162,6 +162,11 @@ def execute(args, inp: BinaryIO, out: BinaryIO) -> None:
         )
     if args.decompress:
         dopts = api.DecompressOptions(workers=args.workers)
+        if getattr(args, "mesh", False):
+            from ..pipeline import meshpipe
+
+            meshpipe.decompress_mesh(inp, out)
+            return
         if use_device:
             from ..pipeline import device
 

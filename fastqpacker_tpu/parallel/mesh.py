@@ -448,21 +448,26 @@ def entropy_decode_sharded(
     words: jax.Array,  # (D, W) uint16, sharded
     states: jax.Array,  # (D, N) uint32, sharded
     tabs: jax.Array,  # (4, B) uint32 compacted decode tables, replicated
+    raw_lens: jax.Array | None = None,  # (D,) int32, sharded; None -> M
     *,
     mesh: Mesh,
     m_per_shard: int,
     lanes: int = ENTROPY_LANES,
 ):
     """Per-shard gather-free rANS decode; inverse of
-    :func:`entropy_encode_sharded`. Returns (D, M) uint8."""
+    :func:`entropy_encode_sharded`. ``raw_lens`` gives each shard its own
+    stream length (dynamic step counts, like the encode side); rows
+    beyond a shard's length decode as garbage and are ignored by the
+    caller. Returns (D, M) uint8."""
     from ..ops import rans
 
     N = lanes
-    steps = -(-m_per_shard // N)
-    S = rans._pick_smax(steps)
+    max_steps = -(-m_per_shard // N)
+    S = rans._pick_smax(max_steps)
     B = tabs.shape[1]
 
-    def local(words_l, states_l, tb):
+    def local(words_l, states_l, tb, rl):
+        steps_l = ((rl.reshape(()) + (N - 1)) // N).astype(jnp.int32)
         # N zeros of tail padding keep the kernel's per-step (base, N)
         # dynamic slices in bounds on the final steps (mirrors the host
         # path's _pow2ceil(total + N, ...) padding)
@@ -470,16 +475,117 @@ def entropy_decode_sharded(
             [words_l.reshape(-1), jnp.zeros((N,), jnp.uint16)]
         )
         out_mat, _, _ = rans._decode_kernel_nogather.__wrapped__(
-            wbuf, states_l.reshape(-1), jnp.int32(steps),
+            wbuf, states_l.reshape(-1), steps_l,
             tb, S, N, B,
         )
-        flat = out_mat.reshape(-1)[: steps * N]
+        flat = out_mat.reshape(-1)[: max_steps * N]
         return jax.lax.dynamic_slice(flat, (0,), (m_per_shard,))[None, :]
 
+    if raw_lens is None:
+        raw_lens = jnp.full((words.shape[0],), m_per_shard, dtype=jnp.int32)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P()),
+        in_specs=(
+            P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P(), P(BLOCK_AXIS),
+        ),
         out_specs=P(BLOCK_AXIS, None),
         check_vma=False,
-    )(words, states, tabs)
+    )(words, states, tabs, raw_lens)
+
+
+def entropy_decode_streams(
+    payloads: list[bytes],
+    mesh: Optional[Mesh] = None,
+) -> list[bytes] | None:
+    """Batch-decode one standard rANS wire payload per device on the
+    mesh — the decode twin of :func:`entropy_encode_streams`. Returns
+    the decoded byte streams, or ``None`` when the group is not
+    batchable (mixed lane counts or frequency tables — e.g. containers
+    written by the per-block host pipeline, whose tables are
+    per-stream): the caller falls back to per-stream decoding. Empty
+    payloads decode to empty bytes and don't affect batchability.
+    """
+    import struct
+
+    from ..ops import rans
+
+    mesh = mesh or make_mesh()
+    d = len(mesh.devices.flat)
+    if len(payloads) != d:
+        raise ValueError(f"need {d} payloads, got {len(payloads)}")
+    hdr_size = struct.calcsize(rans.HEADER_FMT)
+    parsed = []
+    lanes_set = set()
+    freq_ref: bytes | None = None
+    for p in payloads:
+        buf = np.frombuffer(p, np.uint8) if not isinstance(p, np.ndarray) else p
+        if len(buf) < hdr_size:
+            raise rans.RansError("truncated rANS stream header")
+        raw_len, lanes_log2 = struct.unpack(
+            rans.HEADER_FMT, bytes(buf[:hdr_size])
+        )
+        if raw_len == 0:
+            parsed.append(None)
+            continue
+        N = 1 << lanes_log2
+        off = hdr_size
+        if len(buf) < off + 512 + 4 * N + 4:
+            raise rans.RansError("truncated rANS stream tables")
+        freq_bytes = bytes(buf[off : off + 512])
+        off += 512
+        states = buf[off : off + 4 * N].view("<u4").astype(np.uint32)
+        off += 4 * N
+        (total,) = struct.unpack("<I", bytes(buf[off : off + 4]))
+        off += 4
+        if len(buf) < off + 2 * total:
+            raise rans.RansError("truncated rANS stream words")
+        words = buf[off : off + 2 * total].view("<u2")
+        parsed.append((raw_len, N, freq_bytes, states, words))
+        lanes_set.add(N)
+        if freq_ref is None:
+            freq_ref = freq_bytes
+        elif freq_bytes != freq_ref:
+            return None  # mixed tables: not batchable
+    if freq_ref is None:  # all empty
+        return [b""] * d
+    if len(lanes_set) != 1:
+        return None
+    N = lanes_set.pop()
+    freq = np.frombuffer(freq_ref, "<u2").astype(np.uint16)
+    if int(freq.astype(np.int64).sum()) != rans.PROB_SCALE:
+        raise rans.RansError("invalid rANS frequency table")
+    tabs = rans.compact_tables(freq)
+
+    m = _pow2ceil(max(p[0] for p in parsed if p), N)
+    max_steps = -(-m // N)
+    w_cap = max_steps * N + N
+    words_b = np.zeros((d, w_cap), np.uint16)
+    states_b = np.zeros((d, N), np.uint32)
+    lens_b = np.zeros(d, np.int32)
+    for i, pp in enumerate(parsed):
+        if pp is None:
+            continue
+        raw_len, _, _, states, words = pp
+        if len(words) > w_cap:
+            return None  # hostile word count beyond plausible; fall back
+        words_b[i, : len(words)] = words
+        states_b[i] = states
+        lens_b[i] = raw_len
+
+    sh = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    lsh = NamedSharding(mesh, P(BLOCK_AXIS))
+    out = entropy_decode_sharded(
+        jax.device_put(jnp.asarray(words_b), sh),
+        jax.device_put(jnp.asarray(states_b), sh),
+        jax.device_put(jnp.asarray(tabs), replicated(mesh)),
+        jax.device_put(jnp.asarray(lens_b), lsh),
+        mesh=mesh,
+        m_per_shard=m,
+        lanes=N,
+    )
+    out = np.asarray(out)
+    res: list[bytes] = []
+    for i, pp in enumerate(parsed):
+        res.append(b"" if pp is None else out[i, : pp[0]].tobytes())
+    return res

@@ -164,3 +164,90 @@ def compress_mesh_bytes(data: bytes, opts=None, mesh=None) -> bytes:
     out = io.BytesIO()
     compress_mesh(io.BytesIO(data), out, opts, mesh)
     return out.getvalue()
+
+
+def decompress_mesh(r: BinaryIO, w: BinaryIO, mesh=None) -> None:
+    """Decompress an FQZ v3 container with the rANS entropy stage batched
+    on the device mesh: groups of D consecutive blocks whose seq/qual
+    streams are TAG_RANS with a shared frequency table (what
+    ``compress_mesh`` writes per round) decode in one sharded program
+    (``parallel.mesh.entropy_decode_streams``); anything else — mixed
+    tables, other codec tags, dict/lossless containers — falls back to
+    the ordinary per-block decoder. The block CRC32 checks cover the
+    batched output, so a wrong batch decode fails exactly like corrupt
+    data.
+    """
+    from ..parallel import mesh as pmesh
+    from ..ops import rans
+
+    opts_fh = container.read_file_header(r)
+    if opts_fh.version != container.VERSION_3_NATIVE:
+        raise container.FormatError(
+            "decompress_mesh requires an FQZ v3 container "
+            f"(got version {opts_fh.version}); use the ordinary decoder"
+        )
+    if opts_fh.flags & (container.FLAG_SEQ_DICT | container.FLAG_LOSSLESS):
+        # dict/lossless containers: the ordinary pipeline handles the
+        # sections; re-dispatch with the header already consumed
+        native.decompress_native(
+            r, w, opts_fh,
+            refops.PHRED64_OFFSET
+            if opts_fh.phred64
+            else refops.PHRED33_OFFSET,
+            api._resolve_workers(None),
+        )
+        return
+    qual_offset = (
+        refops.PHRED64_OFFSET if opts_fh.phred64 else refops.PHRED33_OFFSET
+    )
+    mesh = mesh or pmesh.make_mesh()
+    d = len(mesh.devices.flat)
+    codec = zstd_entropy.get_codec()
+
+    def read_group():
+        group = []
+        while len(group) < d:
+            hdr = container.read_block_header(
+                r, container.VERSION_3_NATIVE
+            )
+            if hdr is None:
+                break
+            size = sum(hdr.stream_sizes(container.VERSION_2))
+            payload = r.read(size)
+            if len(payload) < size:
+                raise container.FormatError("truncated block payload")
+            group.append((hdr, payload))
+        return group
+
+    empty = __import__("struct").pack(rans.HEADER_FMT, 0, 0)
+    while True:
+        group = read_group()
+        if not group:
+            return
+        pre = [dict() for _ in group]
+        for slot in (0, 1):
+            chunks = []
+            for hdr, payload in group:
+                sizes = hdr.stream_sizes(container.VERSION_2)
+                off = sum(sizes[:slot])
+                chunks.append(payload[off : off + sizes[slot]])
+            if not all(c[:1] == bytes([native.TAG_RANS]) for c in chunks):
+                continue  # other codec tags in this group: per-block path
+            payloads = [c[1:] for c in chunks] + [empty] * (d - len(group))
+            try:
+                decoded = pmesh.entropy_decode_streams(payloads, mesh)
+            except rans.RansError as e:
+                raise container.FormatError(str(e)) from None
+            if decoded is None:
+                continue  # mixed tables/lanes: per-block path
+            for i in range(len(group)):
+                pre[i][slot] = decoded[i]
+        for (hdr, payload), p in zip(group, pre):
+            w.write(
+                native.decode_block_payload(
+                    hdr, payload, codec, qual_offset,
+                    predecoded=p or None,
+                )
+            )
+        if len(group) < d:
+            return

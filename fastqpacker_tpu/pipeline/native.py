@@ -587,9 +587,14 @@ def decode_block_payload(
     qual_offset: int,
     seq_dict: np.ndarray | None = None,
     lossless: bool = False,
+    predecoded: dict | None = None,
 ) -> bytes:
     """Decode one v3 block payload (streams after the header) to FASTQ
-    text, verifying the block CRC32."""
+    text, verifying the block CRC32. ``predecoded`` maps stream slots
+    (0=seq, 1=qual) to raw bytes already entropy-decoded elsewhere (the
+    mesh batch decoder, pipeline/meshpipe.py); the CRC check below still
+    covers them, so a wrong batched decode fails exactly like corrupt
+    data."""
     sizes = hdr.stream_sizes(container.VERSION_2)
     if len(payload) < sum(sizes):
         raise container.FormatError("truncated block payload")
@@ -609,6 +614,8 @@ def decode_block_payload(
             parts.append(lengths_bytes)
         elif policy == "zstd":
             parts.append(codec.decompress(chunk))
+        elif predecoded is not None and i in predecoded:
+            parts.append(predecoded[i])
         elif i == 0:
             # the sequence slot may reference the container dictionary
             parts.append(

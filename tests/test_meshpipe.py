@@ -155,3 +155,55 @@ def test_mesh_lossless_rejected():
         meshpipe.compress_mesh_bytes(
             b"@r\nACGT\n+\nIIII\n", fq.Options(lossless=True), mesh
         )
+
+
+def test_mesh_decode_batched_roundtrip():
+    """decompress_mesh batch-decodes mesh-written containers on the mesh
+    and falls back per-block elsewhere — both byte-exact."""
+    data = _fastq(9000, seed=8)
+    mesh = pmesh.make_mesh(8)
+    opts = fq.Options(block_size=500)  # 18 blocks: full + partial groups
+    comp = meshpipe.compress_mesh_bytes(data, opts, mesh)
+    out = io.BytesIO()
+    meshpipe.decompress_mesh(io.BytesIO(comp), out, mesh)
+    assert out.getvalue() == data
+    # host-written v3 (per-stream tables / other tags): must fall back
+    # and still round-trip
+    hostv3 = api.compress_bytes(
+        data, fq.Options(
+            block_size=500, version=container.VERSION_3_NATIVE
+        )
+    )
+    out2 = io.BytesIO()
+    meshpipe.decompress_mesh(io.BytesIO(hostv3), out2, mesh)
+    assert out2.getvalue() == data
+    # v2 containers are rejected upstream of this entry in the CLI; here
+    # the function itself only takes v3 — sanity: corrupt container fails
+    bad = bytearray(comp)
+    bad[len(bad) // 2] ^= 0x10
+    with pytest.raises(Exception):
+        meshpipe.decompress_mesh(io.BytesIO(bytes(bad)), io.BytesIO(), mesh)
+
+
+def test_mesh_decode_crc_catches_batch_corruption():
+    """Flipping bytes inside a TAG_RANS seq/qual stream must surface as
+    a typed error (CRC mismatch or rANS error), never wrong output."""
+    data = _fastq(2000, seed=9)
+    mesh = pmesh.make_mesh(8)
+    comp = bytearray(
+        meshpipe.compress_mesh_bytes(data, fq.Options(block_size=300), mesh)
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    hits = 0
+    for _ in range(12):
+        b = bytearray(comp)
+        b[int(rng.integers(100, len(b)))] ^= int(rng.integers(1, 256))
+        out = io.BytesIO()
+        try:
+            meshpipe.decompress_mesh(io.BytesIO(bytes(b)), out, mesh)
+            assert out.getvalue() == data  # mutation hit dead bytes only
+        except Exception:
+            hits += 1
+    assert hits >= 6  # most mutations must be caught, none accepted wrong
