@@ -135,27 +135,49 @@ def compress_mesh(
         yield first_block
         yield from block_iter
 
-    pending_blks: list[RecordBlock] = []
-    pending_raws: list = []
-    for blk in all_blocks():
-        pending_blks.append(blk)
-        pending_raws.append(
+    # Overlap the host stages with the device round: while round i's
+    # group is being entropy-coded on the mesh, a worker thread parses
+    # and stream-builds round i+1's blocks (the host is idle during the
+    # device dispatch otherwise — the producer/collector overlap lesson
+    # from the reference, PERFORMANCE.md E011/E021).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build_round(blks: list[RecordBlock]):
+        return blks, [
             blockcodec.block_to_raw_streams(
                 blk, qual_offset,
                 encode_arrays=encode_arrays, wide_npos=True,
             )
-        )
-        if len(pending_blks) == d:
+            for blk in blks
+        ]
+
+    def rounds():
+        group: list[RecordBlock] = []
+        for blk in all_blocks():
+            group.append(blk)
+            if len(group) == d:
+                yield group
+                group = []
+        if group:
+            yield group
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        for group in rounds():
+            nxt = pool.submit(build_round, group)
+            if fut is not None:
+                blks, raws = fut.result()
+                for payload in _encode_round(
+                    blks, raws, qual_offset, mesh, codec
+                ):
+                    w.write(payload)
+            fut = nxt
+        if fut is not None:
+            blks, raws = fut.result()
             for payload in _encode_round(
-                pending_blks, pending_raws, qual_offset, mesh, codec
+                blks, raws, qual_offset, mesh, codec
             ):
                 w.write(payload)
-            pending_blks, pending_raws = [], []
-    if pending_blks:
-        for payload in _encode_round(
-            pending_blks, pending_raws, qual_offset, mesh, codec
-        ):
-            w.write(payload)
 
 
 def compress_mesh_bytes(data: bytes, opts=None, mesh=None) -> bytes:
