@@ -149,13 +149,13 @@ def bench_compress(data: bytes, device: bool, repeats: int = 3):
         # real sink (fd): engages the native whole-file fd path, like the
         # reference's file-to-file benchmark (scripts/benchmark_fqpack_9gb.sh).
         # This 2-vCPU host swings 30-40% run to run (E034): keep sampling
-        # past `repeats` until a 2.5 s budget or 25 runs, whichever first —
+        # past `repeats` until a 4 s budget or 40 runs, whichever first —
         # the best-of over a wider window is the stable statistic.
         loop_t0 = time.perf_counter()
         runs = 0
         with open(os.devnull, "wb", buffering=0) as w:
             while runs < repeats or (
-                runs < 25 and time.perf_counter() - loop_t0 < 2.5
+                runs < 40 and time.perf_counter() - loop_t0 < 4.0
             ):
                 with open(path, "rb") as r:
                     t0 = time.perf_counter()
