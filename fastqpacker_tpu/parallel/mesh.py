@@ -551,6 +551,11 @@ def entropy_decode_streams(
         return [b""] * d
     if len(lanes_set) != 1:
         return None
+    if max(p[0] for p in parsed if p) > (1 << 30):
+        # hostile declared lengths: don't size a (D, M) batch from them;
+        # the per-stream fallback path allocates per stream with its own
+        # typed failures (the E048 retry-bomb lesson)
+        return None
     N = lanes_set.pop()
     freq = np.frombuffer(freq_ref, "<u2").astype(np.uint16)
     if int(freq.astype(np.int64).sum()) != rans.PROB_SCALE:

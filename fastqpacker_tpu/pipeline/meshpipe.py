@@ -241,7 +241,9 @@ def decompress_mesh(r: BinaryIO, w: BinaryIO, mesh=None) -> None:
             group.append((hdr, payload))
         return group
 
-    empty = __import__("struct").pack(rans.HEADER_FMT, 0, 0)
+    import struct
+
+    empty = struct.pack(rans.HEADER_FMT, 0, 0)
     while True:
         group = read_group()
         if not group:
