@@ -2204,11 +2204,13 @@ struct RawArena {
 struct ZstdWorker {
   ZSTD_CCtx* cctx = nullptr;   // normal level-1 context
   ZSTD_CCtx* accel = nullptr;  // incompressible-stream context
+  ZSTD_CCtx* fast = nullptr;   // match-dominated-stream context (E060)
   RawArena scratch;            // raw stream build arena (grow-only, no init)
   std::vector<uint8_t> probe;  // probe compress destination (tiny)
   ~ZstdWorker() {
     if (cctx) ZSTD_freeCCtx(cctx);
     if (accel) ZSTD_freeCCtx(accel);
+    if (fast) ZSTD_freeCCtx(fast);
   }
   ZSTD_CCtx* ctx(bool accelerated) {
     ZSTD_CCtx** slot = accelerated ? &accel : &cctx;
@@ -2225,6 +2227,22 @@ struct ZstdWorker {
       *slot = c;
     }
     return *slot;
+  }
+  // Negative-level context for match-dominated streams (E060): level -3
+  // keeps the fast strategy but samples match-search positions, ~1.55x
+  // faster on the delta'd-quality stream; only used when a second probe
+  // proves the stream's matches survive the sampling (<= 1.2x the
+  // level-1 probe size). Python twin: entropy/zstd.py _fast_cctx.
+  ZSTD_CCtx* fast_ctx() {
+    if (fast == nullptr) {
+      ZSTD_CCtx* c = ZSTD_createCCtx();
+      if (!c) return nullptr;
+      ZSTD_CCtx_setParameter(c, ZSTD_c_compressionLevel, -3);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_hashLog, 13);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_checksumFlag, 1);
+      fast = c;
+    }
+    return fast;
   }
 };
 
@@ -2275,8 +2293,21 @@ size_t fq_zstd_adaptive(ZstdWorker& w, const uint8_t* src, size_t n,
     const size_t pn =
         ZSTD_compress2(c, w.probe.data(), pbound, src, kProbeBytes);
     if (!ZSTD_isError(pn) &&
-        (double)pn >= 0.97 * (double)kProbeBytes)
+        (double)pn >= 0.97 * (double)kProbeBytes) {
       accelerated = true;
+    } else if (!ZSTD_isError(pn) && pn * 4 <= kProbeBytes) {
+      // E060: the probe compresses >= 4x, so matches (not literal
+      // entropy) dominate — try the sampled-search negative-level
+      // context on the same probe; adopt it for the full stream only
+      // if the matches survive the sampling (probe within 1.2x).
+      ZSTD_CCtx* f = w.fast_ctx();
+      if (f) {
+        const size_t fn =
+            ZSTD_compress2(f, w.probe.data(), pbound, src, kProbeBytes);
+        if (!ZSTD_isError(fn) && fn * 5 <= pn * 6)
+          return ZSTD_compress2(f, dst, cap, src, n);
+      }
+    }
   }
   if (accelerated && n <= kStoreMaxStream) {
     // E041: skip the codec entirely -- a stored raw-block frame at memcpy
@@ -2570,6 +2601,31 @@ long long fq_encode_block_fused(const uint8_t* text, long long n,
         }
       }
     }
+    // Vector tail (E061): pack the remainder down to the last 4-aligned
+    // base with one OVERLAPPING 32-base window ending there — re-packing
+    // the overlap writes byte-identical values, and its N bits are masked
+    // out of `inv` so positions emit exactly once. The 151/152 bp scalar
+    // tail was ~90 cycles/record; this is one pack32 call.
+    if (j < len) {
+      const long long t = len & ~3LL;
+      if (t > j && t >= 32) {
+        const long long w = t - 32;      // 4-aligned, >= 0
+        const long long ov = j - w;      // bases already packed, in [4,28]
+        uint32_t inv = pack32_avx2(seq + w, seq_s + so - (ov >> 2));
+        so += (32 - ov) >> 2;
+        inv &= ~0u << ov;
+        while (inv) {
+          const long long posn = w + __builtin_ctz(inv);
+          inv &= inv - 1;
+          if (posn < cap) {
+            npos_s[no++] = (uint8_t)(posn & 0xFF);
+            npos_s[no++] = (uint8_t)(posn >> 8);
+            cnt++;
+          }
+        }
+        j = t;
+      }
+    }
 #endif
     for (; j + 4 <= len; j += 4) {
       uint8_t b0 = seq[j], b1 = seq[j + 1], b2 = seq[j + 2], b3 = seq[j + 3];
@@ -2613,6 +2669,19 @@ long long fq_encode_block_fused(const uint8_t* text, long long n,
         _mm256_storeu_si256((__m256i*)(qual_s + qo),
                             _mm256_sub_epi8(cur, prev));
         qo += 32;
+      }
+      // Vector tail (E061): one OVERLAPPING window ending at len —
+      // deltas are position-local (q[p]-q[p-1]), so rewriting the
+      // overlap stores byte-identical values.
+      if (k < len && len >= 33) {
+        const long long ks = len - 32;  // >= 1, so prev-load stays in row
+        const __m256i cur = _mm256_loadu_si256((const __m256i*)(qual + ks));
+        const __m256i prev =
+            _mm256_loadu_si256((const __m256i*)(qual + ks - 1));
+        _mm256_storeu_si256((__m256i*)(qual_s + qo + (ks - k)),
+                            _mm256_sub_epi8(cur, prev));
+        qo += len - k;
+        k = len;
       }
 #endif
       for (; k < len; k++) qual_s[qo++] = (uint8_t)(qual[k] - qual[k - 1]);
@@ -3210,8 +3279,11 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     CJob j0;
     j0.idx = 0;
     j0.data = text;
-    j0.offs = std::move(offs0);
-    j0.nrec = cnt0;
+    // Fused job like every other block (offs left empty): the prelude's
+    // offsets were only needed for Phred detection — the fused
+    // parse+encode walk is faster than the offs-table re-walk (E056),
+    // and block 0 re-validates to the same outcome the scan proved.
+    j0.slice = consumed0;
     jobs.push(std::move(j0));
   }
 
