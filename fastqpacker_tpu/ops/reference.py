@@ -131,6 +131,17 @@ def quality_delta_decode(
     return ((acc % 256) + offset).astype(np.uint8)
 
 
+def detect_offset_from_min(m: int) -> int:
+    """Phred offset from the window's minimum quality byte
+    (quality.go:22-49 thresholds): < 59 -> +33, >= 64 -> +64,
+    ambiguous 59-63 -> +33."""
+    if m < 59:
+        return PHRED33_OFFSET
+    if m >= 64:
+        return PHRED64_OFFSET
+    return PHRED33_OFFSET
+
+
 def detect_encoding(qual: np.ndarray, lengths: np.ndarray) -> int:
     """Phred offset detection over a quality matrix (quality.go:22-49).
 
@@ -139,12 +150,7 @@ def detect_encoding(qual: np.ndarray, lengths: np.ndarray) -> int:
     """
     if qual.size == 0 or int(lengths.sum()) == 0:
         return PHRED33_OFFSET
-    m = int(qual.min())
-    if m < 59:
-        return PHRED33_OFFSET
-    if m >= 64:
-        return PHRED64_OFFSET
-    return PHRED33_OFFSET
+    return detect_offset_from_min(int(qual.min()))
 
 
 def encode_block_arrays(

@@ -36,6 +36,37 @@ DEFAULT_BLOCK_SIZE = 100000  # compress.go:71
 SPEED_BLOCK_SIZE = 37500
 
 
+def peek_detection(block_iter) -> tuple[list, int]:
+    """Consume leading blocks until the reference's fixed Phred-detection
+    window is covered and return ``(peeked_blocks, qual_offset)``.
+
+    The Go tool always detects from the first min(DefaultBlockSize, file)
+    records regardless of ``-b`` — its detection batch comes from a pool
+    fixed at ``NewRecordBatch(DefaultBlockSize)``
+    (compress.go:48-52,137-154) — so with a small block size the window
+    spans several of our blocks. Detection needs only the window's
+    minimum quality byte, so this accumulates a running min; the peeked
+    blocks are handed back for normal encoding (chain them ahead of the
+    remaining iterator). Parse errors inside the window surface here,
+    before any output is written — the same ordering Go has (its first
+    ReadBatch precedes the header write).
+    """
+    peeked: list = []
+    seen = 0
+    qmin = 256
+    for blk in block_iter:
+        peeked.append(blk)
+        take = min(blk.n, DEFAULT_BLOCK_SIZE - seen)
+        if take > 0 and int(blk.lengths[:take].sum()) > 0:
+            qmin = min(qmin, int(blk.qual[:take].min()))
+        seen += blk.n
+        if seen >= DEFAULT_BLOCK_SIZE:
+            break
+    if qmin > 255:  # no quality bytes in the window
+        return peeked, refops.PHRED33_OFFSET
+    return peeked, refops.detect_offset_from_min(qmin)
+
+
 def resolve_block_size(opts: "Options") -> int:
     """Explicit block size if set, else the per-version tuned default."""
     if opts.block_size > 0:
@@ -214,17 +245,11 @@ def compress(
     parser = FastqStreamParser(r, block_size=block_size)
     block_iter = parser.blocks()
 
-    first_block: Optional[RecordBlock] = None
-    for blk in block_iter:
-        first_block = blk
-        break
-
-    # Encoding detection from the first block only (compress.go:137-154).
-    qual_offset = refops.PHRED33_OFFSET
-    if first_block is not None and first_block.n > 0:
-        qual_offset = refops.detect_encoding(
-            first_block.qual, first_block.lengths
-        )
+    # Encoding detection from the reference's fixed window — the first
+    # min(DefaultBlockSize, file) records regardless of -b
+    # (compress.go:48-52,137-154).
+    peeked, qual_offset = peek_detection(block_iter)
+    first_block = peeked[0] if peeked else None
 
     flags = opts.flags
     if qual_offset == refops.PHRED64_OFFSET:
@@ -237,7 +262,7 @@ def compress(
         return
 
     def all_blocks():
-        yield first_block
+        yield from peeked
         yield from block_iter
 
     from ..runtime import bindings

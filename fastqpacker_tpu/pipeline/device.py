@@ -111,16 +111,10 @@ def compress_device(
     parser = FastqStreamParser(r, block_size=block_size)
     block_iter = parser.blocks()
 
-    first_block: Optional[RecordBlock] = None
-    for blk in block_iter:
-        first_block = blk
-        break
-
-    qual_offset = refops.PHRED33_OFFSET
-    if first_block is not None and first_block.n > 0:
-        qual_offset = refops.detect_encoding(
-            first_block.qual, first_block.lengths
-        )
+    # Phred detection from the reference's fixed min(100k, file)-record
+    # window regardless of -b (compress.go:48-52,137-154).
+    peeked, qual_offset = api.peek_detection(block_iter)
+    first_block = peeked[0] if peeked else None
     flags = opts.flags | (
         container.FLAG_PHRED64
         if qual_offset == refops.PHRED64_OFFSET
@@ -133,7 +127,7 @@ def compress_device(
         return
 
     def all_blocks():
-        yield first_block
+        yield from peeked
         yield from block_iter
 
     def finish(blk: RecordBlock, enc) -> bytes:

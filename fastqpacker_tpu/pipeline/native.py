@@ -493,24 +493,21 @@ def compress_native(
 
     parser = FastqStreamParser(r, block_size=block_size)
     block_iter = parser.blocks()
-    first_block: Optional[RecordBlock] = None
-    second_block: Optional[RecordBlock] = None
-    for blk in block_iter:
-        first_block = blk
-        break
-    if first_block is not None:
+    # Phred detection from the reference's fixed min(100k, file)-record
+    # window regardless of -b (compress.go:48-52,137-154).
+    peeked, qual_offset = api.peek_detection(block_iter)
+    first_block = peeked[0] if len(peeked) > 0 else None
+    second_block: Optional[RecordBlock] = (
+        peeked[1] if len(peeked) > 1 else None
+    )
+    if first_block is not None and second_block is None:
         # peek one more block (the reference's exact-one-block detect,
         # E021): a single-block container gains nothing from a
         # cross-block dictionary — its window already spans everything
         for blk in block_iter:
             second_block = blk
+            peeked.append(blk)
             break
-
-    qual_offset = refops.PHRED33_OFFSET
-    if first_block is not None and first_block.n > 0:
-        qual_offset = refops.detect_encoding(
-            first_block.qual, first_block.lengths
-        )
     flags = opts.flags | (
         container.FLAG_PHRED64
         if qual_offset == refops.PHRED64_OFFSET
@@ -563,9 +560,7 @@ def compress_native(
         return
 
     def all_blocks():
-        yield first_block
-        if second_block is not None:
-            yield second_block
+        yield from peeked
         yield from block_iter
 
     def encode_one(blk: RecordBlock) -> bytes:

@@ -3103,11 +3103,12 @@ struct MtStats {
     }                                                           \
   } while (0)
 
-// Phred offset detection over the first block (quality.go:22-49 semantics,
-// twin of ops/reference.py detect_encoding): min byte < 59 -> +33,
-// >= 64 -> +64, ambiguous or empty -> +33.
-inline uint8_t detect_qual_offset(const uint8_t* text,
-                                  const long long* offs, long long n) {
+// Minimum quality byte over n scanned records (for Phred detection,
+// quality.go:22-49; threshold logic lives in the caller so windows
+// spanning several scans can combine their mins). Sets *any when at
+// least one quality byte exists.
+inline uint8_t qual_min_over(const uint8_t* text, const long long* offs,
+                             long long n, bool* any_out) {
   uint8_t mn = 0xFF;
   bool any = false;
 #ifdef FQ_AVX2
@@ -3138,10 +3139,8 @@ inline uint8_t detect_qual_offset(const uint8_t* text,
       if (tmp[k] < mn) mn = tmp[k];
   }
 #endif
-  if (!any) return 33;
-  if (mn < 59) return 33;
-  if (mn >= 64) return 64;
-  return 33;
+  *any_out = any;
+  return mn;
 }
 
 // Long-read ambiguous-base fail-fast (compress.go:477-488 /
@@ -3246,8 +3245,57 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     err_info[0] = scan_err;
     return fail(MT_ERR_SCAN);
   }
+  // Phred detection over EXACTLY the reference's window: the first
+  // min(100000, file) records regardless of -b (the Go detection batch
+  // is fixed at NewRecordBatch(DefaultBlockSize), compress.go:48-52,
+  // 137-154). With small blocks the window extends past block 0 (extra
+  // scans below, parse errors there fail before any output — Go's first
+  // ReadBatch precedes the header write); with blocks > 100k records
+  // only the first 100k participate in the min.
+  const long long kDetectRecords = 100000;
   uint8_t qoffset = 33;
-  if (cnt0 > 0) qoffset = detect_qual_offset(text, offs0.data(), cnt0);
+  bool q_any = false;
+  uint8_t q_min = 0xFF;
+  if (cnt0 > 0)
+    q_min = qual_min_over(text, offs0.data(),
+                          cnt0 < kDetectRecords ? cnt0 : kDetectRecords,
+                          &q_any);
+  if (cnt0 == block_records && block_records < kDetectRecords) {
+    long long remaining = kDetectRecords - cnt0;
+    long long dpos = consumed0;
+    std::vector<long long> offsx;
+    try {
+      const long long chunk =
+          remaining < block_records ? remaining : block_records;
+      offsx.resize((size_t)(chunk * 8));
+    } catch (const std::bad_alloc&) {
+      return fail(-12);
+    }
+    while (remaining > 0 && dpos < n) {
+      const long long cap = (long long)(offsx.size() / 8) < remaining
+                                ? (long long)(offsx.size() / 8)
+                                : remaining;
+      long long dconsumed = 0;
+      int derr = 0;
+      const long long cnt = fq_scan_records(text + dpos, n - dpos, cap,
+                                            offsx.data(), &dconsumed, &derr);
+      if (cnt < 0) {
+        err_info[0] = derr;
+        return fail(MT_ERR_SCAN);
+      }
+      if (cnt == 0) break;
+      bool any2 = false;
+      const uint8_t m2 = qual_min_over(text + dpos, offsx.data(), cnt, &any2);
+      if (any2) {
+        q_any = true;
+        if (m2 < q_min) q_min = m2;
+      }
+      dpos += dconsumed;
+      remaining -= cnt;
+      if (cnt < cap) break;
+    }
+  }
+  if (q_any) qoffset = (q_min < 59) ? 33 : (q_min >= 64 ? 64 : 33);
 
   uint8_t fhdr[10] = {'F', 'Q', 'Z', 0};
   fhdr[4] = (uint8_t)version;
