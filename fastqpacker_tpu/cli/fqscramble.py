@@ -4,12 +4,14 @@ Shuffles bases within each read — preserving base composition, quality
 distribution, read lengths, and headers while destroying genomic content —
 with a seeded RNG for reproducibility (reference: cmd/fqscramble/main.go).
 
-The shuffle here is vectorized: reads are batched into padded matrices and
-permuted with a single argsort of masked random keys per batch, replacing
-the reference's per-read Fisher-Yates loop (main.go:152-158). The RNG
-differs from Go's PCG, so outputs are not byte-identical to the reference
-tool — it is a benchmark-data generator, not a codec — but determinism per
-seed is preserved.
+The default mode is **byte-identical to the Go tool**: the same
+``rand.NewPCG(seed, seed)`` PCG-DXSM stream, ``rand.Shuffle``
+Fisher-Yates with Lemire bounded ints, and the same 4-line state machine
+(main.go:72,111-158) — so scrambled corpora are comparable across
+implementations (same seed -> same bytes; utils/gopcg.py defines the
+semantics, the C++ runtime is the fast path). ``--fast`` selects the
+legacy vectorized mode instead (argsort of masked random keys per padded
+batch): ~10x faster but RNG-divergent from the reference.
 """
 
 from __future__ import annotations
@@ -25,9 +27,48 @@ import numpy as np
 from ..parser.fastq import FastqStreamParser
 
 
+def scramble_stream_pcg(
+    r: BinaryIO, w: BinaryIO, seed: int = 42, chunk_bytes: int = 64 << 20
+) -> None:
+    """Go-fqscramble-exact scramble (default mode): stream in chunks cut
+    at 4-line-group boundaries, carrying the PCG state across chunks."""
+    from ..runtime import bindings
+    from ..utils import gopcg
+
+    use_native = bindings.scramble_pcg_available()
+    state = np.array([seed, seed], dtype=np.uint64) if use_native else None
+    rng = None if use_native else gopcg.GoPCG(seed, seed)
+    pending = b""
+    while True:
+        chunk = r.read(chunk_bytes)
+        if not chunk:
+            break
+        buf = pending + chunk
+        # cut after the last complete 4-line group (groups are framed by
+        # newline count; the remainder carries into the next chunk)
+        nl = np.flatnonzero(np.frombuffer(buf, np.uint8) == 10)
+        complete_groups = len(nl) // 4
+        if complete_groups == 0:
+            pending = buf
+            continue
+        cut = int(nl[4 * complete_groups - 1]) + 1
+        part, pending = buf[:cut], buf[cut:]
+        if use_native:
+            w.write(bindings.scramble_pcg(part, seed, state))
+        else:
+            w.write(gopcg.scramble_text(part, seed, rng))
+    if pending:
+        if use_native:
+            w.write(bindings.scramble_pcg(pending, seed, state))
+        else:
+            w.write(gopcg.scramble_text(pending, seed, rng))
+
+
 def scramble_stream(
     r: BinaryIO, w: BinaryIO, seed: int = 42, block_size: int = 20000
 ) -> None:
+    """Legacy vectorized scramble (``--fast``): not byte-compatible with
+    the Go tool's PCG stream (use the default mode for that)."""
     rng = np.random.default_rng(seed)
     parser = FastqStreamParser(r, block_size=block_size)
     for blk in parser.blocks():
@@ -66,6 +107,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="output FASTQ file (default: stdout)")
     p.add_argument("-seed", "--seed", type=int, default=42,
                    help="random seed for reproducibility")
+    p.add_argument("--fast", action="store_true",
+                   help="legacy vectorized shuffle (faster, but NOT "
+                        "byte-identical to the Go tool's PCG stream)")
     p.add_argument("positional", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -92,7 +136,10 @@ def main(argv: list[str] | None = None) -> int:
         close_out = fo.close
 
     try:
-        scramble_stream(inp, out, seed=args.seed)
+        if args.fast:
+            scramble_stream(inp, out, seed=args.seed)
+        else:
+            scramble_stream_pcg(inp, out, seed=args.seed)
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1

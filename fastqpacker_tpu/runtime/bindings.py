@@ -1114,6 +1114,53 @@ def mt_available() -> bool:
     return lib is not None and hasattr(lib, "fq_compress_mt")
 
 
+def scramble_pcg_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fq_scramble_pcg")
+
+
+def scramble_pcg(
+    data: bytes | np.ndarray, seed: int = 42, state: np.ndarray | None = None
+) -> bytes:
+    """Go-fqscramble-exact PCG scramble of a FASTQ text chunk (C++ twin
+    of utils/gopcg.scramble_text). ``state``: optional 2-element uint64
+    array carrying the PCG state {hi, lo} across chunked calls (cut
+    chunks at 4-line-group boundaries); defaults to a fresh
+    ``NewPCG(seed, seed)``."""
+    lib = _load()
+    if not hasattr(lib, "_scramble_bound"):
+        lib.fq_scramble_pcg.restype = _ll
+        lib.fq_scramble_pcg.argtypes = [
+            _u8p, _ll, ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ]
+        lib._scramble_bound = True
+    src = (
+        np.frombuffer(data, np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else data
+    )
+    if state is None:
+        s = seed & ((1 << 64) - 1)
+        state = np.array([s, s], dtype=np.uint64)
+    handle = ctypes.c_void_p(None)
+    ptr = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.fq_scramble_pcg(
+        _nz_u8(src), len(src),
+        state.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.byref(handle), ctypes.byref(ptr),
+    )
+    if n < 0:
+        raise MemoryError("native scramble allocation failed")
+    try:
+        if n == 0:
+            return b""
+        return bytes(np.ctypeslib.as_array(ptr, shape=(int(n),)))
+    finally:
+        lib.fq_buf_free(handle)
+
+
 def _mt_raise_compress(code: int, info) -> None:
     from ..ops.reference import MAX_SEQUENCE_LENGTH
     from ..parser.fastq import FastqParseError

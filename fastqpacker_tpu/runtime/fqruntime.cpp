@@ -3768,3 +3768,201 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// fqscramble: byte-exact Go math/rand/v2 PCG scramble (cmd/fqscramble/
+// main.go:72,111-158). C++ twin of fastqpacker_tpu/utils/gopcg.py — the
+// Python module defines the semantics; this is the multi-GB fast path.
+// ---------------------------------------------------------------------------
+
+namespace gopcg {
+
+struct PCG {
+  // Go math/rand/v2 pcg.go: 128-bit LCG state, DXSM output.
+  unsigned __int128 state;
+  PCG(uint64_t seed1, uint64_t seed2) {
+    state = ((unsigned __int128)seed1 << 64) | seed2;
+  }
+  uint64_t next64() {
+    static const unsigned __int128 mul =
+        ((unsigned __int128)2549297995355413924ULL << 64) |
+        4865540595714422341ULL;
+    static const unsigned __int128 inc =
+        ((unsigned __int128)6364136223846793005ULL << 64) |
+        1442695040888963407ULL;
+    state = state * mul + inc;
+    uint64_t hi = (uint64_t)(state >> 64);
+    const uint64_t lo = (uint64_t)state;
+    hi ^= hi >> 32;
+    hi *= 0xda942042e4dd58b5ULL;
+    hi ^= hi >> 48;
+    hi *= (lo | 1);
+    return hi;
+  }
+  uint64_t uint64n(uint64_t n) {
+    // rand.go uint64n: pow2 mask, else Lemire multiply-shift with the
+    // -n % n threshold rejection loop (64-bit platform path).
+    if ((n & (n - 1)) == 0) return next64() & (n - 1);
+    unsigned __int128 prod = (unsigned __int128)next64() * n;
+    uint64_t lo = (uint64_t)prod;
+    if (lo < n) {
+      const uint64_t thresh = (0 - n) % n;
+      while (lo < thresh) {
+        prod = (unsigned __int128)next64() * n;
+        lo = (uint64_t)prod;
+      }
+    }
+    return (uint64_t)(prod >> 64);
+  }
+  template <typename T>
+  void shuffle(T* a, long long n) {
+    for (long long i = n - 1; i > 0; i--) {
+      const long long j = (long long)uint64n((uint64_t)(i + 1));
+      T t = a[i];
+      a[i] = a[j];
+      a[j] = t;
+    }
+  }
+};
+
+// Go []rune(string): one rune per valid UTF-8 sequence, U+FFFD per
+// invalid byte (utf8.DecodeRune advances 1 on error).
+inline void line_to_runes(const uint8_t* s, long long n,
+                          std::vector<uint32_t>& out) {
+  out.clear();
+  long long i = 0;
+  while (i < n) {
+    const uint8_t b0 = s[i];
+    if (b0 < 0x80) {
+      out.push_back(b0);
+      i++;
+      continue;
+    }
+    int need;
+    uint8_t lo, hi;
+    if (b0 >= 0xC2 && b0 <= 0xDF) {
+      need = 1; lo = 0x80; hi = 0xBF;
+    } else if (b0 >= 0xE0 && b0 <= 0xEF) {
+      need = 2;
+      lo = (b0 == 0xE0) ? 0xA0 : 0x80;
+      hi = (b0 == 0xED) ? 0x9F : 0xBF;
+    } else if (b0 >= 0xF0 && b0 <= 0xF4) {
+      need = 3;
+      lo = (b0 == 0xF0) ? 0x90 : 0x80;
+      hi = (b0 == 0xF4) ? 0x8F : 0xBF;
+    } else {
+      out.push_back(0xFFFD);
+      i++;
+      continue;
+    }
+    if (i + need >= n || s[i + 1] < lo || s[i + 1] > hi) {
+      out.push_back(0xFFFD);
+      i++;
+      continue;
+    }
+    bool ok = true;
+    for (int k = 2; k <= need; k++)
+      if (s[i + k] < 0x80 || s[i + k] > 0xBF) { ok = false; break; }
+    if (!ok) {
+      out.push_back(0xFFFD);
+      i++;
+      continue;
+    }
+    uint32_t v = b0 & (0x3F >> need);
+    for (int k = 1; k <= need; k++) v = (v << 6) | (s[i + k] & 0x3F);
+    out.push_back(v);
+    i += 1 + need;
+  }
+}
+
+inline void append_rune(std::vector<uint8_t>& out, uint32_t r) {
+  if (r < 0x80) {
+    out.push_back((uint8_t)r);
+  } else if (r < 0x800) {
+    out.push_back((uint8_t)(0xC0 | (r >> 6)));
+    out.push_back((uint8_t)(0x80 | (r & 0x3F)));
+  } else if (r < 0x10000) {
+    out.push_back((uint8_t)(0xE0 | (r >> 12)));
+    out.push_back((uint8_t)(0x80 | ((r >> 6) & 0x3F)));
+    out.push_back((uint8_t)(0x80 | (r & 0x3F)));
+  } else {
+    out.push_back((uint8_t)(0xF0 | (r >> 18)));
+    out.push_back((uint8_t)(0x80 | ((r >> 12) & 0x3F)));
+    out.push_back((uint8_t)(0x80 | ((r >> 6) & 0x3F)));
+    out.push_back((uint8_t)(0x80 | (r & 0x3F)));
+  }
+}
+
+}  // namespace gopcg
+
+extern "C" {
+
+// Scramble a FASTQ text buffer exactly like the Go fqscramble tool
+// (4-line state machine, per-read rune shuffle with the shared PCG
+// stream, trailing-\r strip, \n line endings, incomplete final group
+// dropped). ``state_io`` carries the 128-bit PCG state {hi, lo} across
+// calls so multi-GB inputs can stream in chunks cut at 4-line-group
+// boundaries (initialize to {seed, seed} = Go NewPCG(seed, seed)).
+// Output lands in an owned buffer (*out_handle/*out_ptr, free with
+// fq_buf_free). Returns output length, or -12 on allocation failure.
+long long fq_scramble_pcg(const uint8_t* text, long long n,
+                          unsigned long long* state_io, void** out_handle,
+                          uint8_t** out_ptr) {
+  gopcg::PCG rng((uint64_t)state_io[0], (uint64_t)state_io[1]);
+  auto* owned = new (std::nothrow) fqmt::OwnedBuf();
+  if (!owned) return -12;
+  try {
+    owned->v.reserve((size_t)n + 64);
+    std::vector<uint8_t> seq;
+    std::vector<uint32_t> runes;
+    const uint8_t* lines[4];
+    long long lens[4];
+    int li = 0;
+    long long i = 0;
+    while (i < n) {
+      const void* nl = memchr(text + i, '\n', (size_t)(n - i));
+      long long end = nl ? (long long)((const uint8_t*)nl - text) : n;
+      long long len = end - i;
+      if (len > 0 && text[i + len - 1] == '\r')
+        len--;  // strip trailing \r (bufio.ScanLines dropCR)
+      lines[li] = text + i;
+      lens[li] = len;
+      li++;
+      i = nl ? end + 1 : n;
+      if (li == 4) {
+        li = 0;
+        auto& out = owned->v;
+        out.insert(out.end(), lines[0], lines[0] + lens[0]);
+        out.push_back('\n');
+        // shuffle the sequence line (ASCII fast path: bytes == runes)
+        bool ascii = true;
+        for (long long k = 0; k < lens[1]; k++)
+          if (lines[1][k] >= 0x80) { ascii = false; break; }
+        if (ascii) {
+          seq.assign(lines[1], lines[1] + lens[1]);
+          rng.shuffle(seq.data(), (long long)seq.size());
+          out.insert(out.end(), seq.begin(), seq.end());
+        } else {
+          gopcg::line_to_runes(lines[1], lens[1], runes);
+          rng.shuffle(runes.data(), (long long)runes.size());
+          for (uint32_t r : runes) gopcg::append_rune(out, r);
+        }
+        out.push_back('\n');
+        out.insert(out.end(), lines[2], lines[2] + lens[2]);
+        out.push_back('\n');
+        out.insert(out.end(), lines[3], lines[3] + lens[3]);
+        out.push_back('\n');
+      }
+    }
+  } catch (const std::bad_alloc&) {
+    delete owned;
+    return -12;
+  }
+  state_io[0] = (unsigned long long)(uint64_t)(rng.state >> 64);
+  state_io[1] = (unsigned long long)(uint64_t)rng.state;
+  *out_handle = owned;
+  *out_ptr = owned->v.data();
+  return (long long)owned->v.size();
+}
+
+}  // extern "C"

@@ -53,4 +53,28 @@ python -m fastqpacker_tpu.cli.fqpack -d -i "$WORK/go.fqz" -o "$WORK/our_decoded.
 cmp "$WORK/in.fq" "$WORK/our_decoded.fq"
 echo "OK: we decode the Go binary's v2 byte-identically" >&2
 
+echo "== fqscramble PCG byte-parity ==" >&2
+BIN_SCRAMBLE=$(dirname "$BIN")/fqscramble
+(cd "$REF" && go build -o "$BIN_SCRAMBLE" ./cmd/fqscramble)
+"$BIN_SCRAMBLE" -seed 42 -i "$WORK/in.fq" -o "$WORK/go_scrambled.fq"
+python -m fastqpacker_tpu.cli.fqscramble -seed 42 -i "$WORK/in.fq" \
+  -o "$WORK/our_scrambled.fq"
+cmp "$WORK/go_scrambled.fq" "$WORK/our_scrambled.fq"
+echo "OK: fqscramble output is byte-identical to the Go tool" >&2
+
+echo "== capture go-binary fixture for tests/testdata ==" >&2
+head -c 40000 "$WORK/in.fq" > "$WORK/fix_raw"
+python - "$WORK/fix_raw" "$WORK/fixture_in.fq" <<'EOF'
+import sys
+raw = open(sys.argv[1], "rb").read()
+# cut at the last complete 4-line record
+lines = raw.split(b"\n")
+keep = (len(lines) - 1) // 4 * 4
+open(sys.argv[2], "wb").write(b"\n".join(lines[:keep]) + b"\n")
+EOF
+"$BIN" -b 100 -i "$WORK/fixture_in.fq" -o "$WORK/go_fixture.fqz"
+cp "$WORK/fixture_in.fq" "$WORK/go_fixture.fqz" "${FIXTURE_OUT:-$WORK}/" 2>/dev/null || true
+echo "fixture at ${FIXTURE_OUT:-$WORK}/go_fixture.fqz (set FIXTURE_OUT to collect;" >&2
+echo "commit as tests/testdata/golden/go_fixture.fqz + go_fixture_in.fq)" >&2
+
 echo "INTEROP PASS" >&2
