@@ -207,7 +207,6 @@ class ZstdCodec:
         self._cctx = self._lib.ZSTD_createCCtx()
         self._dctx = self._lib.ZSTD_createDCtx()
         self._accel_cctx = None  # lazy, see compress_adaptive
-        self._fast_cctx = None   # lazy, see compress_adaptive (E060)
         if not self._cctx or not self._dctx:
             raise ZstdError("failed to create zstd context")
         _check(
@@ -256,9 +255,6 @@ class ZstdCodec:
         if getattr(self, "_accel_cctx", None):
             lib.ZSTD_freeCCtx(self._accel_cctx)
             self._accel_cctx = None
-        if getattr(self, "_fast_cctx", None):
-            lib.ZSTD_freeCCtx(self._fast_cctx)
-            self._fast_cctx = None
         if getattr(self, "_dctx", None):
             lib.ZSTD_freeDCtx(self._dctx)
             self._dctx = None
@@ -296,28 +292,6 @@ class ZstdCodec:
         # materialize the whole compressBound-sized buffer first
         return ctypes.string_at(dst, n)
 
-    def _fast_ctx(self):
-        """Negative-level context for match-dominated streams (E060):
-        level -3 keeps the fast strategy but samples match-search
-        positions (~1.55x faster on the delta'd-quality stream); only
-        used when the dual probe in compress_adaptive proves the
-        stream's matches survive the sampling."""
-        if self._fast_cctx is None:
-            cctx = self._lib.ZSTD_createCCtx()
-            if not cctx:
-                raise ZstdError("failed to create zstd context")
-            for param, val in (
-                (_ZSTD_c_compressionLevel, -3),
-                (_ZSTD_c_hashLog, _FAST_HASH_LOG),
-                (_ZSTD_c_checksumFlag, 1 if self._checksum else 0),
-            ):
-                _check(
-                    self._lib,
-                    self._lib.ZSTD_CCtx_setParameter(cctx, param, val),
-                )
-            self._fast_cctx = cctx
-        return self._fast_cctx
-
     def compress_adaptive(self, data) -> bytes:
         """Compress, accelerating streams a sampled probe shows to be
         incompressible (e.g. 2-bit packed high-entropy DNA, where the
@@ -329,16 +303,9 @@ class ZstdCodec:
             return self._compress_ctx(self._cctx, data)
         probe = self._compress_ctx(self._cctx, mv[:_PROBE_BYTES])
         if len(probe) < _PROBE_INCOMPRESSIBLE * _PROBE_BYTES:
-            if len(probe) * 4 <= _PROBE_BYTES:
-                # E060: probe compresses >= 4x, so matches (not literal
-                # entropy) dominate — adopt the sampled-search negative-
-                # level context for the full stream if the matches
-                # survive the sampling (probe within 1.2x). Byte-identical
-                # twin of the runtime's fq_zstd_adaptive fast path.
-                fast = self._fast_ctx()
-                fprobe = self._compress_ctx(fast, mv[:_PROBE_BYTES])
-                if len(fprobe) * 5 <= len(probe) * 6:
-                    return self._compress_ctx(fast, data)
+            # (A negative-level context for match-dominated streams was
+            # tried here and removed: re-measured at +13-14% stream size
+            # for <=2% speed on the warm heap — journal E060.)
             return self._compress_ctx(self._cctx, data)
         if self._checksum and len(mv) <= _STORE_MAX_STREAM:
             # E041: incompressible stream -> stored raw-block frame at

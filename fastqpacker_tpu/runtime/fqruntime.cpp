@@ -2204,13 +2204,11 @@ struct RawArena {
 struct ZstdWorker {
   ZSTD_CCtx* cctx = nullptr;   // normal level-1 context
   ZSTD_CCtx* accel = nullptr;  // incompressible-stream context
-  ZSTD_CCtx* fast = nullptr;   // match-dominated-stream context (E060)
   RawArena scratch;            // raw stream build arena (grow-only, no init)
   std::vector<uint8_t> probe;  // probe compress destination (tiny)
   ~ZstdWorker() {
     if (cctx) ZSTD_freeCCtx(cctx);
     if (accel) ZSTD_freeCCtx(accel);
-    if (fast) ZSTD_freeCCtx(fast);
   }
   ZSTD_CCtx* ctx(bool accelerated) {
     ZSTD_CCtx** slot = accelerated ? &accel : &cctx;
@@ -2228,22 +2226,9 @@ struct ZstdWorker {
     }
     return *slot;
   }
-  // Negative-level context for match-dominated streams (E060): level -3
-  // keeps the fast strategy but samples match-search positions, ~1.55x
-  // faster on the delta'd-quality stream; only used when a second probe
-  // proves the stream's matches survive the sampling (<= 1.2x the
-  // level-1 probe size). Python twin: entropy/zstd.py _fast_cctx.
-  ZSTD_CCtx* fast_ctx() {
-    if (fast == nullptr) {
-      ZSTD_CCtx* c = ZSTD_createCCtx();
-      if (!c) return nullptr;
-      ZSTD_CCtx_setParameter(c, ZSTD_c_compressionLevel, -3);
-      ZSTD_CCtx_setParameter(c, ZSTD_c_hashLog, 13);
-      ZSTD_CCtx_setParameter(c, ZSTD_c_checksumFlag, 1);
-      fast = c;
-    }
-    return fast;
-  }
+  // (A negative-level "fast" context for match-dominated streams lived
+  // here from r2's E060 and was removed after re-measurement: +13-14%
+  // stream size for <= 2% speed on the warm heap — journal E060.)
 };
 
 thread_local ZstdWorker g_zstd_worker;
@@ -2295,18 +2280,6 @@ size_t fq_zstd_adaptive(ZstdWorker& w, const uint8_t* src, size_t n,
     if (!ZSTD_isError(pn) &&
         (double)pn >= 0.97 * (double)kProbeBytes) {
       accelerated = true;
-    } else if (!ZSTD_isError(pn) && pn * 4 <= kProbeBytes) {
-      // E060: the probe compresses >= 4x, so matches (not literal
-      // entropy) dominate — try the sampled-search negative-level
-      // context on the same probe; adopt it for the full stream only
-      // if the matches survive the sampling (probe within 1.2x).
-      ZSTD_CCtx* f = w.fast_ctx();
-      if (f) {
-        const size_t fn =
-            ZSTD_compress2(f, w.probe.data(), pbound, src, kProbeBytes);
-        if (!ZSTD_isError(fn) && fn * 5 <= pn * 6)
-          return ZSTD_compress2(f, dst, cap, src, n);
-      }
     }
   }
   if (accelerated && n <= kStoreMaxStream) {
