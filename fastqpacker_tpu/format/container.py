@@ -54,6 +54,9 @@ TAG_TOK = 2  # header token-delta transform (ops/tokenize.py) + zstd
 TAG_QCTX = 3  # order-1/2 context-modeled quality rANS (ops/qualctx.py)
 TAG_SCTX = 4  # order-k context-modeled sequence rANS (ops/seqctx.py)
 TAG_SLDM = 5  # unpacked base codes + long-distance-matching zstd (ops/sldm.py)
+TAG_WCTX = 6  # wide-interleaved context-modeled rANS (ops/wctx.py), the
+# device-mesh entropy coder's context-model format (seq order-k / qual
+# order-1 tables, thousands of record-aligned lanes in lockstep)
 # TPU-native format: rANS entropy coding + per-block CRC32. Not readable by
 # the Go reference; our decoder reads all three versions.
 VERSION_3_NATIVE = 3

@@ -1119,6 +1119,66 @@ def scramble_pcg_available() -> bool:
     return lib is not None and hasattr(lib, "fq_scramble_pcg")
 
 
+def wctx_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fq_wctx_decode")
+
+
+def wctx_decode(
+    words: np.ndarray,
+    states: np.ndarray,
+    lengths: np.ndarray,
+    model: int,
+    order: int,
+    present: np.ndarray,
+    freq_p: np.ndarray,
+) -> np.ndarray:
+    """TAG_WCTX lockstep decode (C++ twin of ops/wctx.py decode) ->
+    flat unpacked symbols."""
+    lib = _load()
+    if not hasattr(lib, "_wctx_bound"):
+        lib.fq_wctx_decode.restype = ctypes.c_int
+        lib.fq_wctx_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16), _ll,
+            ctypes.POINTER(ctypes.c_uint32), _ll,
+            _i64p, _ll, ctypes.c_int, ctypes.c_int,
+            _u8p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), _ll,
+            _u8p, _ll,
+        ]
+        lib._wctx_bound = True
+    words = np.ascontiguousarray(words, dtype=np.uint16)
+    states = np.ascontiguousarray(states, dtype=np.uint32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    present = np.ascontiguousarray(present, dtype=np.uint8)
+    freq_p = np.ascontiguousarray(freq_p, dtype=np.uint16)
+    total = int(lengths.sum())
+    out = np.empty(total, dtype=np.uint8)
+    rc = lib.fq_wctx_decode(
+        words.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        len(words),
+        states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(states),
+        lengths, len(lengths),
+        int(model), int(order),
+        present, len(present),
+        freq_p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        freq_p.shape[0],
+        out, total,
+    )
+    if rc == -2:
+        raise ValueError("truncated wctx words")
+    if rc == -3:
+        raise ValueError("trailing wctx words")
+    if rc in (-1, -4):
+        raise ValueError("corrupted wctx stream")
+    if rc == -12:
+        raise MemoryError("wctx decode allocation failed")
+    if rc != 0:
+        raise ValueError(f"wctx decode failed ({rc})")
+    return out
+
+
 def scramble_pcg(
     data: bytes | np.ndarray, seed: int = 42, state: np.ndarray | None = None
 ) -> bytes:

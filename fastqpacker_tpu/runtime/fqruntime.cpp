@@ -3939,3 +3939,179 @@ long long fq_scramble_pcg(const uint8_t* text, long long n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TAG_WCTX decode: sequential lockstep twin of ops/wctx.py (the
+// wide-interleaved context-modeled rANS coder the device mesh writes).
+// Walks all N lanes per step in lane order — exactly the device scan's
+// word-consumption order — with the per-model context recurrence
+// (seq order-k shift / qual position-bucket x prev-bin) carried per lane.
+// ---------------------------------------------------------------------------
+
+namespace wctx {
+
+constexpr int kProbBits = 12;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 16;
+
+// qualctx.chunk_bounds twin: record-aligned, symbol-balanced lane
+// bounds. rb[k] = searchsorted_left(csum, total*k/N) + 1, clamped.
+inline void lane_bounds(const long long* lengths, long long nrec,
+                        long long n_lanes, std::vector<long long>& rb,
+                        std::vector<long long>& sb) {
+  std::vector<long long> csum((size_t)nrec);
+  long long acc = 0;
+  for (long long i = 0; i < nrec; i++) {
+    acc += lengths[i];
+    csum[(size_t)i] = acc;
+  }
+  const long long total = nrec ? acc : 0;
+  rb.assign((size_t)n_lanes + 1, 0);
+  for (long long k = 1; k < n_lanes; k++) {
+    long long b = 0;
+    if (total) {
+      const long long target = total * k / n_lanes;
+      // searchsorted left
+      long long lo = 0, hi = nrec;
+      while (lo < hi) {
+        const long long mid = (lo + hi) >> 1;
+        if (csum[(size_t)mid] < target)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      b = lo + 1;
+    }
+    if (b < rb[(size_t)k - 1]) b = rb[(size_t)k - 1];
+    if (b > nrec) b = nrec;
+    rb[(size_t)k] = b;
+  }
+  rb[(size_t)n_lanes] = nrec;
+  sb.assign((size_t)n_lanes + 1, 0);
+  for (long long k = 0; k <= n_lanes; k++)
+    sb[(size_t)k] = rb[(size_t)k] == 0 ? 0 : csum[(size_t)rb[(size_t)k] - 1];
+}
+
+}  // namespace wctx
+
+extern "C" {
+
+// Decode a TAG_WCTX word stream to flat unpacked symbols.
+//   words/nwords, states (N), lengths (nrec) — already wire-parsed;
+//   model 0 = seq order-k (order in [2,6]), 1 = qual order-1 (order 0);
+//   present (npres ascending u8 values), freq (C, npres) u16 rows
+//   summing to 0 or 4096; out must hold total = sum(lengths) bytes.
+// Returns 0, or a negative typed error (-1 corrupt stream, -2 truncated
+// words, -3 trailing words, -4 bad table, -12 alloc).
+int fq_wctx_decode(const uint16_t* words, long long nwords,
+                   const uint32_t* states, long long n_lanes,
+                   const long long* lengths, long long nrec, int model,
+                   int order, const uint8_t* present, int npres,
+                   const uint16_t* freq, long long C, uint8_t* out,
+                   long long total) {
+  using namespace wctx;
+  if (n_lanes <= 0 || npres <= 0 || C <= 0) return -4;
+  std::vector<long long> rb, sb;
+  std::vector<int32_t> pcum;
+  std::vector<uint64_t> x;
+  std::vector<int32_t> ctx, p, prev, nxt, ri;
+  std::vector<long long> seg;
+  try {
+    lane_bounds(lengths, nrec, n_lanes, rb, sb);
+    // exclusive cumulative per context + row validity
+    pcum.resize((size_t)(C * npres));
+    for (long long c = 0; c < C; c++) {
+      int32_t accu = 0;
+      const uint16_t* row = freq + c * npres;
+      int32_t* prow = pcum.data() + c * npres;
+      for (int j = 0; j < npres; j++) {
+        prow[j] = accu;
+        accu += row[j];
+      }
+      if (accu != 0 && accu != (int32_t)kProbScale) return -4;
+    }
+    x.resize((size_t)n_lanes);
+    ctx.assign((size_t)n_lanes, 0);
+    p.assign((size_t)n_lanes, -1);
+    prev.assign((size_t)n_lanes, 0);
+    nxt.assign((size_t)n_lanes, 0);
+    ri.assign((size_t)n_lanes, 0);
+    seg.resize((size_t)n_lanes);
+  } catch (const std::bad_alloc&) {
+    return -12;
+  }
+  long long S = 0;
+  for (long long l = 0; l < n_lanes; l++) {
+    x[(size_t)l] = states[l];
+    seg[(size_t)l] = sb[(size_t)l + 1] - sb[(size_t)l];
+    if (seg[(size_t)l] > S) S = seg[(size_t)l];
+  }
+  const int32_t cmask =
+      model == 0 ? ((1 << (2 * order)) - 1) : 0;
+  long long wi = 0;
+  for (long long t = 0; t < S; t++) {
+    for (long long l = 0; l < n_lanes; l++) {
+      // record-start mask (start_matrix semantics: row 0 forced True;
+      // padding rows are record-continuation)
+      bool start = (t == 0);
+      const long long r0 = rb[(size_t)l], r1 = rb[(size_t)l + 1];
+      if (t == (long long)nxt[(size_t)l] && t < seg[(size_t)l]) start = true;
+      if (start) {
+        // advance nxt past this start's (nonzero) record
+        long long r = r0 + ri[(size_t)l];
+        while (r < r1 && lengths[r] == 0) r++;
+        if (r < r1) {
+          nxt[(size_t)l] = (int32_t)(t + lengths[r]);
+          ri[(size_t)l] = (int32_t)(r - r0 + 1);
+        } else {
+          nxt[(size_t)l] = -1;
+        }
+      }
+      // context recurrence (identical to the device scan carry)
+      if (model == 0) {
+        ctx[(size_t)l] =
+            start ? 0 : (((ctx[(size_t)l] << 2) | prev[(size_t)l]) & cmask);
+        p[(size_t)l] = start ? 0 : p[(size_t)l] + 1;
+      } else {
+        p[(size_t)l] = start ? 0 : p[(size_t)l] + 1;
+        const int32_t qbin =
+            start ? 47
+                  : (prev[(size_t)l] < 46 ? prev[(size_t)l] : 46);
+        int32_t pb = p[(size_t)l] >> 4;
+        if (pb > 7) pb = 7;
+        ctx[(size_t)l] = pb * 48 + qbin;
+      }
+      if (ctx[(size_t)l] >= C) return -1;
+      // symbol: rightmost j with pcum[j] <= slot (guaranteed f > 0)
+      uint64_t xv = x[(size_t)l];
+      const int32_t slot = (int32_t)(xv & (kProbScale - 1));
+      const int32_t* prow = pcum.data() + (size_t)ctx[(size_t)l] * npres;
+      int lo = 0, hi = npres - 1;
+      while (lo < hi) {
+        const int mid = (lo + hi + 1) >> 1;
+        if (prow[mid] <= slot)
+          lo = mid;
+        else
+          hi = mid - 1;
+      }
+      const int j = lo;
+      const int32_t c0 = prow[j];
+      const int32_t f = freq[(size_t)ctx[(size_t)l] * npres + j];
+      if (f == 0) return -1;
+      xv = (uint64_t)f * (xv >> kProbBits) + (uint64_t)(slot - c0);
+      if (xv < kRansL) {
+        if (wi >= nwords) return -2;
+        xv = (xv << 16) | words[wi++];
+      }
+      x[(size_t)l] = xv;
+      const uint8_t raw = present[j];
+      prev[(size_t)l] = raw;
+      if (t < seg[(size_t)l]) out[sb[(size_t)l] + t] = raw;
+    }
+  }
+  if (wi != nwords) return -3;
+  (void)total;
+  return 0;
+}
+
+}  // extern "C"
