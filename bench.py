@@ -33,6 +33,7 @@ def synth_fastq(
     read_len: int = 151,
     seed: int = 42,
     genomic: bool = False,
+    markov: bool = False,
 ) -> bytes:
     """Generate realistic-shape Illumina FASTQ (vectorized + native assembly).
 
@@ -40,12 +41,72 @@ def synth_fastq(
     (~40 Mb at 15x) instead of IID bases — the block-local redundancy
     structure of real sequencing runs, which the v3 TAG_SLDM candidate
     exists for (PERFORMANCE.md E039).
+
+    ``markov=True`` is the *context-model* corpus: an order-1 Markov
+    genome (circulant transitions, ~1.66 bits/base conditional entropy —
+    the local composition bias real genomes have) sampled at ~1x
+    coverage (no LZ-exploitable repeats), plus per-record FRESH
+    random-walk qualities (no tiled-row repeats). On this shape the
+    order-k sequence and order-1 quality context models (sctx/qctx on
+    host, wctx on the mesh) are the honest winners — LZ sees nothing.
     """
     rng = np.random.default_rng(seed)
     rec_bytes = 38 + 2 * (read_len + 1) + 2
     n = (target_mb << 20) // rec_bytes
 
     bases = np.frombuffer(b"ACGT", np.uint8)
+    if markov:
+        glen = max(n * read_len, read_len + 1)  # ~1x coverage
+        # General (non-additive) order-1 transition matrix at ~1.84
+        # bits/base conditional entropy: enough structure for an order-k
+        # context model to win visibly, but invisible to LZ — rows are
+        # permuted so there is no dominant step/run pattern that would
+        # hand zstd offset-1 or periodic matches.
+        probs = np.array(
+            [
+                [0.17, 0.45, 0.25, 0.13],
+                [0.13, 0.17, 0.45, 0.25],
+                [0.45, 0.25, 0.13, 0.17],
+                [0.25, 0.13, 0.17, 0.45],
+            ]
+        )
+        prob16 = np.round(probs * 65536).astype(np.uint16)
+        from fastqpacker_tpu.runtime import bindings as _rt
+
+        if _rt.available():
+            genome = _rt.markov_gen(glen, prob16, seed)
+        else:  # sequential fallback (small corpora only)
+            cum = np.cumsum(prob16.astype(np.uint32), axis=1)
+            cum[:, 3] = 65536
+            u = rng.integers(0, 65536, glen, dtype=np.uint32)
+            genome = np.empty(glen, np.uint8)
+            prev = 0
+            for i in range(glen):
+                row = cum[prev]
+                ui = u[i]
+                prev = int(ui >= row[0]) + int(ui >= row[1]) + int(
+                    ui >= row[2]
+                )
+                genome[i] = prev
+        # disjoint shuffled partition: exactly-1x coverage with ZERO
+        # read overlap, so no LZ-matchable duplication survives — the
+        # remaining seq structure is purely the Markov composition bias
+        starts = rng.permutation(n).astype(np.int64) * read_len
+        codes = genome[starts[:, None] + np.arange(read_len)]
+        ne = max(1, n * read_len // 500)
+        codes[rng.integers(0, n, ne), rng.integers(0, read_len, ne)] = (
+            rng.integers(0, 4, ne).astype(np.uint8)
+        )
+        seq = bases[codes]
+        nn = max(1, n * read_len // 1000)
+        seq[
+            rng.integers(0, n, nn), rng.integers(0, read_len, nn)
+        ] = ord("N")
+        qsteps = rng.integers(-2, 3, size=(n, read_len)).astype(np.int32)
+        qual = np.clip(
+            33 + 30 + np.cumsum(qsteps, axis=1) // 3, 33, 74
+        ).astype(np.uint8)
+        return _assemble_fastq(n, read_len, seq, qual)
     if genomic:
         coverage = 15
         glen = max(n * read_len // coverage, read_len + 1)
@@ -74,6 +135,12 @@ def synth_fastq(
     ).astype(np.uint8)
     qual = qrows[np.arange(n) % pool]
 
+    return _assemble_fastq(n, read_len, seq, qual)
+
+
+def _assemble_fastq(
+    n: int, read_len: int, seq: np.ndarray, qual: np.ndarray
+) -> bytes:
     # vectorized header synthesis: fixed-width zero-padded read ids
     # ("@SIM0.0000123 k:N:0:ACGTACGT length=151")
     digits = 9
@@ -101,7 +168,7 @@ def synth_fastq(
     # fallback: simple join (slower, small inputs only)
     out = []
     for i in range(n):
-        out.append(hbuf[hstart[i] - 1 : hend[i]].tobytes() + b"\n")
+        out.append(hbuf[hstart[i] - 1 : hstart[i] + hlen[i]].tobytes() + b"\n")
         out.append(seq[i].tobytes() + b"\n+\n")
         out.append(qual[i].tobytes() + b"\n")
     return b"".join(out)

@@ -158,9 +158,13 @@ def start_matrix(
     lengths: np.ndarray, sb: np.ndarray, S: int
 ) -> np.ndarray:
     """(S, N) bool: position (t, l) begins a record. Row 0 is forced True
-    (every non-empty lane starts on a record boundary; empty lanes get a
-    deterministic all-padding pseudo-record) — the decoder derives the
-    identical matrix, so the context recurrence agrees by construction."""
+    and EVERY padding cell is True (each pad symbol is its own
+    pseudo-record), so padding always codes under one fixed, known
+    context (0 for seq, the record-start sentinel context for qual) —
+    production table building then needs only the data histogram plus a
+    single (pad ctx, pad sym) count, no padded context matrix. The
+    decoder derives the identical matrix from lengths, so the context
+    recurrence agrees by construction."""
     lengths = lengths.astype(np.int64)
     total = int(lengths.sum())
     marks = np.zeros(total, dtype=bool)
@@ -168,7 +172,7 @@ def start_matrix(
         starts = np.zeros(len(lengths), dtype=np.int64)
         np.cumsum(lengths[:-1], out=starts[1:])
         marks[starts[lengths > 0]] = True
-    m = to_matrix(marks, sb, S, 0)
+    m = to_matrix(marks, sb, S, 1)  # padding cells -> True
     if S:
         m[0, :] = True
     return m
@@ -255,8 +259,10 @@ def normalize_tables(hist: np.ndarray) -> np.ndarray:
 def estimate_size(
     hist: np.ndarray, lanes: int, freq: np.ndarray | None = None
 ) -> int:
-    """Coded-size estimate from the (C, 256) histogram: exact payload
-    bits + lane states + approximate compressed table bytes."""
+    """Coded-size estimate from the (C, A) data histogram: exact payload
+    bits + lane states + the EXACT compressed table bytes (the dense
+    present-column table is <= 32 KB, so compressing it for the estimate
+    costs ~nothing and removes the pick's main error source)."""
     if freq is None:
         freq = normalize_tables(hist)
     nz = hist > 0
@@ -264,9 +270,17 @@ def estimate_size(
     bits = float(
         np.sum(hist[nz] * (PROB_BITS - np.log2(np.maximum(f[nz], 1))))
     )
-    used = int((hist.sum(axis=1) > 0).sum())
-    npres = int(nz.any(axis=0).sum())
-    table_bytes = int(used * npres * 2 * 0.45) + npres + 8
+    present = np.flatnonzero(nz.any(axis=0))
+    npres = len(present)
+    from ..entropy import zstd as zstd_entropy
+
+    table_bytes = len(
+        zstd_entropy.get_codec().compress(
+            np.ascontiguousarray(
+                freq[:, present].astype("<u2")
+            ).tobytes()
+        )
+    )
     return (
         int(bits / 8) + 12 + table_bytes + 4 * lanes + 4 + 2 + npres
     )

@@ -594,3 +594,357 @@ def entropy_decode_streams(
     for i, pp in enumerate(parsed):
         res.append(b"" if pp is None else out[i, : pp[0]].tobytes())
     return res
+
+
+# ---------------------------------------------------------------------------
+# Sharded context-modeled entropy stage (ops/wctx.py under shard_map) —
+# the device coder that keeps the v3 context-model ratio wins on-mesh
+# (VERDICT r2 #1: order-0 rANS on packed bytes loses to every host path).
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "S", "N", "L", "B"),
+)
+def wctx_encode_sharded(
+    symm: jax.Array,  # (D, S, N) uint8 present-index symbols
+    ctxm: jax.Array,  # (D, S, N) uint16 context ids
+    steps: jax.Array,  # (D,) int32 valid rows per shard
+    planes: jax.Array,  # (D, 2, H, L*B) int8 per-block pcum planes
+    *,
+    mesh: Mesh,
+    S: int,
+    N: int,
+    L: int,
+    B: int,
+):
+    """Per-shard backward context-rANS encode + emit-bitmask pack; the
+    word compaction stays on host (rans_compact), exactly like
+    :func:`entropy_encode_sharded_raw` (E057)."""
+    from ..ops import wctx
+
+    def local(symm_l, ctxm_l, steps_l, planes_l):
+        emits, emask, states = wctx._encode_kernel.__wrapped__(
+            symm_l[0], ctxm_l[0].astype(jnp.int32),
+            steps_l.reshape(()).astype(jnp.int32), planes_l[0],
+            S, N, L, B,
+        )
+        bits = emask.reshape(-1, 8).astype(jnp.uint8)
+        weights = (jnp.uint8(1) << jax.lax.iota(jnp.uint8, 8))[None, :]
+        mask_bits = jnp.sum(bits * weights, axis=1, dtype=jnp.uint8)
+        total = jnp.sum(emask.astype(jnp.int32))
+        return (
+            emits.reshape(-1)[None, :],
+            mask_bits[None, :],
+            states[None, :],
+            total[None],
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(BLOCK_AXIS, None, None), P(BLOCK_AXIS, None, None),
+            P(BLOCK_AXIS), P(BLOCK_AXIS, None, None, None),
+        ),
+        out_specs=(
+            P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None), P(BLOCK_AXIS),
+        ),
+        check_vma=False,
+    )(symm, ctxm, steps, planes)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "S", "N", "L", "B", "model", "order"),
+)
+def wctx_decode_sharded(
+    words: jax.Array,  # (D, W) uint16
+    states: jax.Array,  # (D, N) uint32
+    startm_bits: jax.Array,  # (D, S, N//8) uint8
+    steps: jax.Array,  # (D,) int32
+    planes: jax.Array,  # (D, 2, H, L*B) int8
+    dpres: jax.Array,  # (D, B) int32
+    *,
+    mesh: Mesh,
+    S: int,
+    N: int,
+    L: int,
+    B: int,
+    model: int,
+    order: int,
+):
+    from ..ops import wctx
+
+    def local(words_l, states_l, startm_l, steps_l, planes_l, dpres_l):
+        out, x, consumed = wctx._decode_kernel.__wrapped__(
+            words_l.reshape(-1), states_l.reshape(-1), startm_l[0],
+            steps_l.reshape(()).astype(jnp.int32), planes_l[0],
+            dpres_l.reshape(-1), S, N, L, B, model, order,
+        )
+        return out[None], consumed[None]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None, None), P(BLOCK_AXIS),
+            P(BLOCK_AXIS, None, None, None), P(BLOCK_AXIS, None),
+        ),
+        out_specs=(P(BLOCK_AXIS, None, None), P(BLOCK_AXIS)),
+        check_vma=False,
+    )(words, states, startm_bits, steps, planes, dpres)
+
+
+def _wctx_block_prep(syms, lengths, hist, model, order, N):
+    """Host-side per-block prep for the sharded wctx encode: lane
+    layout, matrices, tables, planes. ``hist``: (C, 256) DATA histogram
+    (padding is added here). Returns a dict of batchable pieces."""
+    import struct as _struct
+
+    from ..ops import wctx
+
+    C, H, L = wctx.model_geometry(model, order)
+    lengths = np.asarray(lengths, np.int64)
+    sb, S = wctx.lane_bounds(lengths, N)
+    n = len(syms)
+    pads = S * N - n
+    hist = hist.astype(np.int64).copy()
+    pad_sym = int(np.argmax(hist.sum(axis=0)))
+    pad_ctx = 0 if model == wctx.MODEL_SEQ else wctx.NUM_QBINS - 1
+    hist[pad_ctx, pad_sym] += pads
+    present = np.flatnonzero(hist.sum(axis=0) > 0)
+    freq_full = wctx.normalize_tables(hist)
+    freq_p = np.ascontiguousarray(freq_full[:, present])
+    npres = len(present)
+    startm = wctx.start_matrix(lengths, sb, S)
+    symm = wctx.to_matrix(np.asarray(syms, np.uint8), sb, S, pad_sym)
+    ctxm = wctx.context_matrix(symm, startm, model, order)
+    sym_idx = wctx._sym_to_idx(present)[symm]
+    return {
+        "sb": sb, "S": S, "n": n, "npres": npres,
+        "present": present, "freq_p": freq_p,
+        "sym_idx": sym_idx, "ctxm": ctxm,
+        "C": C, "H": H, "L": L,
+    }
+
+
+def wctx_encode_streams(
+    jobs: list,
+    model: int,
+    order: int,
+    mesh: Optional[Mesh] = None,
+    lanes: int | None = None,
+) -> list[bytes]:
+    """Encode one unpacked symbol stream per device through the sharded
+    context coder; returns standalone TAG_WCTX wire payloads (each
+    independently decodable by ops/wctx.decode_stream / the C++ twin).
+
+    ``jobs``: up to D entries of ``(flat_syms, lengths, data_hist)``
+    where ``data_hist`` is the (C, 256) histogram over data positions
+    (native sctx/qualctx prepare output reshaped); ``None`` entries are
+    skipped (their payload comes back as ``None``).
+    """
+    import struct
+
+    from ..ops import wctx
+    from ..runtime import bindings as rt
+    from ..entropy import zstd as zstd_entropy
+
+    mesh = mesh or make_mesh()
+    d = len(mesh.devices.flat)
+    if len(jobs) > d:
+        raise ValueError(f"need <= {d} jobs, got {len(jobs)}")
+    jobs = list(jobs) + [None] * (d - len(jobs))
+    C, H, L = wctx.model_geometry(model, order)
+    max_n = max((len(j[0]) for j in jobs if j), default=0)
+    if max_n == 0:
+        return [None] * d
+    N = lanes or wctx.pick_lanes(max_n)
+
+    preps = [
+        _wctx_block_prep(j[0], j[1], j[2], model, order, N) if j else None
+        for j in jobs
+    ]
+    B = 2
+    while B < max(p["npres"] for p in preps if p):
+        B *= 2
+    S_pad = wctx._pick_smax(max(p["S"] for p in preps if p))
+
+    symb = np.zeros((d, S_pad, N), np.uint8)
+    ctxb = np.zeros((d, S_pad, N), np.uint16)
+    steps = np.zeros(d, np.int32)
+    planes = np.zeros((d, 2, H, L * B), np.int8)
+    for i, p in enumerate(preps):
+        if p is None:
+            continue
+        symb[i, : p["S"]] = p["sym_idx"]
+        ctxb[i, : p["S"]] = p["ctxm"].astype(np.uint16)
+        steps[i] = p["S"]
+        pcum = wctx._pcum_from_freq(p["freq_p"])
+        pcum_b = np.zeros((C, B), np.int32)
+        pcum_b[:, : p["npres"]] = pcum
+        if p["npres"] < B:
+            tail = pcum[:, -1] + p["freq_p"][:, -1].astype(np.int32)
+            for jcol in range(p["npres"], B):
+                pcum_b[:, jcol] = tail
+        planes[i] = wctx.pack_planes(pcum_b, H, L)
+
+    sh3 = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+    sh4 = NamedSharding(mesh, P(BLOCK_AXIS, None, None, None))
+    lsh = NamedSharding(mesh, P(BLOCK_AXIS))
+    emits, mask_bits, states, totals = wctx_encode_sharded(
+        jax.device_put(symb, sh3),
+        jax.device_put(ctxb, sh3),
+        jax.device_put(steps, lsh),
+        jax.device_put(planes, sh4),
+        mesh=mesh, S=S_pad, N=N, L=L, B=B,
+    )
+    emits = np.asarray(emits)
+    mask_bits = np.asarray(mask_bits)
+    states = np.asarray(states)
+    totals = np.asarray(totals)
+
+    codec = zstd_entropy.get_codec()
+    out: list[bytes | None] = []
+    for i, p in enumerate(preps):
+        if p is None:
+            out.append(None)
+            continue
+        if rt.available():
+            words = rt.rans_compact(emits[i], mask_bits[i])
+        else:
+            m = np.unpackbits(
+                mask_bits[i], bitorder="little"
+            ).astype(bool)
+            words = emits[i][m]
+        assert len(words) == int(totals[i])
+        blob = codec.compress(
+            np.ascontiguousarray(p["freq_p"].astype("<u2")).tobytes()
+        )
+        payload = bytearray()
+        payload += struct.pack(
+            wctx.HEADER_FMT, model, order, N.bit_length() - 1, p["n"]
+        )
+        payload += struct.pack("<H", p["npres"])
+        payload += p["present"].astype(np.uint8).tobytes()
+        payload += struct.pack("<I", len(blob))
+        payload += blob
+        payload += struct.pack("<I", len(words))
+        payload += states[i].astype("<u4").tobytes()
+        payload += words.astype("<u2").tobytes()
+        out.append(bytes(payload))
+    return out
+
+
+def wctx_decode_streams(
+    payloads: list,
+    lengths_list: list,
+    mesh: Optional[Mesh] = None,
+) -> list | None:
+    """Batch-decode one TAG_WCTX payload per device — the decode twin of
+    :func:`wctx_encode_streams`. Returns flat unpacked symbol arrays, or
+    ``None`` when the group is not batchable (mixed models/orders/lane
+    counts — fall back to per-stream decoding). ``None`` payload slots
+    are skipped."""
+    from ..ops import wctx
+
+    mesh = mesh or make_mesh()
+    d = len(mesh.devices.flat)
+    if len(payloads) > d:
+        raise ValueError(f"need <= {d} payloads, got {len(payloads)}")
+    payloads = list(payloads) + [None] * (d - len(payloads))
+    lengths_list = list(lengths_list) + [None] * (d - len(lengths_list))
+    parsed = [
+        wctx.parse_stream(p) if p is not None else None for p in payloads
+    ]
+    live = [p for p in parsed if p]
+    if not live:
+        return [None] * d
+    keys = {(p["model"], p["order"], p["N"]) for p in live}
+    if len(keys) != 1:
+        return None
+    model, order, N = keys.pop()
+    C, H, L = wctx.model_geometry(model, order)
+    B = 2
+    while B < max(len(p["present"]) for p in live):
+        B *= 2
+    infos = []
+    for p, lens in zip(parsed, lengths_list):
+        if p is None:
+            infos.append(None)
+            continue
+        lens = np.asarray(lens, np.int64)
+        if int(lens.sum()) != p["total"]:
+            raise wctx.WctxError(
+                "wctx total does not match record lengths"
+            )
+        if p["total"] > (1 << 30):
+            return None  # hostile declared size: per-stream fallback
+        sb, S = wctx.lane_bounds(lens, N)
+        infos.append({"sb": sb, "S": S, "lens": lens})
+    S_pad = wctx._pick_smax(max(i["S"] for i in infos if i))
+    w_cap = S_pad * N + N
+    words_b = np.zeros((d, w_cap), np.uint16)
+    states_b = np.zeros((d, N), np.uint32)
+    steps_b = np.zeros(d, np.int32)
+    startm_b = np.zeros((d, S_pad, N // 8), np.uint8)
+    planes_b = np.zeros((d, 2, H, L * B), np.int8)
+    dpres_b = np.zeros((d, B), np.int32)
+    for i, (p, info) in enumerate(zip(parsed, infos)):
+        if p is None:
+            continue
+        if len(p["words"]) > w_cap:
+            return None  # hostile word count: per-stream fallback
+        words_b[i, : len(p["words"])] = p["words"]
+        states_b[i] = p["states"]
+        steps_b[i] = info["S"]
+        startm = wctx.start_matrix(info["lens"], info["sb"], info["S"])
+        sp = np.zeros((S_pad, N), bool)
+        sp[: info["S"]] = startm
+        startm_b[i] = wctx._pack_startm(sp)
+        npres = len(p["present"])
+        pcum = wctx._pcum_from_freq(p["freq_p"])
+        pcum_b = np.zeros((C, B), np.int32)
+        pcum_b[:, :npres] = pcum
+        if npres < B:
+            tail = pcum[:, -1] + p["freq_p"][:, -1].astype(np.int32)
+            for jcol in range(npres, B):
+                pcum_b[:, jcol] = tail
+        planes_b[i] = wctx.pack_planes(pcum_b, H, L)
+        dpres_b[i, :npres] = np.diff(
+            np.concatenate([[0], p["present"]])
+        )
+
+    sh2 = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    sh3 = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+    sh4 = NamedSharding(mesh, P(BLOCK_AXIS, None, None, None))
+    lsh = NamedSharding(mesh, P(BLOCK_AXIS))
+    out_mat, consumed = wctx_decode_sharded(
+        jax.device_put(words_b, sh2),
+        jax.device_put(states_b, sh2),
+        jax.device_put(startm_b, sh3),
+        jax.device_put(steps_b, lsh),
+        jax.device_put(planes_b, sh4),
+        jax.device_put(dpres_b, sh2),
+        mesh=mesh, S=S_pad, N=N, L=L, B=B, model=model, order=order,
+    )
+    out_mat = np.asarray(out_mat)
+    consumed = np.asarray(consumed)
+    res = []
+    for i, (p, info) in enumerate(zip(parsed, infos)):
+        if p is None:
+            res.append(None)
+            continue
+        if int(consumed[i]) != len(p["words"]):
+            raise wctx.WctxError("trailing wctx words")
+        idx = wctx.from_matrix(
+            out_mat[i, : info["S"]], info["sb"]
+        )
+        if len(idx) and int(idx.max()) >= len(p["present"]):
+            raise wctx.WctxError("corrupted wctx stream")
+        res.append(p["present"].astype(np.uint8)[idx])
+    return res

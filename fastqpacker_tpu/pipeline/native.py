@@ -46,6 +46,7 @@ TAG_TOK = container.TAG_TOK
 TAG_QCTX = container.TAG_QCTX
 TAG_SCTX = container.TAG_SCTX
 TAG_SLDM = container.TAG_SLDM
+TAG_WCTX = container.TAG_WCTX
 
 
 def _tok_encode(stream: bytes, count: int) -> bytes:
@@ -268,7 +269,41 @@ def _decode_tagged(
             return sldm.decode(payload, lengths, prefix=seq_dict)
         except ValueError as e:
             raise container.FormatError(str(e)) from None
+    if tag == TAG_WCTX:
+        from ..ops import seqctx, wctx
+
+        if lengths is None:
+            raise container.FormatError(
+                "wctx stream outside the sequence/quality slots"
+            )
+        try:
+            model = payload[0] if payload else 255
+            flat = wctx.decode_stream(payload, lengths)
+            if model == wctx.MODEL_SEQ:
+                # symbols are unpacked base codes -> packed wire rows
+                return seqctx.pack_stream(flat, lengths).tobytes()
+            # symbols are raw qualities -> per-record delta wire stream
+            from ..ops import qualctx  # noqa: F401  (semantics ref)
+
+            return _raw_to_delta(flat, lengths)
+        except ValueError as e:
+            raise container.FormatError(str(e)) from None
     raise container.FormatError(f"unknown stream codec tag: {tag}")
+
+
+def _raw_to_delta(raw: np.ndarray, lengths: np.ndarray) -> bytes:
+    """Integrated qualities -> the v3 per-record delta stream (inverse
+    of qualctx.integrate), vectorized."""
+    if len(raw) == 0:
+        return b""
+    d = np.empty(len(raw), np.uint8)
+    d[0] = raw[0]
+    np.subtract(raw[1:], raw[:-1], out=d[1:])
+    starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1].astype(np.int64), out=starts[1:])
+    nz = lengths > 0
+    d[starts[nz]] = raw[starts[nz]]
+    return d.tobytes()
 
 
 def _encode_tagged_qual(

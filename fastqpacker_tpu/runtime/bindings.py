@@ -1119,6 +1119,25 @@ def scramble_pcg_available() -> bool:
     return lib is not None and hasattr(lib, "fq_scramble_pcg")
 
 
+def markov_gen(n: int, prob16: np.ndarray, seed: int) -> np.ndarray:
+    """Order-1 Markov base-code stream (synthetic context-model corpus;
+    see fq_markov_gen)."""
+    lib = _load()
+    if not hasattr(lib, "_markov_bound"):
+        lib.fq_markov_gen.restype = None
+        lib.fq_markov_gen.argtypes = [
+            _u8p, _ll, ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
+        ]
+        lib._markov_bound = True
+    out = np.empty(n, np.uint8)
+    p = np.ascontiguousarray(prob16, dtype=np.uint16)
+    lib.fq_markov_gen(
+        out, n, p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        ctypes.c_uint64(seed),
+    )
+    return out
+
+
 def wctx_available() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "fq_wctx_decode")

@@ -4052,8 +4052,8 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
   for (long long t = 0; t < S; t++) {
     for (long long l = 0; l < n_lanes; l++) {
       // record-start mask (start_matrix semantics: row 0 forced True;
-      // padding rows are record-continuation)
-      bool start = (t == 0);
+      // every padding cell is its own pseudo-record start)
+      bool start = (t == 0) || (t >= seg[(size_t)l]);
       const long long r0 = rb[(size_t)l], r1 = rb[(size_t)l + 1];
       if (t == (long long)nxt[(size_t)l] && t < seg[(size_t)l]) start = true;
       if (start) {
@@ -4112,6 +4112,46 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
   if (wi != nwords) return -3;
   (void)total;
   return 0;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Order-1 Markov base-code generator for the synthetic context-model
+// corpus (bench.py synth_fastq markov=True). General transition rows
+// (prob16: (4,4) row-stochastic in 1/65536 units) — deliberately NOT a
+// circulant/additive chain, so the structure is invisible to LZ but
+// captured by order-k context models. splitmix64 RNG (seeded,
+// reproducible; parity with numpy is not required — the corpus is
+// defined by this function).
+void fq_markov_gen(uint8_t* out, long long n, const uint16_t* prob16,
+                   unsigned long long seed) {
+  uint64_t s = seed;
+  auto next = [&s]() {
+    s += 0x9E3779B97F4A7C15ULL;
+    uint64_t z = s;
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+    return z ^ (z >> 31);
+  };
+  uint32_t cum[4][4];
+  for (int r = 0; r < 4; r++) {
+    uint32_t acc = 0;
+    for (int c = 0; c < 4; c++) {
+      acc += prob16[r * 4 + c];
+      cum[r][c] = acc;
+    }
+    cum[r][3] = 65536;  // guard against rounding shortfalls
+  }
+  uint8_t prev = 0;
+  for (long long i = 0; i < n; i++) {
+    const uint32_t u = (uint32_t)(next() & 0xFFFF);
+    const uint32_t* row = cum[prev];
+    uint8_t b = u < row[0] ? 0 : (u < row[1] ? 1 : (u < row[2] ? 2 : 3));
+    out[i] = b;
+    prev = b;
+  }
 }
 
 }  // extern "C"

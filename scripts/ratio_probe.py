@@ -19,8 +19,11 @@ from fastqpacker_tpu.format import container
 from fastqpacker_tpu.pipeline import api, meshpipe, native
 
 mb = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-data = synth_fastq(mb, genomic=True)
-print(f"input: {len(data)} bytes ({len(data)/2**20:.1f} MB)")
+kind = sys.argv[2] if len(sys.argv) > 2 else "genomic"
+data = synth_fastq(
+    mb, genomic=kind == "genomic", markov=kind == "markov"
+)
+print(f"input ({kind}): {len(data)} bytes ({len(data)/2**20:.1f} MB)")
 
 
 def breakdown(blob: bytes, label: str) -> None:
@@ -53,7 +56,9 @@ def breakdown(blob: bytes, label: str) -> None:
     )
 
 
-v3 = api.compress_bytes(data)
+v3 = api.compress_bytes(
+    data, api.Options(version=container.VERSION_3_NATIVE)
+)
 breakdown(v3, "host v3")
 v2 = api.compress_bytes(data, api.Options(version=container.VERSION_2))
 print(f"host v2: total={len(v2)} ratio={len(data)/len(v2):.2f}x")

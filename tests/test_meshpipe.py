@@ -50,7 +50,10 @@ def _stream_tags(comp: bytes) -> list[list[int]]:
 
 def test_mesh_v3_roundtrip_standard_decoder():
     """Multi-round file (blocks > devices): compress through the mesh,
-    decode with the ordinary pipeline, assert TAG_RANS seq/qual."""
+    decode with the ordinary pipeline. On IID-noise quals the empirical
+    pick sends the quality slot to the device order-0 coder; random seq
+    (near-incompressible packed) stays zstd — the r3 pick policy
+    (VERDICT r2 #1: the mesh must never lose to the host candidates)."""
     data = _fastq(12000, seed=1)
     mesh = pmesh.make_mesh(8)
     opts = fq.Options(block_size=700)  # ~18 blocks -> 3 rounds
@@ -58,9 +61,20 @@ def test_mesh_v3_roundtrip_standard_decoder():
     assert api.decompress_bytes(comp) == data
     tags = _stream_tags(comp)
     assert len(tags) >= 17
+    valid = (
+        container.TAG_RANS, container.TAG_ZSTD, container.TAG_WCTX,
+        container.TAG_SLDM,
+    )
     for row in tags:
-        assert row[0] == container.TAG_RANS
-        assert row[1] == container.TAG_RANS
+        assert row[0] in valid and row[1] in valid
+    # the empirical pick must never lose to the host v3 pick by more
+    # than per-stream device overhead (lane states)
+    hostv3 = api.compress_bytes(
+        data, fq.Options(
+            block_size=700, version=container.VERSION_3_NATIVE
+        )
+    )
+    assert len(comp) <= int(len(hostv3) * 1.05)
 
 
 def test_mesh_v3_partial_round_and_single_block():
@@ -109,30 +123,65 @@ def test_mesh_v3_phred64_flag():
 
 
 def test_mesh_streams_decode_with_host_twin(monkeypatch):
-    """Every mesh-emitted TAG_RANS payload must decode byte-identically
-    on the sequential C++ backend too (backend-equivalence invariant)."""
-    data = _fastq(3000, seed=4)
+    """Every mesh-emitted device payload (TAG_RANS / TAG_WCTX) must
+    decode byte-identically on the sequential C++ backend too
+    (backend-equivalence invariant)."""
+    from fastqpacker_tpu.ops import wctx
+    from fastqpacker_tpu.runtime import bindings
+
+    # mixed corpus: markov records (-> TAG_WCTX quals) followed by
+    # skewed-IID-qual records (-> TAG_RANS: fractional-bit win over
+    # zstd's integer-bit huffman on a 0.9/0.05/0.05 alphabet)
+    rng = np.random.default_rng(4)
+    skewed = []
+    for i in range(1500):
+        seq = np.frombuffer(b"ACGT", np.uint8)[
+            rng.integers(0, 4, 90)
+        ].tobytes()
+        qual = np.frombuffer(b"5AF", np.uint8)[
+            rng.choice(3, 90, p=[0.9, 0.05, 0.05])
+        ].tobytes()
+        skewed.append(b"@s%d\n%s\n+\n%s\n" % (i, seq, qual))
+    data = _markov_fastq(1500) + b"".join(skewed)
     mesh = pmesh.make_mesh(8)
     comp = meshpipe.compress_mesh_bytes(data, fq.Options(block_size=500), mesh)
+    assert api.decompress_bytes(comp) == data
     bio = io.BytesIO(comp)
     fh = container.read_file_header(bio)
     checked = 0
-    monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
     while True:
         bh = container.read_block_header(bio, fh.version)
         if bh is None:
             break
-        for i, sz in enumerate(bh.stream_sizes(fh.version)):
-            chunk = bio.read(sz)
-            if i in (0, 1):
-                assert chunk[0] == container.TAG_RANS
+        chunks = [
+            bio.read(sz) for sz in bh.stream_sizes(fh.version)
+        ]
+        lengths = np.frombuffer(
+            __import__(
+                "fastqpacker_tpu.entropy.zstd", fromlist=["get_codec"]
+            ).get_codec().decompress(chunks[5]),
+            "<u4",
+        ).astype(np.int64)
+        for i in (0, 1):
+            chunk = chunks[i]
+            if chunk[0] == container.TAG_RANS:
+                monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
                 out_host = rans.decode_stream(chunk[1:])
                 monkeypatch.setenv("FQZ_RANS_BACKEND", "device")
                 out_dev = rans.decode_stream(chunk[1:])
-                monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
                 assert out_host == out_dev
                 checked += 1
-    assert checked >= 8
+            elif chunk[0] == container.TAG_WCTX:
+                assert bindings.wctx_available()
+                out_nat = wctx.decode_stream(
+                    chunk[1:], lengths, use_native=True
+                )
+                out_dev = wctx.decode_stream(
+                    chunk[1:], lengths, use_native=False
+                )
+                assert np.array_equal(out_nat, out_dev)
+                checked += 1
+    assert checked >= 6
 
 
 def test_entropy_encode_streams_lengths_and_empties():
@@ -183,6 +232,66 @@ def test_mesh_decode_batched_roundtrip():
     bad[len(bad) // 2] ^= 0x10
     with pytest.raises(Exception):
         meshpipe.decompress_mesh(io.BytesIO(bytes(bad)), io.BytesIO(), mesh)
+
+
+def _markov_fastq(n: int, read_len: int = 100, seed: int = 7) -> bytes:
+    """Context-model corpus: order-1 Markov bases (no LZ-matchable
+    repeats) + per-record fresh random-walk quals — the shape where the
+    v3 context models are the honest winners (bench.synth_fastq markov)."""
+    rng = np.random.default_rng(seed)
+    probs = np.array(
+        [
+            [0.17, 0.45, 0.25, 0.13],
+            [0.13, 0.17, 0.45, 0.25],
+            [0.45, 0.25, 0.13, 0.17],
+            [0.25, 0.13, 0.17, 0.45],
+        ]
+    )
+    cum = np.cumsum(probs, axis=1)
+    total = n * read_len
+    u = rng.random(total)
+    codes = np.empty(total, np.uint8)
+    prev = 0
+    for i in range(total):
+        prev = int(np.searchsorted(cum[prev], u[i], side="right"))
+        prev = min(prev, 3)
+        codes[i] = prev
+    bases = np.frombuffer(b"ACGT", np.uint8)[codes].reshape(n, read_len)
+    qsteps = rng.integers(-2, 3, size=(n, read_len)).astype(np.int32)
+    qual = np.clip(
+        33 + 30 + np.cumsum(qsteps, axis=1) // 3, 33, 74
+    ).astype(np.uint8)
+    out = []
+    for i in range(n):
+        out.append(
+            b"@m%d\n%s\n+\n%s\n"
+            % (i, bases[i].tobytes(), qual[i].tobytes())
+        )
+    return b"".join(out)
+
+
+def test_mesh_context_coder_engages_and_matches_host_ratio():
+    """On the context-model corpus the mesh picks TAG_WCTX for the
+    dominant streams (the thesis path carries them on-device) and the
+    container stays within 5% of the host v3 size (VERDICT r2 #1
+    done-criterion), decoding byte-exact through BOTH the ordinary and
+    the batched mesh decoder."""
+    data = _markov_fastq(2200)
+    mesh = pmesh.make_mesh(8)
+    opts = fq.Options(block_size=1100)
+    comp = meshpipe.compress_mesh_bytes(data, opts, mesh)
+    assert api.decompress_bytes(comp) == data
+    out = io.BytesIO()
+    meshpipe.decompress_mesh(io.BytesIO(comp), out, mesh)
+    assert out.getvalue() == data
+    tags = _stream_tags(comp)
+    assert any(row[1] == container.TAG_WCTX for row in tags), tags
+    hostv3 = api.compress_bytes(
+        data, fq.Options(
+            block_size=1100, version=container.VERSION_3_NATIVE
+        )
+    )
+    assert len(comp) <= int(len(hostv3) * 1.05), (len(comp), len(hostv3))
 
 
 def test_mesh_decode_crc_catches_batch_corruption():
