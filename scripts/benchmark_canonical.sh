@@ -22,11 +22,21 @@ LABEL="real"
 if [[ -z "$INPUT" ]]; then
     if [[ -f "benchmark_data/ERR532393_1.fastq" ]]; then
         INPUT="benchmark_data/ERR532393_1.fastq"
-    else
-        echo "No real dataset found; generating a 1 GB synthetic genomic corpus" >&2
+    elif [[ "${FQZ_CANONICAL_SYNTHETIC:-}" = "1" ]]; then
+        echo "Generating a 1 GB synthetic genomic corpus" >&2
         ./scripts/download-benchmark-data.sh benchmark_data --synthetic 1024 >&2
         INPUT="benchmark_data/synthetic_genomic_1024mb.fastq"
-        LABEL="synthetic-genomic (NOT comparable to published real-data rows)"
+        LABEL="synthetic-genomic (repo-generated; NOT comparable to published real-data rows)"
+    else
+        # offline default: content mapped from REAL system files, not
+        # this repo's own generators (scripts/make_system_corpus.py)
+        INPUT="benchmark_data/system_source_1024mb.fastq"
+        if [[ ! -f "$INPUT" ]]; then
+            mkdir -p benchmark_data
+            echo "No real dataset found; building the system-source corpus" >&2
+            python scripts/make_system_corpus.py "$INPUT" 1024 >&2
+        fi
+        LABEL="system-source mapping (real file content, repo-independent; NOT comparable to published real-data rows)"
     fi
 fi
 [[ -f "$INPUT" ]] || { echo "error: input not found: $INPUT" >&2; exit 1; }
