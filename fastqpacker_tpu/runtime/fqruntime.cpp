@@ -3234,38 +3234,60 @@ long long fq_compress_mt(const uint8_t* text, long long n,
                           cnt0 < kDetectRecords ? cnt0 : kDetectRecords,
                           &q_any);
   if (cnt0 == block_records && block_records < kDetectRecords) {
+    // Light extension scan: newline framing only + AVX2 min over every
+    // 4th line (the quality lines). No offsets table and no structural
+    // validation — the workers re-validate these records in their own
+    // blocks, so a malformed record in the extension region errors
+    // there (after the header byte, unlike Go's all-or-nothing first
+    // ReadBatch — documented divergence; the flag itself matches).
     long long remaining = kDetectRecords - cnt0;
-    long long dpos = consumed0;
-    std::vector<long long> offsx;
-    try {
-      const long long chunk =
-          remaining < block_records ? remaining : block_records;
-      offsx.resize((size_t)(chunk * 8));
-    } catch (const std::bad_alloc&) {
-      return fail(-12);
+    long long line_start = consumed0;
+    int line_in_rec = 0;
+#ifdef FQ_AVX2
+    __m256i vmin = _mm256_set1_epi8((char)0xFF);
+    FqNlIter nl(text + consumed0, n - consumed0);
+#endif
+    uint8_t mn = 0xFF;
+    bool any = false;
+    while (remaining > 0) {
+#ifdef FQ_AVX2
+      const long long rel = nl.next();
+      long long line_end = rel < 0 ? n : consumed0 + rel;
+#else
+      const void* p = memchr(text + line_start, '\n',
+                             (size_t)(n - line_start));
+      long long line_end = p ? (long long)((const uint8_t*)p - text) : n;
+#endif
+      long long len = line_end - line_start;
+      if (len > 0 && text[line_end - 1] == '\r') len--;
+      if (line_in_rec == 3) {  // quality line
+        if (len > 0) any = true;
+        long long j = 0;
+#ifdef FQ_AVX2
+        for (; j + 32 <= len; j += 32)
+          vmin = _mm256_min_epu8(
+              vmin,
+              _mm256_loadu_si256((const __m256i*)(text + line_start + j)));
+#endif
+        for (; j < len; j++)
+          if (text[line_start + j] < mn) mn = text[line_start + j];
+        remaining--;
+      }
+      line_in_rec = (line_in_rec + 1) & 3;
+      if (line_end >= n) break;
+      line_start = line_end + 1;
     }
-    while (remaining > 0 && dpos < n) {
-      const long long cap = (long long)(offsx.size() / 8) < remaining
-                                ? (long long)(offsx.size() / 8)
-                                : remaining;
-      long long dconsumed = 0;
-      int derr = 0;
-      const long long cnt = fq_scan_records(text + dpos, n - dpos, cap,
-                                            offsx.data(), &dconsumed, &derr);
-      if (cnt < 0) {
-        err_info[0] = derr;
-        return fail(MT_ERR_SCAN);
-      }
-      if (cnt == 0) break;
-      bool any2 = false;
-      const uint8_t m2 = qual_min_over(text + dpos, offsx.data(), cnt, &any2);
-      if (any2) {
-        q_any = true;
-        if (m2 < q_min) q_min = m2;
-      }
-      dpos += dconsumed;
-      remaining -= cnt;
-      if (cnt < cap) break;
+#ifdef FQ_AVX2
+    {
+      uint8_t tmp[32];
+      _mm256_storeu_si256((__m256i*)tmp, vmin);
+      for (int k = 0; k < 32; k++)
+        if (tmp[k] < mn) mn = tmp[k];
+    }
+#endif
+    if (any) {
+      q_any = true;
+      if (mn < q_min) q_min = mn;
     }
   }
   if (q_any) qoffset = (q_min < 59) ? 33 : (q_min >= 64 ? 64 : 33);
