@@ -194,16 +194,25 @@ struct FqNlIter {
 // On a validation error returns -1 with *error set.
 // Validation order matches record-at-a-time parsing: the failing check at
 // the lowest line index wins.
-long long fq_scan_records(const uint8_t* data, long long n,
-                          long long max_records, long long* offsets,
-                          long long* consumed, int* error) {
+// ``offsets`` may be null (validate/frame only — the MT prelude, whose
+// workers re-parse their blocks in the fused walk anyway, E056).
+// ``qmin_io``: optional 2-byte {min, any} accumulator for Phred
+// detection, folded into this same pass so the prelude touches the text
+// once instead of scanning then re-reading the quality lines.
+long long fq_scan_records_ex(const uint8_t* data, long long n,
+                             long long max_records, long long* offsets,
+                             long long* consumed, int* error,
+                             uint8_t* qmin_io) {
   *error = FQ_OK;
   *consumed = 0;
   long long pos = 0;
   long long rec = 0;
 #ifdef FQ_AVX2
   FqNlIter nl_it(data, n);
+  __m256i vqmin = _mm256_set1_epi8((char)0xFF);
 #endif
+  uint8_t qmn = 0xFF;
+  bool qany = false;
   while (rec < max_records) {
     long long line_start[4], line_len[4];
     long long p = pos;
@@ -255,16 +264,48 @@ long long fq_scan_records(const uint8_t* data, long long n,
       *error = FQ_ERR_LEN_MISMATCH;
       return -1;
     }
-    long long* o = offsets + rec * 8;
-    o[0] = line_start[0]; o[1] = line_len[0];
-    o[2] = line_start[1]; o[3] = line_len[1];
-    o[4] = line_start[2]; o[5] = line_len[2];
-    o[6] = line_start[3]; o[7] = line_len[3];
+    if (offsets) {
+      long long* o = offsets + rec * 8;
+      o[0] = line_start[0]; o[1] = line_len[0];
+      o[2] = line_start[1]; o[3] = line_len[1];
+      o[4] = line_start[2]; o[5] = line_len[2];
+      o[6] = line_start[3]; o[7] = line_len[3];
+    }
+    if (qmin_io) {
+      const uint8_t* q = data + line_start[3];
+      const long long qlen = line_len[3];
+      if (qlen > 0) qany = true;
+      long long j = 0;
+#ifdef FQ_AVX2
+      for (; j + 32 <= qlen; j += 32)
+        vqmin = _mm256_min_epu8(
+            vqmin, _mm256_loadu_si256((const __m256i*)(q + j)));
+#endif
+      for (; j < qlen; j++)
+        if (q[j] < qmn) qmn = q[j];
+    }
     pos = p;
     rec++;
   }
+  if (qmin_io) {
+#ifdef FQ_AVX2
+    uint8_t tmp[32];
+    _mm256_storeu_si256((__m256i*)tmp, vqmin);
+    for (int k = 0; k < 32; k++)
+      if (tmp[k] < qmn) qmn = tmp[k];
+#endif
+    if (qmn < qmin_io[0]) qmin_io[0] = qmn;
+    qmin_io[1] |= qany ? 1 : 0;
+  }
   *consumed = pos;
   return rec;
+}
+
+long long fq_scan_records(const uint8_t* data, long long n,
+                          long long max_records, long long* offsets,
+                          long long* consumed, int* error) {
+  return fq_scan_records_ex(data, n, max_records, offsets, consumed,
+                            error, nullptr);
 }
 
 }  // extern "C"
@@ -3076,46 +3117,6 @@ struct MtStats {
     }                                                           \
   } while (0)
 
-// Minimum quality byte over n scanned records (for Phred detection,
-// quality.go:22-49; threshold logic lives in the caller so windows
-// spanning several scans can combine their mins). Sets *any when at
-// least one quality byte exists.
-inline uint8_t qual_min_over(const uint8_t* text, const long long* offs,
-                             long long n, bool* any_out) {
-  uint8_t mn = 0xFF;
-  bool any = false;
-#ifdef FQ_AVX2
-  // This runs serially on the caller thread before the worker pool can
-  // start (the file header needs the flag); scalar byte-at-a-time cost
-  // ~7 ms on a 15 MB first block — vectorized it is <1 ms (E056).
-  __m256i vmin = _mm256_set1_epi8((char)0xFF);
-#endif
-  for (long long i = 0; i < n; i++) {
-    const long long* o = offs + i * 8;
-    const uint8_t* q = text + o[6];
-    const long long len = o[7];
-    if (len > 0) any = true;
-    long long j = 0;
-#ifdef FQ_AVX2
-    for (; j + 32 <= len; j += 32)
-      vmin = _mm256_min_epu8(vmin,
-                             _mm256_loadu_si256((const __m256i*)(q + j)));
-#endif
-    for (; j < len; j++)
-      if (q[j] < mn) mn = q[j];
-  }
-#ifdef FQ_AVX2
-  {
-    uint8_t tmp[32];
-    _mm256_storeu_si256((__m256i*)tmp, vmin);
-    for (int k = 0; k < 32; k++)
-      if (tmp[k] < mn) mn = tmp[k];
-  }
-#endif
-  *any_out = any;
-  return mn;
-}
-
 // Long-read ambiguous-base fail-fast (compress.go:477-488 /
 // ops/reference.py check_ambiguous_overflow): a record longer than the
 // 65,536 bp u16 N-position cap must not carry non-ACGT bases in its tail.
@@ -3193,7 +3194,6 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   };
   // Allocations sized by caller-controlled values must not let
   // std::bad_alloc cross the C ABI (process abort; the E038 lesson).
-  std::vector<long long> offs0;
   try {
     if (out_fd >= 0) {
       sink.fd = out_fd;
@@ -3202,37 +3202,58 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       owned->v.reserve((size_t)(n / 4 + 4096));
       sink.buf = &owned->v;
     }
-    // First block on the calling thread: Phred detection must precede
-    // the file header, and a block-0 parse error must produce no output
-    // at all (compress.go:137-168 ordering).
-    offs0.resize((size_t)(block_records * 8));
   } catch (const std::bad_alloc&) {
     return fail(-12);
   }
-  long long consumed0 = 0;
-  int scan_err = 0;
-  long long cnt0 = n ? fq_scan_records(text, n, block_records, offs0.data(),
-                                       &consumed0, &scan_err)
-                     : 0;
-  if (cnt0 < 0) {
-    err_info[0] = scan_err;
-    return fail(MT_ERR_SCAN);
-  }
-  // Phred detection over EXACTLY the reference's window: the first
+  // First block on the calling thread: Phred detection must precede
+  // the file header, and a block-0 parse error must produce no output
+  // at all (compress.go:137-168 ordering). The scan validates and
+  // frames only (no offsets table — the fused workers re-parse their
+  // blocks anyway, E056) with the Phred qual-min folded into the same
+  // pass, so the serial prelude touches the text once.
+  //
+  // The detection window is EXACTLY the reference's: the first
   // min(100000, file) records regardless of -b (the Go detection batch
   // is fixed at NewRecordBatch(DefaultBlockSize), compress.go:48-52,
-  // 137-154). With small blocks the window extends past block 0 (extra
-  // scans below, parse errors there fail before any output — Go's first
-  // ReadBatch precedes the header write); with blocks > 100k records
-  // only the first 100k participate in the min.
+  // 137-154). With small blocks the window extends past block 0 (light
+  // extension scan below); with blocks > 100k records only the first
+  // 100k participate in the min (second scan leg without qmin).
   const long long kDetectRecords = 100000;
+  uint8_t qmin_io[2] = {0xFF, 0};
+  long long consumed0 = 0;
+  long long cnt0 = 0;
+  int scan_err = 0;
+  {
+    const long long first = block_records < kDetectRecords
+                                ? block_records
+                                : kDetectRecords;
+    long long c1 = 0;
+    const long long r1 =
+        n ? fq_scan_records_ex(text, n, first, nullptr, &c1, &scan_err,
+                               qmin_io)
+          : 0;
+    if (r1 < 0) {
+      err_info[0] = scan_err;
+      return fail(MT_ERR_SCAN);
+    }
+    consumed0 = c1;
+    cnt0 = r1;
+    if (block_records > first && r1 == first) {
+      long long c2 = 0;
+      const long long r2 = fq_scan_records_ex(
+          text + c1, n - c1, block_records - first, nullptr, &c2,
+          &scan_err, nullptr);
+      if (r2 < 0) {
+        err_info[0] = scan_err;
+        return fail(MT_ERR_SCAN);
+      }
+      consumed0 += c2;
+      cnt0 += r2;
+    }
+  }
   uint8_t qoffset = 33;
-  bool q_any = false;
-  uint8_t q_min = 0xFF;
-  if (cnt0 > 0)
-    q_min = qual_min_over(text, offs0.data(),
-                          cnt0 < kDetectRecords ? cnt0 : kDetectRecords,
-                          &q_any);
+  bool q_any = qmin_io[1] != 0;
+  uint8_t q_min = qmin_io[0];
   if (cnt0 == block_records && block_records < kDetectRecords) {
     // Light extension scan: newline framing only + AVX2 min over every
     // 4th line (the quality lines). No offsets table and no structural

@@ -252,12 +252,18 @@ def test_transform_wrapper_sink_not_pierced():
     reason="ASan aborts inside operator new on huge requests before the "
     "bad_alloc our typed-error contract catches",
 )
-def test_huge_block_size_raises_typed():
-    """Caller-sized native allocations must fail typed, never abort the
-    process via bad_alloc across the C ABI (E049)."""
+def test_huge_block_size_never_aborts():
+    """Caller-sized native allocations must fail typed or succeed, never
+    abort the process via bad_alloc across the C ABI (E049). Since the
+    r3 prelude rework the MT path no longer allocates a
+    block_records-sized offsets table, so a huge -b simply produces one
+    big block — accept either outcome, require no crash."""
     data = b"@r\nACGT\n+\nIIII\n" * 10
-    with pytest.raises((RuntimeError, MemoryError)):
-        fq.compress_bytes(data, fq.Options(block_size=1 << 45))
+    try:
+        comp = fq.compress_bytes(data, fq.Options(block_size=1 << 45))
+    except (RuntimeError, MemoryError):
+        return
+    assert fq.decompress_bytes(comp) == data
 
 
 # ---------------------------------------------------------------------------
