@@ -356,7 +356,8 @@ def entropy_encode_sharded_raw(
 def entropy_encode_streams(
     streams: list[bytes | np.ndarray],
     mesh: Optional[Mesh] = None,
-) -> list[bytes]:
+    async_result: bool = False,
+):
     """Encode one byte stream per device through the sharded rANS coder
     and return **standalone wire payloads** (the exact
     ``ops/rans.py`` stream format: header, freq table, lane states, word
@@ -371,6 +372,12 @@ def entropy_encode_streams(
     dynamic-steps path. Streams longer than the group are padded on
     host with the table's pad symbol. Empty streams come back as the
     canonical empty payload.
+
+    ``async_result=True`` returns a zero-argument *finisher* instead of
+    the payloads: the device programs are dispatched (JAX dispatch is
+    asynchronous) but results are not fetched until the finisher runs —
+    the caller overlaps the device round with host work (compaction /
+    container writes of the previous round; the E057 serialization fix).
     """
     import struct
 
@@ -386,7 +393,8 @@ def entropy_encode_streams(
     ]
     lens = np.array([len(r) for r in rows], np.int32)
     if int(lens.max(initial=0)) == 0:
-        return [struct.pack(rans.HEADER_FMT, 0, 0)] * d
+        res = [struct.pack(rans.HEADER_FMT, 0, 0)] * d
+        return (lambda: res) if async_result else res
 
     # lane count scales with stream size like rans._pick_lanes: on the
     # real TPU 256 lanes on a multi-MB stream means tens of thousands of
@@ -418,27 +426,30 @@ def entropy_encode_streams(
     )
     from ..runtime import bindings as rt
 
-    emits = np.asarray(emits)
-    mask_bits = np.asarray(mask_bits)
-    states = np.asarray(states)
-    totals = np.asarray(totals)
-    freq = freq_cum[0].astype("<u2")
-    out = []
-    for i in range(d):
-        n = int(lens[i])
-        if n == 0:
-            out.append(struct.pack(rans.HEADER_FMT, 0, 0))
-            continue
-        words = rt.rans_compact(emits[i], mask_bits[i])
-        assert len(words) == int(totals[i])
-        payload = bytearray()
-        payload += struct.pack(rans.HEADER_FMT, n, N.bit_length() - 1)
-        payload += freq.tobytes()
-        payload += states[i].astype("<u4").tobytes()
-        payload += struct.pack("<I", len(words))
-        payload += words.astype("<u2").tobytes()
-        out.append(bytes(payload))
-    return out
+    def finish() -> list[bytes]:
+        emits_h = np.asarray(emits)
+        mask_h = np.asarray(mask_bits)
+        states_h = np.asarray(states)
+        totals_h = np.asarray(totals)
+        freq = freq_cum[0].astype("<u2")
+        out = []
+        for i in range(d):
+            n = int(lens[i])
+            if n == 0:
+                out.append(struct.pack(rans.HEADER_FMT, 0, 0))
+                continue
+            words = rt.rans_compact(emits_h[i], mask_h[i])
+            assert len(words) == int(totals_h[i])
+            payload = bytearray()
+            payload += struct.pack(rans.HEADER_FMT, n, N.bit_length() - 1)
+            payload += freq.tobytes()
+            payload += states_h[i].astype("<u4").tobytes()
+            payload += struct.pack("<I", len(words))
+            payload += words.astype("<u2").tobytes()
+            out.append(bytes(payload))
+        return out
+
+    return finish if async_result else finish()
 
 
 @partial(
@@ -738,7 +749,8 @@ def wctx_encode_streams(
     order: int,
     mesh: Optional[Mesh] = None,
     lanes: int | None = None,
-) -> list[bytes]:
+    async_result: bool = False,
+):
     """Encode one unpacked symbol stream per device through the sharded
     context coder; returns standalone TAG_WCTX wire payloads (each
     independently decodable by ops/wctx.decode_stream / the C++ twin).
@@ -747,6 +759,9 @@ def wctx_encode_streams(
     where ``data_hist`` is the (C, 256) histogram over data positions
     (native sctx/qualctx prepare output reshaped); ``None`` entries are
     skipped (their payload comes back as ``None``).
+
+    ``async_result=True`` returns a zero-argument finisher (dispatch
+    now, fetch/compact/assemble later) — see entropy_encode_streams.
     """
     import struct
 
@@ -762,7 +777,8 @@ def wctx_encode_streams(
     C, H, L = wctx.model_geometry(model, order)
     max_n = max((len(j[0]) for j in jobs if j), default=0)
     if max_n == 0:
-        return [None] * d
+        res = [None] * d
+        return (lambda: res) if async_result else res
     N = lanes or wctx.pick_lanes(max_n)
 
     preps = [
@@ -803,41 +819,43 @@ def wctx_encode_streams(
         jax.device_put(planes, sh4),
         mesh=mesh, S=S_pad, N=N, L=L, B=B,
     )
-    emits = np.asarray(emits)
-    mask_bits = np.asarray(mask_bits)
-    states = np.asarray(states)
-    totals = np.asarray(totals)
+    def finish():
+        emits_h = np.asarray(emits)
+        mask_h = np.asarray(mask_bits)
+        states_h = np.asarray(states)
+        totals_h = np.asarray(totals)
+        codec = zstd_entropy.get_codec()
+        out: list[bytes | None] = []
+        for i, p in enumerate(preps):
+            if p is None:
+                out.append(None)
+                continue
+            if rt.available():
+                words = rt.rans_compact(emits_h[i], mask_h[i])
+            else:
+                m = np.unpackbits(
+                    mask_h[i], bitorder="little"
+                ).astype(bool)
+                words = emits_h[i][m]
+            assert len(words) == int(totals_h[i])
+            blob = codec.compress(
+                np.ascontiguousarray(p["freq_p"].astype("<u2")).tobytes()
+            )
+            payload = bytearray()
+            payload += struct.pack(
+                wctx.HEADER_FMT, model, order, N.bit_length() - 1, p["n"]
+            )
+            payload += struct.pack("<H", p["npres"])
+            payload += p["present"].astype(np.uint8).tobytes()
+            payload += struct.pack("<I", len(blob))
+            payload += blob
+            payload += struct.pack("<I", len(words))
+            payload += states_h[i].astype("<u4").tobytes()
+            payload += words.astype("<u2").tobytes()
+            out.append(bytes(payload))
+        return out
 
-    codec = zstd_entropy.get_codec()
-    out: list[bytes | None] = []
-    for i, p in enumerate(preps):
-        if p is None:
-            out.append(None)
-            continue
-        if rt.available():
-            words = rt.rans_compact(emits[i], mask_bits[i])
-        else:
-            m = np.unpackbits(
-                mask_bits[i], bitorder="little"
-            ).astype(bool)
-            words = emits[i][m]
-        assert len(words) == int(totals[i])
-        blob = codec.compress(
-            np.ascontiguousarray(p["freq_p"].astype("<u2")).tobytes()
-        )
-        payload = bytearray()
-        payload += struct.pack(
-            wctx.HEADER_FMT, model, order, N.bit_length() - 1, p["n"]
-        )
-        payload += struct.pack("<H", p["npres"])
-        payload += p["present"].astype(np.uint8).tobytes()
-        payload += struct.pack("<I", len(blob))
-        payload += blob
-        payload += struct.pack("<I", len(words))
-        payload += states[i].astype("<u4").tobytes()
-        payload += words.astype("<u2").tobytes()
-        out.append(bytes(payload))
-    return out
+    return finish if async_result else finish()
 
 
 def wctx_decode_streams(

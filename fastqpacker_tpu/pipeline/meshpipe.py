@@ -121,14 +121,36 @@ def _plan_qual(ordereds, lengths_l, codec):
     return infos
 
 
-def _encode_round(
-    blks: list[RecordBlock],
-    raws: list,
-    qual_offset: int,
-    mesh,
-    codec,
-) -> list[bytes]:
-    """Encode one round of <=D blocks; returns v3 wire bytes per block.
+def _plan_round(blks, raws, codec=None):
+    """Host-CPU planning for one round (runs on the prefetch worker,
+    overlapped with the previous round's device programs): ordered
+    streams, per-stream empirical picks, CRCs, host candidate frames.
+    The zstd codec is taken thread-locally (ZSTD contexts are not
+    thread-safe; this runs on a different thread than _finish_round)."""
+    codec = zstd_entropy.get_codec()
+    ordereds = [raw.ordered(container.VERSION_2) for raw in raws]
+    lengths_l = [
+        np.frombuffer(o[5], "<u4").astype(np.int64) for o in ordereds
+    ]
+    seq_infos, seq_k = _plan_seq(ordereds, lengths_l, codec)
+    qual_infos = _plan_qual(ordereds, lengths_l, codec)
+    crcs = [native._crc_streams(o) for o in ordereds]
+    return {
+        "raws": raws,
+        "ordereds": ordereds,
+        "lengths_l": lengths_l,
+        "seq_infos": seq_infos,
+        "seq_k": seq_k,
+        "qual_infos": qual_infos,
+        "crcs": crcs,
+    }
+
+
+def _dispatch_round(plan, mesh, codec):
+    """Dispatch the round's device programs (asynchronous JAX dispatch)
+    and return the plan augmented with their finishers — the caller
+    overlaps the device round with finishing the PREVIOUS round (host
+    compaction + container writes; the E057 serialization fix).
 
     The seq/qual entropy stage runs on the device mesh with the v3
     context models (ops/wctx.py) whenever their estimated size wins the
@@ -139,25 +161,23 @@ def _encode_round(
     from ..parallel import mesh as pmesh
 
     d = len(mesh.devices.flat)
-    ordereds = [raw.ordered(container.VERSION_2) for raw in raws]
-    lengths_l = [
-        np.frombuffer(o[5], "<u4").astype(np.int64) for o in ordereds
-    ]
-
-    seq_infos, seq_k = _plan_seq(ordereds, lengths_l, codec)
-    qual_infos = _plan_qual(ordereds, lengths_l, codec)
+    ordereds = plan["ordereds"]
+    lengths_l = plan["lengths_l"]
+    seq_infos = plan["seq_infos"]
+    seq_k = plan["seq_k"]
+    qual_infos = plan["qual_infos"]
 
     # --- device program 1: seq context coder
-    seq_out: list = [None] * len(ordereds)
+    plan["seq_finish"] = None
     if seq_k is not None:
         jobs, slots = [], []
         for i, info in enumerate(seq_infos):
             est = info.get("est", {}).get(seq_k)
             # run the device coder whenever the estimate is within noise
-            # of winning (1.02x); the final pick below compares ACTUAL
-            # payload sizes, so this gate only saves wasted dispatches —
-            # unlike the host's SCTX_WIN_MARGIN there is no slow host
-            # coder to protect, the device program is the thesis path
+            # of winning (1.02x); the final pick compares ACTUAL payload
+            # sizes, so this gate only saves wasted dispatches — unlike
+            # the host's SCTX_WIN_MARGIN there is no slow host coder to
+            # protect, the device program is the thesis path
             if est is None or est >= (len(info["host"]) - 1) * 1.02:
                 continue
             h = (
@@ -168,55 +188,82 @@ def _encode_round(
             jobs.append((info["bases"], lengths_l[i], h))
             slots.append(i)
         if jobs:
-            payloads = pmesh.wctx_encode_streams(
-                jobs, wctx.MODEL_SEQ, seq_k, mesh
+            plan["seq_slots"] = slots
+            plan["seq_finish"] = pmesh.wctx_encode_streams(
+                jobs, wctx.MODEL_SEQ, seq_k, mesh, async_result=True
             )
-            for slot, pl in zip(slots, payloads):
-                if pl is not None and len(pl) + 1 < len(
-                    seq_infos[slot]["host"]
-                ):
-                    seq_out[slot] = bytes([native.TAG_WCTX]) + pl
-    for i, info in enumerate(seq_infos):
-        if seq_out[i] is None:
-            seq_out[i] = info["host"]
 
     # --- device program 2: qual context coder
-    qual_out: list = [None] * len(ordereds)
+    plan["qw_finish"] = None
     wjobs, wslots = [], []
     for i, info in enumerate(qual_infos):
         if info["choice"] == "wctx":
             wjobs.append((info["raw"], lengths_l[i], info["hist"]))
             wslots.append(i)
     if wjobs:
-        payloads = pmesh.wctx_encode_streams(
-            wjobs, wctx.MODEL_QUAL, 0, mesh
+        plan["qw_slots"] = wslots
+        plan["qw_finish"] = pmesh.wctx_encode_streams(
+            wjobs, wctx.MODEL_QUAL, 0, mesh, async_result=True
         )
-        for slot, pl in zip(wslots, payloads):
-            if pl is not None and len(pl) + 1 < len(
-                qual_infos[slot]["host"]
-            ):
-                qual_out[slot] = bytes([native.TAG_WCTX]) + pl
 
     # --- device program 3: qual order-0 rANS (noisy quals with no
     # order-1 structure still beat zstd here)
+    plan["qr_finish"] = None
     rjobs, rslots = [], []
     for i, info in enumerate(qual_infos):
-        if info["choice"] == "rans" and qual_out[i] is None:
+        if info["choice"] == "rans":
             rjobs.append(ordereds[i][1])
             rslots.append(i)
     if rjobs:
         group = list(rjobs) + [b""] * (d - len(rjobs))
-        payloads = pmesh.entropy_encode_streams(group, mesh)
-        for slot, pl in zip(rslots, payloads):
-            if len(pl) + 1 < len(qual_infos[slot]["host"]):
+        plan["qr_slots"] = rslots
+        plan["qr_finish"] = pmesh.entropy_encode_streams(
+            group, mesh, async_result=True
+        )
+    return plan
+
+
+def _finish_round(plan, codec=None) -> list[bytes]:
+    """Fetch the round's device results, pick per-stream winners by
+    actual size, and assemble the v3 wire blocks. Thread-local codec
+    (may run on a different thread than _plan_round)."""
+    codec = zstd_entropy.get_codec()
+    ordereds = plan["ordereds"]
+    seq_infos = plan["seq_infos"]
+    qual_infos = plan["qual_infos"]
+
+    seq_out: list = [None] * len(ordereds)
+    if plan["seq_finish"] is not None:
+        for slot, pl in zip(plan["seq_slots"], plan["seq_finish"]()):
+            if pl is not None and len(pl) + 1 < len(
+                seq_infos[slot]["host"]
+            ):
+                seq_out[slot] = bytes([native.TAG_WCTX]) + pl
+    for i, info in enumerate(seq_infos):
+        if seq_out[i] is None:
+            seq_out[i] = info["host"]
+
+    qual_out: list = [None] * len(ordereds)
+    if plan["qw_finish"] is not None:
+        for slot, pl in zip(plan["qw_slots"], plan["qw_finish"]()):
+            if pl is not None and len(pl) + 1 < len(
+                qual_infos[slot]["host"]
+            ):
+                qual_out[slot] = bytes([native.TAG_WCTX]) + pl
+    if plan["qr_finish"] is not None:
+        for slot, pl in zip(plan["qr_slots"], plan["qr_finish"]()):
+            if qual_out[slot] is None and len(pl) + 1 < len(
+                qual_infos[slot]["host"]
+            ):
                 qual_out[slot] = bytes([native.TAG_RANS]) + pl
     for i, info in enumerate(qual_infos):
         if qual_out[i] is None:
             qual_out[i] = info["host"]
 
     out = []
-    for bi, (raw, ordered) in enumerate(zip(raws, ordereds)):
-        crc = native._crc_streams(ordered)
+    for bi, (raw, ordered) in enumerate(
+        zip(plan["raws"], ordereds)
+    ):
         # v3 wire: streams 0-2 are codec-tagged, 3-5 are raw zstd frames
         # (pipeline/native.py STREAM_CODECS + decode_block_payload)
         comp = [seq_out[bi], qual_out[bi]]
@@ -238,12 +285,18 @@ def _encode_round(
             seq_lengths_size=len(comp[5]),
             original_seq_size=raw.original_seq_size,
             original_qual_size=raw.original_qual_size,
-            crc32=crc,
+            crc32=plan["crcs"][bi],
         )
         out.append(
             hdr.to_bytes(container.VERSION_3_NATIVE) + b"".join(comp)
         )
     return out
+
+
+def _encode_round(blks, raws, qual_offset, mesh, codec) -> list[bytes]:
+    """Synchronous round encode (tests / simple callers)."""
+    plan = _plan_round(blks, raws, codec)
+    return _finish_round(_dispatch_round(plan, mesh, codec), codec)
 
 
 def compress_mesh(
@@ -295,21 +348,25 @@ def compress_mesh(
         yield from peeked
         yield from block_iter
 
-    # Overlap the host stages with the device round: while round i's
-    # group is being entropy-coded on the mesh, a worker thread parses
-    # and stream-builds round i+1's blocks (the host is idle during the
-    # device dispatch otherwise — the producer/collector overlap lesson
-    # from the reference, PERFORMANCE.md E011/E021).
+    # Three-stage software pipeline (the producer/collector overlap
+    # lesson from the reference, E011/E021, plus the E057 serialization
+    # fix): a worker thread parses, stream-builds AND plans (host
+    # zstd/sldm candidates, context histograms, CRCs) round i+1 while
+    # round i runs on the device mesh and the main thread finishes
+    # round i-1 (result fetch, word compaction, container writes) —
+    # dispatch is asynchronous in JAX, so the device is never idle
+    # waiting for host bookkeeping.
     from concurrent.futures import ThreadPoolExecutor
 
-    def build_round(blks: list[RecordBlock]):
-        return blks, [
+    def build_and_plan(blks: list[RecordBlock]):
+        raws = [
             blockcodec.block_to_raw_streams(
                 blk, qual_offset,
                 encode_arrays=encode_arrays, wide_npos=True,
             )
             for blk in blks
         ]
+        return _plan_round(blks, raws, codec)
 
     def rounds():
         group: list[RecordBlock] = []
@@ -322,21 +379,24 @@ def compress_mesh(
             yield group
 
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = None
+        build_fut = None
+        inflight = None
+
+        def advance(next_build):
+            nonlocal build_fut, inflight
+            if build_fut is not None:
+                plan = _dispatch_round(build_fut.result(), mesh, codec)
+                if inflight is not None:
+                    for payload in _finish_round(inflight, codec):
+                        w.write(payload)
+                inflight = plan
+            build_fut = next_build
+
         for group in rounds():
-            nxt = pool.submit(build_round, group)
-            if fut is not None:
-                blks, raws = fut.result()
-                for payload in _encode_round(
-                    blks, raws, qual_offset, mesh, codec
-                ):
-                    w.write(payload)
-            fut = nxt
-        if fut is not None:
-            blks, raws = fut.result()
-            for payload in _encode_round(
-                blks, raws, qual_offset, mesh, codec
-            ):
+            advance(pool.submit(build_and_plan, group))
+        advance(None)
+        if inflight is not None:
+            for payload in _finish_round(inflight, codec):
                 w.write(payload)
 
 
