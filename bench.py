@@ -443,6 +443,139 @@ def bench_mesh_entropy_decode(mb: int = 16, steps: int = 6):
     return m / 1e6 / dt
 
 
+def bench_wctx_entropy(mb: int = 16, steps: int = 4, decode: bool = False):
+    """Single-chip wctx (context-modeled) entropy kernel throughput on
+    the qual model (C=384 contexts, the heavier factorized-matmul
+    fetch). Chained-iteration protocol like bench_mesh_entropy: encode
+    rolls the symbol matrix per step (same histogram class — tables are
+    +1-smoothed so every (ctx, sym) stays codable); decode feeds each
+    iteration the previous one's final lane states (data-dependent, the
+    E059 discipline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastqpacker_tpu.ops import wctx
+
+    rng = np.random.default_rng(0)
+    m = mb << 20
+    read_len = 151
+    nrec = m // read_len
+    lengths = np.full(nrec, read_len, np.int64)
+    total = nrec * read_len
+    syms = np.clip(
+        30 + np.cumsum(rng.integers(-2, 3, total)) // 2, 0, 45
+    ).astype(np.uint8)
+    N = wctx.pick_lanes(total)
+    C, H, L = wctx.model_geometry(wctx.MODEL_QUAL, 0)
+    sb, S = wctx.lane_bounds(lengths, N)
+    startm = wctx.start_matrix(lengths, sb, S)
+    symm = wctx.to_matrix(syms, sb, S, 0)
+    ctxm = wctx.context_matrix(symm, startm, wctx.MODEL_QUAL, 0)
+    hist = wctx.matrix_histogram(symm, ctxm, C) + 1  # smoothed: f >= 1
+    present = np.arange(256)
+    freq_full = wctx.normalize_tables(hist)
+    pres_used = np.flatnonzero(freq_full.sum(axis=0) > 0)
+    freq_p = np.ascontiguousarray(freq_full[:, pres_used])
+    npres = len(pres_used)
+    B = 2
+    while B < npres:
+        B *= 2
+    pcum = np.zeros((C, B), np.int32)
+    pc = np.zeros((C, npres), np.int64)
+    np.cumsum(freq_p[:, :-1].astype(np.int64), axis=1, out=pc[:, 1:])
+    pcum[:, :npres] = pc
+    if npres < B:
+        tail = pc[:, -1] + freq_p[:, -1].astype(np.int32)
+        for j in range(npres, B):
+            pcum[:, j] = tail
+    planes = wctx.pack_planes(pcum, H, L)
+    idx_map = np.zeros(256, np.uint8)
+    idx_map[pres_used] = np.arange(npres, dtype=np.uint8)
+    S_pad = wctx._pick_smax(S)
+    symp = np.zeros((S_pad, N), np.uint8)
+    symp[:S] = idx_map[symm]
+    ctxp = np.zeros((S_pad, N), np.int32)
+    ctxp[:S] = ctxm
+
+    sym_d = jax.device_put(jnp.asarray(symp))
+    ctx_d = jax.device_put(jnp.asarray(ctxp))
+    pl_d = jax.device_put(jnp.asarray(planes))
+
+    if not decode:
+
+        @jax.jit
+        def chained(s0):
+            def body(_, carry):
+                sy, acc = carry
+                sy = jnp.roll(sy, 1, axis=1)
+                emits, emask, states = wctx._encode_kernel.__wrapped__(
+                    sy, ctx_d, jnp.int32(S), pl_d, S_pad, N, L, B
+                )
+                acc = (
+                    acc
+                    + jnp.sum(emask.astype(jnp.int32))
+                    + jnp.sum(emits.astype(jnp.uint32)).astype(jnp.int32)
+                    + jnp.sum(states).astype(jnp.int32)
+                )
+                return (sy, acc)
+
+            _, acc = jax.lax.fori_loop(
+                0, steps, body, (s0, jnp.int32(0))
+            )
+            return acc
+
+        int(chained(sym_d))  # compile + warm
+        t0 = time.perf_counter()
+        int(chained(sym_d))
+        dt = (time.perf_counter() - t0) / steps
+        return total / 1e6 / dt
+
+    # decode: real encode once, then chained data-dependent decode
+    payload = None
+    emits, emask, states = wctx._encode_kernel(
+        jnp.asarray(symp), jnp.asarray(ctxp), jnp.int32(S),
+        jnp.asarray(planes), S_pad, N, L, B,
+    )
+    em = np.asarray(emits[:S])
+    ms = np.asarray(emask[:S])
+    words = em.reshape(-1)[ms.reshape(-1)]
+    w_pad = wctx.rans._pow2ceil(len(words) + N, 2 * N)
+    wbuf = np.zeros(w_pad, np.uint16)
+    wbuf[: len(words)] = words
+    startm_p = np.zeros((S_pad, N), bool)
+    startm_p[:S] = startm
+    sm_d = jax.device_put(jnp.asarray(wctx._pack_startm(startm_p)))
+    wd = jax.device_put(jnp.asarray(wbuf))
+    st = jax.device_put(jnp.asarray(np.asarray(states)))
+    dpres = np.zeros(B, np.int32)
+    dpres[:npres] = np.diff(np.concatenate([[0], pres_used]))
+    dp_d = jax.device_put(jnp.asarray(dpres))
+
+    @jax.jit
+    def chained_dec(s0):
+        def body(_, carry):
+            s, acc = carry
+            out, fx, consumed = wctx._decode_kernel.__wrapped__(
+                wd, s, sm_d, jnp.int32(S), pl_d, dp_d,
+                S_pad, N, L, B, wctx.MODEL_QUAL, 0,
+            )
+            s2 = jnp.maximum(fx, jnp.uint32(1 << 16))
+            return (
+                s2,
+                acc + consumed
+                + jnp.sum(out.astype(jnp.uint32)).astype(jnp.int32),
+            )
+
+        _, acc = jax.lax.fori_loop(0, steps, body, (s0, jnp.int32(0)))
+        return acc
+
+    int(chained_dec(st))
+    t0 = time.perf_counter()
+    int(chained_dec(st))
+    dt = (time.perf_counter() - t0) / steps
+    return total / 1e6 / dt
+
+
 def bench_mesh_e2e(mb: int = 64, repeats: int = 3):
     """End-to-end `fqpack --mesh` compress at D=1: host scan + stream
     build + sharded device entropy stage + word compaction + container
@@ -529,8 +662,8 @@ def main() -> int:
         "--metric",
         choices=[
             "compress", "decompress", "kernel", "decode-kernel",
-            "mesh-entropy", "mesh-entropy-decode", "mesh-e2e", "micro",
-            "ratio",
+            "mesh-entropy", "mesh-entropy-decode", "mesh-e2e",
+            "wctx-entropy", "wctx-entropy-decode", "micro", "ratio",
         ],
         default="compress",
     )
@@ -569,7 +702,7 @@ def main() -> int:
         return jax.devices()[0].platform
 
     deadline = (
-        60 if args.metric.startswith(("kernel", "decode-kernel", "mesh-"))
+        60 if args.metric.startswith(("kernel", "decode-kernel", "mesh-", "wctx-"))
         else 30
     )
     platform = bounded_probe(_platform, deadline, None)
@@ -685,6 +818,22 @@ def _run_metric(args, data, device) -> int:
         mbps = bench_mesh_entropy_decode(min(args.mb, 64))
         result = {
             "metric": "mesh_entropy_decode_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_DECOMPRESS_MBPS, 3),
+        }
+    elif args.metric == "wctx-entropy":
+        mbps = bench_wctx_entropy(min(args.mb, 64))
+        result = {
+            "metric": "wctx_entropy_encode_throughput",
+            "value": round(mbps, 1),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_COMPRESS_MBPS, 3),
+        }
+    elif args.metric == "wctx-entropy-decode":
+        mbps = bench_wctx_entropy(min(args.mb, 64), decode=True)
+        result = {
+            "metric": "wctx_entropy_decode_throughput",
             "value": round(mbps, 1),
             "unit": "MB/s",
             "vs_baseline": round(mbps / BASELINE_DECOMPRESS_MBPS, 3),

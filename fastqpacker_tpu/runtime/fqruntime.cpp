@@ -4089,6 +4089,32 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
     seg[(size_t)l] = sb[(size_t)l + 1] - sb[(size_t)l];
     if (seg[(size_t)l] > S) S = seg[(size_t)l];
   }
+  // Per-(ctx, slot) lookup table replacing the binary search when it
+  // fits a sane budget (<= 16 MB: qual's 384 contexts, seq k <= 4):
+  // u32 = sym_idx<<24 | (f-1)<<12 | c0. k=6 seq stays on the 2-step
+  // binary search (its table would be 64 MB for a 4-wide alphabet).
+  std::vector<uint32_t> slot_tab;
+  if (C * kProbScale * 4 <= (1LL << 24)) {
+    try {
+      slot_tab.assign((size_t)(C * kProbScale), 0);
+    } catch (const std::bad_alloc&) {
+      return -12;
+    }
+    for (long long c = 0; c < C; c++) {
+      const uint16_t* row = freq + c * npres;
+      uint32_t* trow = slot_tab.data() + (size_t)(c * kProbScale);
+      uint32_t acc = 0;
+      for (int j = 0; j < npres; j++) {
+        const uint32_t f = row[j];
+        if (!f) continue;
+        const uint32_t e =
+            ((uint32_t)j << 24) | ((f - 1) << 12) | acc;
+        for (uint32_t sl = acc; sl < acc + f && sl < kProbScale; sl++)
+          trow[sl] = e;
+        acc += f;
+      }
+    }
+  }
   const int32_t cmask =
       model == 0 ? ((1 << (2 * order)) - 1) : 0;
   long long wi = 0;
@@ -4128,19 +4154,31 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
       // symbol: rightmost j with pcum[j] <= slot (guaranteed f > 0)
       uint64_t xv = x[(size_t)l];
       const int32_t slot = (int32_t)(xv & (kProbScale - 1));
-      const int32_t* prow = pcum.data() + (size_t)ctx[(size_t)l] * npres;
-      int lo = 0, hi = npres - 1;
-      while (lo < hi) {
-        const int mid = (lo + hi + 1) >> 1;
-        if (prow[mid] <= slot)
-          lo = mid;
-        else
-          hi = mid - 1;
+      int j;
+      int32_t c0, f;
+      if (!slot_tab.empty()) {
+        const uint32_t e =
+            slot_tab[(size_t)(ctx[(size_t)l] * kProbScale + slot)];
+        j = (int)(e >> 24);
+        f = (int32_t)((e >> 12) & 0xFFF) + 1;
+        c0 = (int32_t)(e & 0xFFF);
+        if (slot < c0 || slot >= c0 + f) return -1;  // unused ctx/slot
+      } else {
+        const int32_t* prow =
+            pcum.data() + (size_t)ctx[(size_t)l] * npres;
+        int lo = 0, hi = npres - 1;
+        while (lo < hi) {
+          const int mid = (lo + hi + 1) >> 1;
+          if (prow[mid] <= slot)
+            lo = mid;
+          else
+            hi = mid - 1;
+        }
+        j = lo;
+        c0 = prow[j];
+        f = freq[(size_t)ctx[(size_t)l] * npres + j];
+        if (f == 0) return -1;
       }
-      const int j = lo;
-      const int32_t c0 = prow[j];
-      const int32_t f = freq[(size_t)ctx[(size_t)l] * npres + j];
-      if (f == 0) return -1;
       xv = (uint64_t)f * (xv >> kProbBits) + (uint64_t)(slot - c0);
       if (xv < kRansL) {
         if (wi >= nwords) return -2;
