@@ -277,19 +277,18 @@ def _pwrite_section(out_path: str, data: bytes, offset: int) -> None:
 
 
 def _detect_file_qual_offset(in_path: str, opts: api.Options) -> int:
-    """Phred offset from the FILE's first block (compress.go:146-164):
-    the file-wide header flag must come from block 0, never from
-    whatever block happens to start a host's byte range."""
+    """Phred offset from the FILE's fixed min(100k, file)-record window
+    (compress.go:48-52,137-164): the file-wide header flag must come
+    from the reference's detection window, never from whatever block
+    happens to start a host's byte range."""
     from ..ops import reference as refops
     from ..parser.fastq import FastqStreamParser
 
     block_size = api.resolve_block_size(opts)
     with open(in_path, "rb") as r:
         parser = FastqStreamParser(r, block_size=block_size)
-        for blk in parser.blocks():
-            if blk.n > 0:
-                return refops.detect_encoding(blk.qual, blk.lengths)
-            break
+        _, qual_offset = api.peek_detection(parser.blocks())
+        return qual_offset
     return refops.PHRED33_OFFSET
 
 

@@ -197,35 +197,35 @@ def test_multihost_decompress_dict_container(tmp_path):
 
 
 def test_detection_block_only_in_host0_range(tmp_path):
-    """The file-wide Phred flag comes from the FILE's first block; a
-    file whose first block says +64 but whose later (host 1+) ranges
-    contain sub-59 bytes must still encode EVERY host against +64 —
-    per-host detection would silently corrupt host 1's qualities
-    against a host-0 header flag (VERDICT r1 missing #3)."""
-    n = 400
+    """The file-wide Phred flag comes from the FILE's fixed detection
+    window — the first min(100k, file) records, like the reference's
+    detection batch (compress.go:48-52,137-154) — never from whatever
+    range a host happens to own. A file whose window says +64 but whose
+    tail (host 3's range) contains sub-59 bytes must still encode EVERY
+    host against +64: per-host detection would silently corrupt the
+    tail's qualities against the host-0 header flag (VERDICT r1 missing
+    #3; window semantics per r3 VERDICT #7)."""
+    n = 110_000  # window = first 100k records; the tail sits past it
     seq = "ACGTACGTAA"
-    hi = chr(70) * len(seq)   # >= 64 everywhere -> first block detects +64
-    lo = chr(40) * len(seq)   # < 59 -> a host-local detect would say +33
-    recs = [f"@r{i}\n{seq}\n+\n{hi}\n" for i in range(n // 2)]
-    recs += [f"@r{i}\n{seq}\n+\n{lo}\n" for i in range(n // 2, n)]
+    hi = chr(70) * len(seq)   # >= 64 everywhere inside the window -> +64
+    lo = chr(40) * len(seq)   # < 59, only PAST the window -> ignored
+    recs = [f"@r{i}\n{seq}\n+\n{hi}\n" for i in range(100_000)]
+    recs += [f"@r{i}\n{seq}\n+\n{lo}\n" for i in range(100_000, n)]
     data = "".join(recs).encode()
     src = tmp_path / "in.fq"
     src.write_bytes(data)
 
-    # sanity: the detection-relevant block must span only the head, and
-    # a host-local detect on the last host's range really would disagree
-    ranges = mh.host_ranges(str(src), 4)
-    assert ranges[0][1] < len(data) // 2
+    # sanity: a host-local detect on the tail really would disagree
     from fastqpacker_tpu.ops import reference as refops
     from fastqpacker_tpu.parser.fastq import FastqStreamParser
 
-    with open(src, "rb") as f:
-        f.seek(ranges[3][0])
-        tail = f.read(ranges[3][1] - ranges[3][0])
-    blk = next(FastqStreamParser(io.BytesIO(tail), block_size=100).blocks())
-    assert refops.detect_encoding(blk.qual, blk.lengths) == 33  # would-be bug
+    tail_text = "".join(recs[100_000:]).encode()
+    blk = next(
+        FastqStreamParser(io.BytesIO(tail_text), block_size=100).blocks()
+    )
+    assert refops.detect_encoding(blk.qual, blk.lengths) == 33
 
-    # the file-level rule says +64
+    # the file-level (window) rule says +64
     assert mh._detect_file_qual_offset(str(src), fq.Options(block_size=100)) == 64
 
     multi = tmp_path / "multi.fqz"
