@@ -215,14 +215,16 @@ def bench_compress(data: bytes, device: bool, repeats: int = 3):
         best = float("inf")
         # real sink (fd): engages the native whole-file fd path, like the
         # reference's file-to-file benchmark (scripts/benchmark_fqpack_9gb.sh).
-        # This 2-vCPU host swings 30-40% run to run (E034): keep sampling
-        # past `repeats` until a 4 s budget or 40 runs, whichever first —
-        # the best-of over a wider window is the stable statistic.
+        # This 2-vCPU host swings 30-40% run to run AND alternates
+        # fast/slow phases on MINUTE timescales (E034, round-2 summary):
+        # keep sampling past `repeats` until a 10 s budget or 96 runs —
+        # a 4 s window could sit entirely inside a slow phase, making
+        # the recorded best pure phase luck.
         loop_t0 = time.perf_counter()
         runs = 0
         with open(os.devnull, "wb", buffering=0) as w:
             while runs < repeats or (
-                runs < 40 and time.perf_counter() - loop_t0 < 4.0
+                runs < 96 and time.perf_counter() - loop_t0 < 10.0
             ):
                 with open(path, "rb") as r:
                     t0 = time.perf_counter()
