@@ -470,8 +470,11 @@ def _encode_kernel(
         return x, (word, emit)
 
     x0 = jnp.full((N,), RANS_L, dtype=_u32)
+    # unroll: several symbols per scan iteration — the per-step overhead
+    # of a tiny sequential body dominates at thousands of steps (the
+    # E057 lesson re-learned for the context kernels; measured on-chip)
     x, (words_rev, emask_rev) = jax.lax.scan(
-        body, x0, (sym_rev, ctx_rev, valid)
+        body, x0, (sym_rev, ctx_rev, valid), unroll=4
     )
     emits = jnp.flip(jnp.roll(words_rev, S - steps, axis=0), axis=0)
     emask = jnp.flip(jnp.roll(emask_rev, S - steps, axis=0), axis=0)
@@ -565,7 +568,7 @@ def _decode_kernel(
         jnp.zeros((N,), jnp.int32),
     )
     (x, base, _, _, _), out = jax.lax.scan(
-        body, carry0, (startm_bits, valid)
+        body, carry0, (startm_bits, valid), unroll=4
     )
     return out, x, base
 
