@@ -11,9 +11,11 @@
 //
 // Build: g++ -O3 -shared -fPIC (see build.py). Pure C ABI for ctypes.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <ctime>
 #include <mutex>
 #include <new>
 #include <vector>
@@ -2134,6 +2136,24 @@ constexpr size_t kProbeMinStream = 1u << 20;
 constexpr size_t kRawBlockMax = 128u << 10;   // RFC8878 Block_Maximum_Size
 constexpr size_t kStoreMaxStream = 32u << 20; // keep window under decoder caps
 
+// FQZ_MT_STATS sub-stage split inside the fused encoder (transform walk vs
+// zstd loop) — dumped and reset by MtStats::dump. File-scope because the
+// fused encoder and the MT driver live in different namespaces.
+std::atomic<long long> g_fused_transform_us{0};
+std::atomic<long long> g_fused_zstd_us{0};
+inline bool fq_stats_on() {
+  static const bool on = [] {
+    const char* v = getenv("FQZ_MT_STATS");
+    return v && v[0] == '1';
+  }();
+  return on;
+}
+inline double fq_stats_now() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
 // XXH64 (xxHash64, public-domain algorithm): zstd frame checksums are the
 // low 32 bits of XXH64(content, seed 0). libzstd does not export its copy.
 static inline uint64_t xxh_rotl64(uint64_t x, int r) {
@@ -2457,23 +2477,43 @@ long long fq_encode_block_v2(const uint8_t* text, const long long* offs,
 // tail bytes are not), and the wire payload matches fq_encode_block_v2
 // byte for byte.
 //
-// Returns payload bytes written after hdr_reserve (0 records -> 0), or:
+// Phase split (deferred Phred detection, r3): `_scan` is the transform
+// walk alone — it leaves the six raw streams in the calling worker's
+// arena, with each record's FIRST quality byte stored RAW (un-offset);
+// the remaining quality bytes are ordinary deltas q[k]-q[k-1], which are
+// offset-independent. `_finish` subtracts the resolved offset from those
+// first bytes (their positions are the running prefix sums of the
+// lengths stream) and entropy-codes the streams. The split lets the MT
+// pipeline start every block's transform BEFORE the file-level Phred
+// flag is resolved: detection-window blocks fold their own quality
+// minimum during the same walk (qmin_io/qmin_cap, the fq_scan_records_ex
+// convention), which replaced the serial whole-window prelude scan the
+// pipeline used to pay before any worker could start.
+//
+// fq_encode_block_fused_scan returns 0 on success (fb filled), or:
 //   -1   header/plus field longer than 65535 bytes
-//   -3   out_cap too small (caller sized the buffer wrong)
-//   -4   zstd error
 //   -6   ambiguous bases beyond the u16 npos tracking cap
 //        (err_detail[0] = record row in slice, err_detail[1] = its length);
 //        reported only when no parse error exists anywhere in the slice —
 //        parse errors win, matching the scan-first offs-table path
 //   -10  FASTQ parse error (err_detail[0] = FQ_ERR_*)
 //   -12  allocation failure
-long long fq_encode_block_fused(const uint8_t* text, long long n,
-                                uint8_t qoffset, int version,
-                                long long hdr_reserve, uint8_t* out,
-                                long long out_cap, long long* comp_sizes,
-                                long long* total_len_out,
-                                long long* nrec_out,
-                                long long* err_detail) {
+// fq_encode_block_fused_finish returns payload bytes after hdr_reserve, or:
+//   -3   out_cap too small (caller sized the buffer wrong)
+//   -4   zstd error
+struct FqFusedBlock {
+  const uint8_t* streams[6];  // seq, qual, headers, plus, npos, lengths
+  long long sizes[6];
+  long long nrec = 0;
+  long long total_len = 0;
+  uint8_t* qual_mut = nullptr;  // mutable alias of streams[1] (offset patch)
+};
+
+long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
+                                     FqFusedBlock* fb,
+                                     long long* err_detail,
+                                     uint8_t* qmin_io,
+                                     long long qmin_cap) {
   static uint8_t code_lut[256];
   static uint8_t valid_lut[256];
   // one-time fill under a C++11 magic-static guard: compress/decode
@@ -2490,8 +2530,15 @@ long long fq_encode_block_fused(const uint8_t* text, long long n,
   }();
   (void)lut_ready;
   err_detail[0] = err_detail[1] = 0;
-  *nrec_out = 0;
-  *total_len_out = 0;
+  fb->nrec = 0;
+  fb->total_len = 0;
+  const bool sub_stats = fq_stats_on();
+  const double t_fused0 = sub_stats ? fq_stats_now() : 0.0;
+#ifdef FQ_AVX2
+  __m256i vqmin = _mm256_set1_epi8((char)0xFF);
+#endif
+  uint8_t qmn = 0xFF;
+  bool qany = false;
 
   // Stream arenas sized from the slice alone (single pass, so per-record
   // sums are unknown upfront): nrec <= n/6 (minimal record "@\n\n+\n\n"),
@@ -2671,9 +2718,25 @@ long long fq_encode_block_fused(const uint8_t* text, long long n,
     npos_s[npos_cnt_off] = (uint8_t)(cnt & 0xFF);
     npos_s[npos_cnt_off + 1] = (uint8_t)((cnt >> 8) & 0xFF);
 
-    // quality: offset + delta
+    // Detection-window quality minimum, folded into the walk while the
+    // line is cache-hot (fq_scan_records_ex semantics: complete records
+    // only — partial tails never reach this point — and only the first
+    // qmin_cap records of the slice participate).
+    if (qmin_io && nrec < qmin_cap) {
+      if (len > 0) qany = true;
+      long long k = 0;
+#ifdef FQ_AVX2
+      for (; k + 32 <= len; k += 32)
+        vqmin = _mm256_min_epu8(
+            vqmin, _mm256_loadu_si256((const __m256i*)(qual + k)));
+#endif
+      for (; k < len; k++)
+        if (qual[k] < qmn) qmn = qual[k];
+    }
+
+    // quality: raw first byte (offset patched in _finish) + delta
     if (len > 0) {
-      qual_s[qo++] = (uint8_t)(qual[0] - qoffset);
+      qual_s[qo++] = qual[0];
       long long k = 1;
 #ifdef FQ_AVX2
       for (; k + 32 <= len; k += 32) {
@@ -2720,33 +2783,76 @@ long long fq_encode_block_fused(const uint8_t* text, long long n,
     nrec++;
   }
 
+  if (qmin_io) {
+#ifdef FQ_AVX2
+    uint8_t tmp[32];
+    _mm256_storeu_si256((__m256i*)tmp, vqmin);
+    for (int k = 0; k < 32; k++)
+      if (tmp[k] < qmn) qmn = tmp[k];
+#endif
+    if (qmn < qmin_io[0]) qmin_io[0] = qmn;
+    qmin_io[1] |= qany ? 1 : 0;
+  }
+  if (sub_stats)
+    g_fused_transform_us.fetch_add(
+        (long long)((fq_stats_now() - t_fused0) * 1e6));
   if (ambig_row >= 0) {
     err_detail[0] = ambig_row;
     err_detail[1] = ambig_len;
     return -6;
   }
-  *nrec_out = nrec;
-  *total_len_out = total_len;
-  if (nrec == 0) {
+  fb->nrec = nrec;
+  fb->total_len = total_len;
+  fb->sizes[0] = so; fb->sizes[1] = qo; fb->sizes[2] = ho;
+  fb->sizes[3] = po; fb->sizes[4] = no; fb->sizes[5] = lo;
+  fb->streams[0] = seq_s; fb->streams[1] = qual_s; fb->streams[2] = hdr_s;
+  fb->streams[3] = plus_s; fb->streams[4] = npos_s; fb->streams[5] = len_s;
+  fb->qual_mut = qual_s;
+  return 0;
+}
+
+long long fq_encode_block_fused_finish(FqFusedBlock* fb, uint8_t qoffset,
+                                       int version, long long hdr_reserve,
+                                       uint8_t* out, long long out_cap,
+                                       long long* comp_sizes) {
+  const bool sub_stats = fq_stats_on();
+  const double t_zstd0 = sub_stats ? fq_stats_now() : 0.0;
+  if (fb->nrec == 0) {
     for (int i = 0; i < 6; i++) comp_sizes[i] = 0;
     return 0;
   }
-
-  const long long sizes[6] = {so, qo, ho, po, no, lo};
-  const uint8_t* stream_ptr[6] = {seq_s, qual_s, hdr_s, plus_s, npos_s,
-                                  len_s};
+  // Patch the per-record first quality bytes with the resolved offset:
+  // record starts in the quality stream are the prefix sums of the
+  // lengths stream (zero-length records contributed no byte).
+  if (qoffset != 0) {
+    uint8_t* q = fb->qual_mut;
+    const uint8_t* lens = fb->streams[5];
+    long long off = 0;
+    for (long long i = 0; i < fb->nrec; i++) {
+      uint32_t l;
+      memcpy(&l, lens + 4 * i, 4);
+      if (l > 0) {
+        q[off] = (uint8_t)(q[off] - qoffset);
+        off += l;
+      }
+    }
+  }
+  ZstdWorker& w = current_zstd_worker();
   long long opos = hdr_reserve;
   int out_idx = 0;
   for (int i = 0; i < 6; i++) {
     if (version == 1 && i == 3) continue;  // v1 has no plus stream
-    const size_t bound = ZSTD_compressBound((size_t)sizes[i]);
+    const size_t bound = ZSTD_compressBound((size_t)fb->sizes[i]);
     if (opos + (long long)bound > out_cap) return -3;
-    const size_t cn = fq_zstd_adaptive(w, stream_ptr[i], (size_t)sizes[i],
-                                       out + opos, (size_t)(out_cap - opos));
+    const size_t cn =
+        fq_zstd_adaptive(w, fb->streams[i], (size_t)fb->sizes[i],
+                         out + opos, (size_t)(out_cap - opos));
     if (ZSTD_isError(cn)) return -4;
     comp_sizes[out_idx++] = (long long)cn;
     opos += (long long)cn;
   }
+  if (sub_stats)
+    g_fused_zstd_us.fetch_add((long long)((fq_stats_now() - t_zstd0) * 1e6));
   return opos - hdr_reserve;
 }
 
@@ -3072,9 +3178,7 @@ struct Queue {
 struct CJob {
   long long idx = 0;
   const uint8_t* data = nullptr;
-  std::vector<long long> offs;  // non-empty: pre-scanned block (block 0)
-  long long nrec = 0;
-  long long slice = 0;  // offs empty: fused scan+encode over data[0:slice)
+  long long slice = 0;  // fused scan+encode over data[0:slice)
 };
 
 // FQZ_MT_STATS=1: per-stage busy-time accounting printed to stderr —
@@ -3093,14 +3197,19 @@ inline double mt_now() {
 }
 struct MtStats {
   std::atomic<long long> scan_us{0}, encode_us{0}, credit_us{0},
-      pop_us{0}, write_us{0}, order_wait_us{0};
+      pop_us{0}, write_us{0}, order_wait_us{0}, prelude_us{0};
   void dump(const char* what, double wall_s, long long bytes) {
     if (!mt_stats_on()) return;
     fprintf(stderr,
-            "[mt:%s] wall=%.1fms bytes=%.1fMB scan=%.1fms work=%.1fms "
+            "[mt:%s] wall=%.1fms bytes=%.1fMB prelude=%.1fms scan=%.1fms "
+            "work=%.1fms "
+            "(transform=%.1fms zstd=%.1fms) "
             "credit=%.1fms pop=%.1fms write=%.1fms order_wait=%.1fms\n",
             what, wall_s * 1e3, (double)bytes / 1e6,
+            (double)prelude_us.load() / 1e3,
             (double)scan_us.load() / 1e3, (double)encode_us.load() / 1e3,
+            (double)g_fused_transform_us.exchange(0) / 1e3,
+            (double)g_fused_zstd_us.exchange(0) / 1e3,
             (double)credit_us.load() / 1e3, (double)pop_us.load() / 1e3,
             (double)write_us.load() / 1e3,
             (double)order_wait_us.load() / 1e3);
@@ -3116,25 +3225,6 @@ struct MtStats {
       expr;                                                     \
     }                                                           \
   } while (0)
-
-// Long-read ambiguous-base fail-fast (compress.go:477-488 /
-// ops/reference.py check_ambiguous_overflow): a record longer than the
-// 65,536 bp u16 N-position cap must not carry non-ACGT bases in its tail.
-// Returns the failing record row, or -1 if clean.
-inline long long ambiguous_overflow_row(const uint8_t* text,
-                                        const long long* offs, long long n,
-                                        long long cap) {
-  for (long long i = 0; i < n; i++) {
-    const long long* o = offs + i * 8;
-    if (o[3] <= cap) continue;
-    const uint8_t* s = text + o[2];
-    for (long long j = cap; j < o[3]; j++) {
-      const uint8_t u = s[j] & 0xDF;
-      if (u != 'A' && u != 'C' && u != 'G' && u != 'T') return i;
-    }
-  }
-  return -1;
-}
 
 inline void put_u32(uint8_t* p, uint32_t v) { memcpy(p, &v, 4); }
 
@@ -3205,130 +3295,7 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   } catch (const std::bad_alloc&) {
     return fail(-12);
   }
-  // First block on the calling thread: Phred detection must precede
-  // the file header, and a block-0 parse error must produce no output
-  // at all (compress.go:137-168 ordering). The scan validates and
-  // frames only (no offsets table — the fused workers re-parse their
-  // blocks anyway, E056) with the Phred qual-min folded into the same
-  // pass, so the serial prelude touches the text once.
-  //
-  // The detection window is EXACTLY the reference's: the first
-  // min(100000, file) records regardless of -b (the Go detection batch
-  // is fixed at NewRecordBatch(DefaultBlockSize), compress.go:48-52,
-  // 137-154). With small blocks the window extends past block 0 (light
-  // extension scan below); with blocks > 100k records only the first
-  // 100k participate in the min (second scan leg without qmin).
-  const long long kDetectRecords = 100000;
-  uint8_t qmin_io[2] = {0xFF, 0};
-  long long consumed0 = 0;
-  long long cnt0 = 0;
-  int scan_err = 0;
-  {
-    const long long first = block_records < kDetectRecords
-                                ? block_records
-                                : kDetectRecords;
-    long long c1 = 0;
-    const long long r1 =
-        n ? fq_scan_records_ex(text, n, first, nullptr, &c1, &scan_err,
-                               qmin_io)
-          : 0;
-    if (r1 < 0) {
-      err_info[0] = scan_err;
-      return fail(MT_ERR_SCAN);
-    }
-    consumed0 = c1;
-    cnt0 = r1;
-    if (block_records > first && r1 == first) {
-      long long c2 = 0;
-      const long long r2 = fq_scan_records_ex(
-          text + c1, n - c1, block_records - first, nullptr, &c2,
-          &scan_err, nullptr);
-      if (r2 < 0) {
-        err_info[0] = scan_err;
-        return fail(MT_ERR_SCAN);
-      }
-      consumed0 += c2;
-      cnt0 += r2;
-    }
-  }
-  uint8_t qoffset = 33;
-  bool q_any = qmin_io[1] != 0;
-  uint8_t q_min = qmin_io[0];
-  if (cnt0 == block_records && block_records < kDetectRecords) {
-    // Light extension scan: newline framing only + AVX2 min over every
-    // 4th line (the quality lines). No offsets table and no structural
-    // validation — the workers re-validate these records in their own
-    // blocks, so a malformed record in the extension region errors
-    // there (after the header byte, unlike Go's all-or-nothing first
-    // ReadBatch — documented divergence; the flag itself matches).
-    long long remaining = kDetectRecords - cnt0;
-    long long line_start = consumed0;
-    int line_in_rec = 0;
-#ifdef FQ_AVX2
-    __m256i vmin = _mm256_set1_epi8((char)0xFF);
-    FqNlIter nl(text + consumed0, n - consumed0);
-#endif
-    uint8_t mn = 0xFF;
-    bool any = false;
-    while (remaining > 0) {
-#ifdef FQ_AVX2
-      const long long rel = nl.next();
-      long long line_end = rel < 0 ? n : consumed0 + rel;
-#else
-      const void* p = memchr(text + line_start, '\n',
-                             (size_t)(n - line_start));
-      long long line_end = p ? (long long)((const uint8_t*)p - text) : n;
-#endif
-      long long len = line_end - line_start;
-      if (len > 0 && text[line_end - 1] == '\r') len--;
-      if (line_in_rec == 3) {  // quality line
-        if (len > 0) any = true;
-        long long j = 0;
-#ifdef FQ_AVX2
-        for (; j + 32 <= len; j += 32)
-          vmin = _mm256_min_epu8(
-              vmin,
-              _mm256_loadu_si256((const __m256i*)(text + line_start + j)));
-#endif
-        for (; j < len; j++)
-          if (text[line_start + j] < mn) mn = text[line_start + j];
-        remaining--;
-      }
-      line_in_rec = (line_in_rec + 1) & 3;
-      if (line_end >= n) break;
-      line_start = line_end + 1;
-    }
-#ifdef FQ_AVX2
-    {
-      uint8_t tmp[32];
-      _mm256_storeu_si256((__m256i*)tmp, vmin);
-      for (int k = 0; k < 32; k++)
-        if (tmp[k] < mn) mn = tmp[k];
-    }
-#endif
-    if (any) {
-      q_any = true;
-      if (mn < q_min) q_min = mn;
-    }
-  }
-  if (q_any) qoffset = (q_min < 59) ? 33 : (q_min >= 64 ? 64 : 33);
-
-  uint8_t fhdr[10] = {'F', 'Q', 'Z', 0};
-  fhdr[4] = (uint8_t)version;
-  put_u32(fhdr + 5, (uint32_t)block_records);
-  fhdr[9] = (uint8_t)(extra_flags | (qoffset == 64 ? 2 : 0));
-  if (!sink.write(fhdr, 10)) {
-    err_info[0] = sink.err_no;
-    return fail(MT_ERR_WRITE);
-  }
-  if (cnt0 == 0) {
-    if (out_fd < 0) {
-      *out_handle = owned;
-      *out_ptr = owned->v.data();
-    }
-    return 10;
-  }
-
+  // Pipeline state must exist before the scanner thread launches.
   Collector col;
   BufPool rpool;
   Queue<CJob> jobs((size_t)workers * 2);
@@ -3336,35 +3303,55 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   MtStats stats;
   const double t_start = mt_now();
 
-  // Block 0 must enter the queue BEFORE the scanner can fill it: with all
-  // workers credit-stalled on high indices and the queue full, a late
-  // job-0 push would deadlock the whole pipeline.
-  {
-    CJob j0;
-    j0.idx = 0;
-    j0.data = text;
-    // Fused job like every other block (offs left empty): the prelude's
-    // offsets were only needed for Phred detection — the fused
-    // parse+encode walk is faster than the offs-table re-walk (E056),
-    // and block 0 re-validates to the same outcome the scan proved.
-    j0.slice = consumed0;
-    jobs.push(std::move(j0));
-  }
+  // Deferred Phred detection (r3): no serial whole-window prelude walk.
+  // The detection window is EXACTLY the reference's — the first
+  // min(100000, file) records regardless of -b (the Go detection batch
+  // is fixed at NewRecordBatch(DefaultBlockSize), compress.go:48-52,
+  // 137-154). With the default block size the window IS block 0, and
+  // its worker folds the quality minimum during its fused transform
+  // (fq_encode_block_fused_scan qmin_io); entropy coding — which needs
+  // the offset only for each record's first quality byte — waits for
+  // resolution. The 10-byte file header is written lazily by the
+  // collector before the first block, so a malformed first block still
+  // produces no output at all (compress.go:137-168 ordering). State is
+  // guarded by col.mu; resolution piggybacks on the collector's cv.
+  const long long kDetectRecords = 100000;
+  const long long det_window_blocks =
+      (kDetectRecords + block_records - 1) / block_records;
+  long long det_contrib = 0;
+  uint8_t det_min = 0xFF;
+  bool det_any = false;
+  bool det_resolved = false;
+  uint8_t det_qoffset = 33;
+  auto det_try_resolve_locked = [&] {
+    if (det_resolved) return;
+    const long long total = col.total.load();
+    const long long need =
+        total >= 0 ? std::min<long long>(det_window_blocks, total)
+                   : det_window_blocks;
+    if (det_contrib < need) return;
+    det_qoffset =
+        det_any ? (det_min < 59 ? 33 : (det_min >= 64 ? 64 : 33)) : 33;
+    det_resolved = true;
+  };
 
+  // Framing scanner launches FIRST, from byte 0: block boundaries are
+  // pure line counts — independent of the Phred detection result — so
+  // framing starts immediately and the workers follow as jobs appear.
   std::thread scanner([&] {
-    // Light scan (E056): block boundaries are pure line-count framing —
-    // the byte just past every (4*block_records)-th newline. One
-    // movemask+popcount sweep; records are parsed, validated, and encoded
-    // by the workers in a single fused pass (fq_encode_block_fused).
-    // Framing by line count is exact: the parser consumes exactly 4 lines
-    // per record with no resynchronization, so the records of block k are
-    // the same under sliced and sequential parsing.
+    // Light scan (E056): block boundaries are the byte just past every
+    // (4*block_records)-th newline. One movemask+popcount sweep; records
+    // are parsed, validated, and encoded by the workers in a single
+    // fused pass (fq_encode_block_fused). Framing by line count is
+    // exact: the parser consumes exactly 4 lines per record with no
+    // resynchronization, so the records of block k are the same under
+    // sliced and sequential parsing.
     const double ts0 = mt_stats_on() ? mt_now() : 0.0;
     const long long lines_per_block = 4 * block_records;
     long long remaining = lines_per_block;
-    long long start = consumed0;
-    long long idx = 1;
-    long long pos = consumed0;
+    long long start = 0;
+    long long idx = 0;
+    long long pos = 0;
     bool ok = true;
     double push_s = 0.0;  // queue backpressure, excluded from scan_us
     auto emit = [&](long long end_off) -> bool {
@@ -3390,11 +3377,33 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       if (chunk_end > n) chunk_end = n;
 #ifdef FQ_AVX2
       const __m256i nlv = _mm256_set1_epi8('\n');
+      while (pos + 64 <= chunk_end && ok) {
+        // 64 B/iteration: two movemasks merged into one u64 popcount —
+        // the loop is memory-bound under worker contention, so fewer
+        // issue slots per byte is the only lever left.
+        const uint32_t m0 = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+            _mm256_loadu_si256((const __m256i*)(text + pos)), nlv));
+        const uint32_t m1 = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
+            _mm256_loadu_si256((const __m256i*)(text + pos + 32)), nlv));
+        uint64_t m = (uint64_t)m0 | ((uint64_t)m1 << 32);
+        long long c = __builtin_popcountll(m);
+        while (c >= remaining && ok) {  // rare: boundary in this chunk
+          uint64_t mm = m;
+          for (long long k = 1; k < remaining; k++) mm &= mm - 1;
+          const int bit = __builtin_ctzll(mm);
+          ok = emit(pos + bit + 1);
+          m = (bit >= 63) ? 0ull : (m & ~((2ull << bit) - 1ull));
+          c = __builtin_popcountll(m);
+          remaining = lines_per_block;
+        }
+        remaining -= c;
+        pos += 64;
+      }
       while (pos + 32 <= chunk_end && ok) {
         uint32_t m = (uint32_t)_mm256_movemask_epi8(_mm256_cmpeq_epi8(
             _mm256_loadu_si256((const __m256i*)(text + pos)), nlv));
         long long c = __builtin_popcount(m);
-        while (c >= remaining && ok) {  // rare: boundary in this chunk
+        while (c >= remaining && ok) {
           uint32_t mm = m;
           for (long long k = 1; k < remaining; k++) mm &= mm - 1;
           const int bit = __builtin_ctz(mm);
@@ -3427,82 +3436,158 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       // asleep with a stale "total unknown" predicate.
       std::lock_guard<std::mutex> lk(col.mu);
       col.total.store(idx);
+      // A file with fewer blocks than the detection window can only
+      // resolve once the block count is known (need = min(window, total)).
+      det_try_resolve_locked();
     }
     col.cv.notify_all();
     jobs.close();
   });
 
+  // Multi-block window (block_records < 100000): workers cannot be
+  // guaranteed to have every window block in flight at once, so a
+  // worker parked on resolution while window blocks sat queued would
+  // deadlock the contribution scheme. Instead a detection THREAD runs
+  // the light framing+qmin walk concurrently with the workers' phase-1
+  // transforms — resolution never depends on worker progress.
+  // Structural validation still belongs to the workers, and the header
+  // is still deferred to the collector. With a one-block window
+  // (block_records >= 100000) this thread never starts and block 0's
+  // worker resolves detection from its own fused walk.
+  std::thread det_thread;
+  if (det_window_blocks > 1) det_thread = std::thread([&] {
+    const double t0p = mt_stats_on() ? mt_now() : 0.0;
+    long long remaining = kDetectRecords;
+    long long line_start = 0;
+    int line_in_rec = 0;
+    uint8_t mn = 0xFF;
+    bool any = false;
+#ifdef FQ_AVX2
+    __m256i vmin = _mm256_set1_epi8((char)0xFF);
+    FqNlIter nl(text, n);
+#endif
+    while (remaining > 0 && line_start < n) {
+      // An unterminated final line is a dropped partial record
+      // (parser.go readLine: io.EOF mid-record discards the record), so
+      // it never participates in detection.
+#ifdef FQ_AVX2
+      const long long line_end = nl.next();
+      if (line_end < 0) break;
+#else
+      const void* pnl =
+          memchr(text + line_start, '\n', (size_t)(n - line_start));
+      if (!pnl) break;
+      const long long line_end = (long long)((const uint8_t*)pnl - text);
+#endif
+      long long len = line_end - line_start;
+      if (len > 0 && text[line_end - 1] == '\r') len--;
+      if (line_in_rec == 3) {  // quality line
+        if (len > 0) any = true;
+        long long j = 0;
+#ifdef FQ_AVX2
+        for (; j + 32 <= len; j += 32)
+          vmin = _mm256_min_epu8(
+              vmin,
+              _mm256_loadu_si256((const __m256i*)(text + line_start + j)));
+#endif
+        for (; j < len; j++)
+          if (text[line_start + j] < mn) mn = text[line_start + j];
+        remaining--;
+      }
+      line_in_rec = (line_in_rec + 1) & 3;
+      line_start = line_end + 1;
+    }
+#ifdef FQ_AVX2
+    {
+      uint8_t tmp[32];
+      _mm256_storeu_si256((__m256i*)tmp, vmin);
+      for (int k = 0; k < 32; k++)
+        if (tmp[k] < mn) mn = tmp[k];
+    }
+#endif
+    {
+      std::lock_guard<std::mutex> lk(col.mu);
+      if (!det_resolved) {
+        det_any |= any;
+        if (mn < det_min) det_min = mn;
+        det_qoffset = det_any
+                          ? (det_min < 59 ? 33 : (det_min >= 64 ? 64 : 33))
+                          : 33;
+        det_resolved = true;
+      }
+    }
+    col.cv.notify_all();
+    if (mt_stats_on())
+      stats.prelude_us.fetch_add((long long)((mt_now() - t0p) * 1e6));
+  });
+
   auto encode_one = [&](const CJob& j, Res& r) {
-    if (j.offs.empty()) {
-      // Fused path (every block but 0): parse + validate + encode in one
-      // pass. Output capacity from the slice alone: raw streams total at
-      // most ~2.4x the slice bytes (worst case all-N minimal records).
-      const long long raw = (5 * j.slice) / 2 + 4096;
-      const long long cap = hdr_size + raw + (raw >> 7) + 8192;
-      if (!r.out.ensure((size_t)cap)) {
-        r.err = -12;
-        return;
+    r.out.len = 0;
+    // Phase 1: fused parse+validate+transform (no entropy coding yet).
+    FqFusedBlock fb;
+    long long detail[2] = {0, 0};
+    uint8_t qmin_io[2] = {0xFF, 0};
+    // Contributions only exist in the one-block-window mode; with a
+    // multi-block window the detection thread owns resolution and the
+    // workers' extra qmin folds would be wasted work.
+    const bool in_window = det_window_blocks == 1 && j.idx == 0;
+    const long long qmin_cap = in_window ? kDetectRecords : 0;
+    const long long rc = fq_encode_block_fused_scan(
+        j.data, j.slice, &fb, detail, in_window ? qmin_io : nullptr,
+        qmin_cap);
+    if (rc < 0) {
+      switch (rc) {
+        case -1: r.err = MT_ERR_FIELD_LEN; break;
+        case -6:
+          r.err = MT_ERR_AMBIG;
+          r.e0 = detail[0];
+          r.e1 = detail[1];
+          break;
+        case -10:
+          r.err = MT_ERR_SCAN;
+          r.e0 = detail[0];
+          break;
+        default: r.err = -12; break;
       }
-      long long comp[6];
-      long long total_len = 0, nrec = 0, detail[2] = {0, 0};
-      const long long payload = fq_encode_block_fused(
-          j.data, j.slice, qoffset, version, hdr_size, r.out.p, cap, comp,
-          &total_len, &nrec, detail);
-      if (payload < 0) {
-        r.out.len = 0;
-        switch (payload) {
-          case -1: r.err = MT_ERR_FIELD_LEN; break;
-          case -6:
-            r.err = MT_ERR_AMBIG;
-            r.e0 = detail[0];
-            r.e1 = detail[1];
-            break;
-          case -10:
-            r.err = MT_ERR_SCAN;
-            r.e0 = detail[0];
-            break;
-          case -12: r.err = -12; break;
-          default: r.err = MT_ERR_ZSTD; break;
+    }
+    // Contribute the window minimum (ALWAYS for window blocks, errors
+    // included — a missing contribution would park every other worker
+    // forever), then wait for resolution before entropy coding.
+    uint8_t qoffset = 33;
+    {
+      std::unique_lock<std::mutex> lk(col.mu);
+      if (in_window) {
+        if (rc == 0 && qmin_io[1]) {
+          det_any = true;
+          if (qmin_io[0] < det_min) det_min = qmin_io[0];
         }
-        return;
+        det_contrib++;
+        det_try_resolve_locked();
+        if (det_resolved) col.cv.notify_all();
       }
-      if (nrec == 0) {
-        r.out.len = 0;  // validated partial tail at EOF: no block
-        return;
-      }
-      write_block_header(r.out.p, version, nrec, comp, total_len);
-      r.out.len = (size_t)(hdr_size + payload);
-      return;
+      if (r.err) return;  // the error deposit does not need the offset
+      col.cv.wait(lk, [&] { return det_resolved || col.failed.load(); });
+      if (col.failed.load()) return;  // drained by the caller
+      qoffset = det_qoffset;
     }
-    const long long row =
-        ambiguous_overflow_row(j.data, j.offs.data(), j.nrec, 65536);
-    if (row >= 0) {
-      r.err = MT_ERR_AMBIG;
-      r.e0 = row;
-      r.e1 = j.offs[(size_t)row * 8 + 3];
-      return;
-    }
-    long long raw = 64 + 10 * j.nrec;
-    for (long long i = 0; i < j.nrec; i++) {
-      const long long* o = j.offs.data() + i * 8;
-      raw += ((o[3] + 3) >> 2) + 3 * o[3] + o[1] + o[5];
-    }
-    const long long cap = hdr_size + raw + (raw >> 7) + 8192;
+    if (fb.nrec == 0) return;  // validated partial tail at EOF: no block
+    // Phase 2: offset patch + per-stream entropy coding, exact capacity.
+    long long cap = hdr_size + 8192;
+    for (int i = 0; i < 6; i++)
+      cap += (long long)ZSTD_compressBound((size_t)fb.sizes[i]);
     if (!r.out.ensure((size_t)cap)) {
       r.err = -12;
       return;
     }
     long long comp[6];
-    long long total_len = 0;
-    const long long payload =
-        fq_encode_block_v2(j.data, j.offs.data(), j.nrec, qoffset, version,
-                           hdr_size, r.out.p, cap, comp, &total_len);
+    const long long payload = fq_encode_block_fused_finish(
+        &fb, qoffset, version, hdr_size, r.out.p, cap, comp);
     if (payload < 0) {
       r.out.len = 0;
-      r.err = payload == -1 ? MT_ERR_FIELD_LEN : MT_ERR_ZSTD;
+      r.err = payload == -3 ? -12 : MT_ERR_ZSTD;
       return;
     }
-    write_block_header(r.out.p, version, j.nrec, comp, total_len);
+    write_block_header(r.out.p, version, fb.nrec, comp, fb.total_len);
     r.out.len = (size_t)(hdr_size + payload);
   };
 
@@ -3533,7 +3618,27 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     });
   }
 
-  long long ret = 10;
+  // The 10-byte file header is deferred until the first block result (or
+  // end-of-stream for block-less files): detection resolves before any
+  // phase-2 deposit, and a first-block error this way produces no output
+  // at all — Go's all-or-nothing first ReadBatch.
+  long long ret = 0;
+  bool header_written = false;
+  auto write_file_header = [&]() -> bool {
+    uint8_t fhdr[10] = {'F', 'Q', 'Z', 0};
+    fhdr[4] = (uint8_t)version;
+    put_u32(fhdr + 5, (uint32_t)block_records);
+    uint8_t flags = extra_flags;
+    {
+      std::lock_guard<std::mutex> lk(col.mu);
+      if (det_resolved && det_qoffset == 64) flags |= 2;
+    }
+    fhdr[9] = flags;
+    if (!sink.write(fhdr, 10)) return false;
+    header_written = true;
+    ret += 10;
+    return true;
+  };
   long long next = 0;
   for (;;) {
     Res r;
@@ -3571,7 +3676,9 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       break;
     }
     bool wok = true;
-    FQ_MT_TIME(stats.write_us, wok = sink.write(r.out.p, r.out.len));
+    if (!header_written && r.out.len > 0) wok = write_file_header();
+    if (wok && r.out.len > 0)
+      FQ_MT_TIME(stats.write_us, wok = sink.write(r.out.p, r.out.len));
     if (!wok) {
       ret = MT_ERR_WRITE;
       err_info[0] = sink.err_no;
@@ -3588,7 +3695,13 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     rpool.put(std::move(r.out));
     next++;
   }
+  // Empty input / partial-tail-only files: header-only output.
+  if (ret >= 0 && !header_written && !write_file_header()) {
+    ret = MT_ERR_WRITE;
+    err_info[0] = sink.err_no;
+  }
 
+  if (det_thread.joinable()) det_thread.join();
   scanner.join();
   for (auto& t : ws) t.join();
   stats.dump("compress", mt_now() - t_start, n);
