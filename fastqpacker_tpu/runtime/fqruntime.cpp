@@ -3006,6 +3006,8 @@ long long fq_decode_block_v2(const uint8_t* payload, long long payload_n,
 #include <mutex>
 #include <thread>
 
+#include <fcntl.h>
+#include <sys/stat.h>
 #include <unistd.h>
 
 namespace fqmt {
@@ -3801,6 +3803,37 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
     sink.buf = &owned->v;
   }
 
+  // pwrite scatter (ROADMAP host item): d.bound is EXACT for well-formed
+  // blocks — v2 output per record is hdr+plus+2*len+6 bytes, so a block's
+  // text is raw[2]+raw[3]+2*raw[1]+2n (v1: raw[2]+2*raw[1]+4n) — so for a
+  // regular-file sink every block's byte range is known up front and
+  // workers write their own blocks in place, in parallel, with no
+  // ordered-collector serialization. A decoded size that misses the
+  // bound (streams individually valid but mutually inconsistent — only
+  // foreign/hostile containers) truncates back to the base offset and
+  // falls back to the per-block path, which accepts such containers.
+  bool scatter = false;
+  long long scatter_base = 0;
+  if (out_fd >= 0) {
+    struct stat st;
+    const int fl = fcntl(out_fd, F_GETFL);
+    if (fstat(out_fd, &st) == 0 && S_ISREG(st.st_mode) && fl >= 0 &&
+        !(fl & O_APPEND)) {
+      const off_t cur = lseek(out_fd, 0, SEEK_CUR);
+      if (cur >= 0) {
+        scatter = true;
+        scatter_base = (long long)cur;
+      }
+    }
+  }
+  std::vector<long long> scatter_off;  // prefix sums of exact block sizes
+  if (scatter) {
+    scatter_off.resize(djobs.size() + 1);
+    scatter_off[0] = 0;
+    for (size_t i = 0; i < djobs.size(); i++)
+      scatter_off[i + 1] = scatter_off[i] + djobs[i].bound;
+  }
+
   Collector col;
   BufPool rpool;
   col.total.store((long long)djobs.size());
@@ -3834,6 +3867,35 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
           if (w < 0) {
             r.out.len = 0;
             r.err = w;
+          } else if (scatter) {
+            if (w != d.bound) {
+              r.err = MT_ERR_FALLBACK;  // inconsistent streams: rewrite
+            } else {
+              const uint8_t* p = r.out.p;
+              long long nleft = w;
+              long long off = scatter_base + scatter_off[(size_t)i];
+              bool wok = true;
+              const double tw0 = mt_stats_on() ? mt_now() : 0.0;
+              while (nleft) {
+                const ssize_t ww =
+                    pwrite(out_fd, p, (size_t)nleft, (off_t)off);
+                if (ww < 0) {
+                  if (errno == EINTR) continue;
+                  r.err = MT_ERR_WRITE;
+                  r.e0 = errno;
+                  wok = false;
+                  break;
+                }
+                p += ww;
+                off += ww;
+                nleft -= (long long)ww;
+              }
+              if (mt_stats_on())
+                stats.write_us.fetch_add(
+                    (long long)((mt_now() - tw0) * 1e6));
+              if (wok) r.e1 = w;  // written byte count for the collector
+            }
+            r.out.len = 0;  // nothing for the collector to write
           } else {
             r.out.len = (size_t)w;
           }
@@ -3859,12 +3921,19 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
     col.cv.notify_all();
     if (r.err) {
       ret = r.err;
+      if (r.err == MT_ERR_WRITE) err_info[0] = r.e0;
       {
         std::lock_guard<std::mutex> lk(col.mu);
         col.failed.store(true);
       }
       col.cv.notify_all();
       break;
+    }
+    if (scatter) {
+      ret += r.e1;
+      rpool.put(std::move(r.out));
+      next++;
+      continue;
     }
     bool wok = true;
     FQ_MT_TIME(stats.write_us, wok = sink.write(r.out.p, r.out.len));
@@ -3884,6 +3953,24 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
   }
 
   for (auto& t : ws) t.join();
+  if (scatter) {
+    if (ret >= 0) {
+      // Leave the fd exactly as the ordered-write path would: length
+      // covered through the last block, offset at the end of the text.
+      (void)!ftruncate(out_fd, (off_t)(scatter_base + ret));
+      (void)lseek(out_fd, (off_t)(scatter_base + ret), SEEK_SET);
+    } else {
+      // Error/fallback cleanup: out-of-order pwrites beyond the failed
+      // block must not survive. `next` is the first block that did not
+      // complete in order, so the surviving prefix mirrors the ordered
+      // path's partial output (fallback truncates to base: the per-block
+      // rerun rewrites everything from the original offset).
+      const long long keep =
+          ret == MT_ERR_FALLBACK ? 0 : scatter_off[(size_t)next];
+      (void)!ftruncate(out_fd, (off_t)(scatter_base + keep));
+      (void)lseek(out_fd, (off_t)(scatter_base + keep), SEEK_SET);
+    }
+  }
   stats.dump("decompress", mt_now() - t_start, ret > 0 ? ret : 0);
   if (ret < 0) {
     delete owned;

@@ -380,3 +380,36 @@ def test_parser_grow_buffer_never_shrinks_below_filled():
     # per-block (streaming) path: must fail typed, not crash
     with pytest.raises(ValueError, match="ambiguous bases"):
         _per_block_compress(data, fq.Options(block_size=100))
+
+
+def test_scatter_file_sink_identical_to_buffered():
+    """pwrite-scatter decompress (regular-file sink, r3): byte-identical
+    to the buffered/ordered path, including a short final block."""
+    data = _fastq(25000, read_len=137)
+    comp = fq.compress_bytes(data)
+    buffered = fq.decompress_bytes(comp)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.fq")
+        with open(path, "wb") as w:
+            fq.decompress(io.BytesIO(comp), w)
+        with open(path, "rb") as f:
+            scattered = f.read()
+    assert scattered == buffered == data
+
+
+def test_scatter_error_truncates_partial_prefix():
+    """A corrupted later block must not leave out-of-order pwrites beyond
+    the failure point: the surviving file is a prefix of the expected
+    text ending at a block boundary."""
+    data = _fastq(30000, read_len=101)
+    comp = bytearray(fq.compress_bytes(data))
+    comp[-50] ^= 0xFF  # corrupt inside the final block's payload
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "out.fq")
+        with pytest.raises(Exception):
+            with open(path, "wb") as w:
+                fq.decompress(io.BytesIO(bytes(comp)), w)
+        with open(path, "rb") as f:
+            part = f.read()
+    assert data.startswith(part)
+    assert len(part) < len(data)
