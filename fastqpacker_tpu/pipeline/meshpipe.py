@@ -31,12 +31,14 @@ from . import blocks as blockcodec
 from . import native
 
 
-def _plan_seq(ordereds, lengths_l, codec):
+def _plan_seq(ordereds, lengths_l, codec, seq_dict=None):
     """Per-block sequence-slot pick: device context coder (TAG_WCTX over
     unpacked codes) vs the host candidates (adaptive zstd; probe-gated
-    sldm for coverage structure) — the same empirical-size policy as the
-    host v3 pipeline (native._encode_tagged_seq), with wctx standing in
-    for sctx. Returns (infos, chosen seq order or None)."""
+    sldm for coverage structure, with the container-level cross-block
+    dictionary as LDM prefix when present — E044) — the same
+    empirical-size policy as the host v3 pipeline
+    (native._encode_tagged_seq), with wctx standing in for sctx.
+    Returns (infos, chosen seq order or None)."""
     from ..ops import seqctx, sldm, wctx
 
     infos = []
@@ -51,11 +53,14 @@ def _plan_seq(ordereds, lengths_l, codec):
             except ValueError:
                 pass
             try:
-                if sldm.coverage_probe(s_arr) >= sldm.DUP_THRESHOLD:
+                if (
+                    seq_dict is not None
+                    or sldm.coverage_probe(s_arr) >= sldm.DUP_THRESHOLD
+                ):
                     cand = (
-                        sldm.encode_bases(info["bases"])
+                        sldm.encode_bases(info["bases"], prefix=seq_dict)
                         if "bases" in info
-                        else sldm.encode(s_arr, lens)
+                        else sldm.encode(s_arr, lens, prefix=seq_dict)
                     )
                     if len(cand) + 1 < len(info["host"]):
                         info["host"] = bytes([native.TAG_SLDM]) + cand
@@ -121,7 +126,7 @@ def _plan_qual(ordereds, lengths_l, codec):
     return infos
 
 
-def _plan_round(blks, raws, codec=None):
+def _plan_round(blks, raws, codec=None, seq_dict=None):
     """Host-CPU planning for one round (runs on the prefetch worker,
     overlapped with the previous round's device programs): ordered
     streams, per-stream empirical picks, CRCs, host candidate frames.
@@ -132,7 +137,7 @@ def _plan_round(blks, raws, codec=None):
     lengths_l = [
         np.frombuffer(o[5], "<u4").astype(np.int64) for o in ordereds
     ]
-    seq_infos, seq_k = _plan_seq(ordereds, lengths_l, codec)
+    seq_infos, seq_k = _plan_seq(ordereds, lengths_l, codec, seq_dict)
     qual_infos = _plan_qual(ordereds, lengths_l, codec)
     crcs = [native._crc_streams(o) for o in ordereds]
     return {
@@ -331,16 +336,56 @@ def compress_mesh(
     # window regardless of -b (compress.go:48-52,137-154).
     peeked, qual_offset = api.peek_detection(block_iter)
     first_block = peeked[0] if peeked else None
+    second_block = peeked[1] if len(peeked) > 1 else None
+    if first_block is not None and second_block is None:
+        # single-block containers gain nothing from a cross-block dict
+        # (native.compress_native peeks the same way)
+        for blk in block_iter:
+            second_block = blk
+            peeked.append(blk)
+            break
     flags = opts.flags | (
         container.FLAG_PHRED64
         if qual_offset == refops.PHRED64_OFFSET
         else 0
     )
+    # Cross-block sequence dictionary (E044) in mesh mode too: block 0's
+    # coverage probe decides; the dict becomes the LDM prefix of every
+    # TAG_SLDM candidate in _plan_seq. The container stays standard v3 —
+    # the ordinary decoder reads the section; decompress_mesh routes
+    # dict containers to it.
+    seq_dict = None
+    raw0 = None
+    if (
+        first_block is not None
+        and first_block.n > 0
+        and second_block is not None
+    ):
+        from ..ops import sldm
+
+        raw0 = blockcodec.block_to_raw_streams(
+            first_block, qual_offset,
+            encode_arrays=encode_arrays, wide_npos=True,
+        )
+        packed0 = np.frombuffer(raw0.seq, np.uint8)
+        if sldm.coverage_probe(packed0) >= sldm.DUP_THRESHOLD:
+            lens0 = np.frombuffer(raw0.lengths, "<u4").astype(np.int64)
+            try:
+                seq_dict = sldm.build_dict(packed0, lens0)
+                flags |= container.FLAG_SEQ_DICT
+            except ValueError:
+                seq_dict = None
     container.FileHeader(
         version=container.VERSION_3_NATIVE,
         block_size=block_size,
         flags=flags,
     ).write(w)
+    if seq_dict is not None:
+        from ..ops import sldm
+
+        container.write_seq_dict_section(
+            w, sldm.compress_dict(seq_dict), len(seq_dict)
+        )
     if first_block is None:
         return
 
@@ -360,13 +405,15 @@ def compress_mesh(
 
     def build_and_plan(blks: list[RecordBlock]):
         raws = [
-            blockcodec.block_to_raw_streams(
+            raw0
+            if (blk is first_block and raw0 is not None)
+            else blockcodec.block_to_raw_streams(
                 blk, qual_offset,
                 encode_arrays=encode_arrays, wide_npos=True,
             )
             for blk in blks
         ]
-        return _plan_round(blks, raws, codec)
+        return _plan_round(blks, raws, codec, seq_dict)
 
     def rounds():
         group: list[RecordBlock] = []
@@ -436,7 +483,7 @@ def decompress_mesh(r: BinaryIO, w: BinaryIO, mesh=None) -> None:
             refops.PHRED64_OFFSET
             if opts_fh.phred64
             else refops.PHRED33_OFFSET,
-            api._resolve_workers(None),
+            api._resolve_workers(0),
         )
         return
     qual_offset = (

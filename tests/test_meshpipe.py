@@ -316,3 +316,38 @@ def test_mesh_decode_crc_catches_batch_corruption():
         except Exception:
             hits += 1
     assert hits >= 6  # most mutations must be caught, none accepted wrong
+
+
+def test_mesh_seq_dict_on_coverage_data():
+    """Cross-block sequence dictionary (E044) in mesh mode (r3): on
+    multi-block coverage data the flag is set, the container stays
+    standard v3 (ordinary decoder round-trips it), and the dict shrinks
+    the output vs the same data compressed without a second block's
+    worth of cross-block matches."""
+    rng = np.random.default_rng(3)
+    genome = rng.integers(0, 4, 20000)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    reads = []
+    for i in range(6000):  # 15x coverage of a 20 kb genome
+        start = int(rng.integers(0, len(genome) - 60))
+        seq = bases[genome[start:start + 60]].tobytes().decode()
+        reads.append(f"@r{i}\n{seq}\n+\n{'I' * 60}\n")
+    data = "".join(reads).encode()
+    mesh = pmesh.make_mesh(8)
+    comp = meshpipe.compress_mesh_bytes(
+        data, fq.Options(block_size=1500), mesh
+    )
+    fh = container.read_file_header(io.BytesIO(comp))
+    assert fh.flags & container.FLAG_SEQ_DICT
+    assert fq.decompress_bytes(comp) == data
+    # parity with the host v3 pipeline at the same framing (both use
+    # the dict; the mesh pick must not regress materially)
+    host = io.BytesIO()
+    fq.compress(
+        io.BytesIO(data),
+        host,
+        fq.Options(
+            version=container.VERSION_3_NATIVE, block_size=1500
+        ),
+    )
+    assert len(comp) <= int(len(host.getvalue()) * 1.05)
