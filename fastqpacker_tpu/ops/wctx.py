@@ -69,10 +69,12 @@ MODEL_SEQ = 0
 MODEL_QUAL = 1
 SEQ_ORDERS = (2, 4, 6)
 
-# qual model-0 context geometry (must mirror ops/qualctx.py)
+# qual context geometry (must mirror ops/qualctx.py)
 NUM_QBINS = 48
 NUM_PBUCKETS = 8
-QUAL_NUM_CTX = NUM_PBUCKETS * NUM_QBINS  # 384
+NUM_Q2B = 8  # model-1 prev2 buckets: min(prev2,46)>>3, sentinel 7 at p<2
+QUAL_NUM_CTX = NUM_PBUCKETS * NUM_QBINS  # 384 (model 1 order 0)
+QUAL2_NUM_CTX = QUAL_NUM_CTX * NUM_Q2B  # 3072 (model 1 order 1)
 QUAL_CTX_PAD = 512  # pow2 padding for the factorized lookup (H=32, L=16)
 
 HEADER_FMT = "<BBBxI"
@@ -95,9 +97,11 @@ def model_geometry(model: int, order: int) -> tuple[int, int, int]:
         h = 1 << order  # H = L = 2**order
         return c, h, h
     if model == MODEL_QUAL:
-        if order != 0:
-            raise WctxError(f"unsupported wctx qual order {order}")
-        return QUAL_NUM_CTX, 32, 16
+        if order == 0:
+            return QUAL_NUM_CTX, 32, 16
+        if order == 1:  # qualctx model 1: x prev2 bucket (4096 padded)
+            return QUAL2_NUM_CTX, 64, 64
+        raise WctxError(f"unsupported wctx qual order {order}")
     raise WctxError(f"unknown wctx model {model}")
 
 
@@ -208,11 +212,17 @@ def context_matrix(
             prev = _shift_down(s32, i)
             ctx |= np.where(p >= i, prev, 0) << (2 * (i - 1))
         return ctx
-    # qual model 0: ctx = min(p>>4, 7)*48 + qbin
+    # qual: ctx0 = min(p>>4, 7)*48 + qbin; order 1 appends the prev2
+    # bucket (qualctx.contexts model 1): ctx1 = ctx0*8 + q2b
     prev = _shift_down(symm.astype(np.int32), 1)
     qbin = np.where(p == 0, NUM_QBINS - 1, np.minimum(prev, 46))
     pb = np.minimum(p >> 4, NUM_PBUCKETS - 1)
-    return (pb * NUM_QBINS + qbin).astype(np.int32)
+    ctx = (pb * NUM_QBINS + qbin).astype(np.int32)
+    if order == 0:
+        return ctx
+    prev2 = _shift_down(symm.astype(np.int32), 2)
+    q2b = np.where(p >= 2, np.minimum(prev2, 46) >> 3, NUM_Q2B - 1)
+    return (ctx * NUM_Q2B + q2b).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -221,11 +231,20 @@ def context_matrix(
 
 
 def matrix_histogram(
-    symm: np.ndarray, ctxm: np.ndarray, C: int
+    symm: np.ndarray, ctxm: np.ndarray, C: int,
+    seg: np.ndarray | None = None,
 ) -> np.ndarray:
-    """(C, 256) int64 histogram over every (step, lane) cell including
-    padding (pad symbols must be codable in their contexts)."""
-    flat = ctxm.astype(np.int64).reshape(-1) * 256 + symm.reshape(-1)
+    """(C, 256) int64 histogram. With ``seg`` (real symbols per lane),
+    only data cells count — pad cells are skipped by the coders (r3),
+    so the tables are exactly the host prepare histograms."""
+    if seg is not None:
+        S = symm.shape[0]
+        mask = np.arange(S, dtype=np.int64)[:, None] < seg[None, :]
+        flat = (
+            ctxm[mask].astype(np.int64) * 256 + symm[mask].astype(np.int64)
+        )
+    else:
+        flat = ctxm.astype(np.int64).reshape(-1) * 256 + symm.reshape(-1)
     return np.bincount(flat, minlength=C * 256).reshape(C, 256)
 
 
@@ -292,7 +311,7 @@ def estimate_size(
 
 
 def _ctx_step(
-    ctx, p, prev_sym, start_row, model: int, order: int, xp=np
+    ctx, p, prev_sym, prev2_sym, start_row, model: int, order: int, xp=np
 ):
     """One step of the context recurrence shared by encode-matrix
     construction and decode (here in its per-step carry form)."""
@@ -310,7 +329,15 @@ def _ctx_step(
         xp.minimum(prev_sym.astype(ctx.dtype), 46),
     )
     pb = xp.minimum(p >> 4, NUM_PBUCKETS - 1)
-    return pb * NUM_QBINS + qbin, p
+    ctx = pb * NUM_QBINS + qbin
+    if order == 0:
+        return ctx, p
+    q2b = xp.where(
+        p >= 2,
+        xp.minimum(prev2_sym.astype(ctx.dtype), 46) >> 3,
+        NUM_Q2B - 1,
+    )
+    return ctx * NUM_Q2B + q2b, p
 
 
 def encode_reference(
@@ -318,23 +345,27 @@ def encode_reference(
     ctxm: np.ndarray,
     freq: np.ndarray,
     cum: np.ndarray,
+    seg: np.ndarray,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Backward lockstep encode. ``freq``/``cum``: (C, 256) u32 views.
+    """Backward lockstep encode. ``freq``/``cum``: (C, 256) u32 views;
+    ``seg``: (N,) real symbols per lane (pad cells are skipped).
     Returns (words ascending (step, lane) order, final states (N,))."""
     S, N = symm.shape
     x = np.full(N, RANS_L, dtype=np.uint64)
     step_words: list[np.ndarray] = []
     for t in range(S - 1, -1, -1):
+        live = t < seg
         s = symm[t].astype(np.int64)
         c = ctxm[t].astype(np.int64)
         f = freq[c, s].astype(np.uint64)
-        if (f == 0).any():
+        if (f[live] == 0).any():
             raise WctxError("invalid wctx frequency table")
+        f = np.where(live, f, 1)
         cm = cum[c, s].astype(np.uint64)
-        emit = x >= (f << 20)
+        emit = (x >= (f << 20)) & live
         step_words.append((x[emit] & 0xFFFF).astype(np.uint16))
-        x = np.where(emit, x >> 16, x)
-        x = ((x // f) << PROB_BITS) + (x % f) + cm
+        x1 = np.where(emit, x >> 16, x)
+        x = np.where(live, ((x1 // f) << PROB_BITS) + (x1 % f) + cm, x)
     words = (
         np.concatenate(step_words[::-1])
         if step_words
@@ -351,42 +382,48 @@ def decode_reference(
     cum: np.ndarray,
     model: int,
     order: int,
+    seg: np.ndarray,
 ) -> np.ndarray:
-    """Forward lockstep decode -> (S, N) symbol matrix."""
+    """Forward lockstep decode -> (S, N) symbol matrix (pad cells
+    skipped; their output is zero)."""
     S, N = startm.shape
     x = states.astype(np.uint64).copy()
     ctx = np.zeros(N, dtype=np.int64)
     p = np.full(N, -1, dtype=np.int64)
     prev = np.zeros(N, dtype=np.int64)
+    prev2 = np.zeros(N, dtype=np.int64)
     out = np.zeros((S, N), dtype=np.uint8)
     cum_full = np.concatenate(
         [cum, np.full((cum.shape[0], 1), PROB_SCALE, np.uint32)], axis=1
     ).astype(np.int64)
     wi = 0
     for t in range(S):
-        ctx, p = _ctx_step(ctx, p, prev, startm[t], model, order)
+        live = t < seg
+        ctx, p = _ctx_step(ctx, p, prev, prev2, startm[t], model, order)
         slot = (x & (PROB_SCALE - 1)).astype(np.int64)
         # symbol = rightmost cum boundary <= slot
         sym = (
             np.sum(cum_full[ctx, 1:-1] <= slot[:, None], axis=1)
         ).astype(np.int64)
         f = freq[ctx, sym].astype(np.uint64)
-        bad = f == 0
-        if bad.any():
+        if (f[live] == 0).any():
             raise WctxError("corrupted wctx stream")
+        f = np.where(live, f, 1)
         c = cum[ctx, sym].astype(np.uint64)
-        x = f * (x >> PROB_BITS) + slot.astype(np.uint64) - c
-        need = x < RANS_L
+        x1 = f * (x >> PROB_BITS) + slot.astype(np.uint64) - c
+        need = (x1 < RANS_L) & live
         k = int(need.sum())
         if k:
             if wi + k > len(words):
                 raise WctxError("truncated wctx words")
-            x[need] = (x[need] << 16) | words[wi : wi + k].astype(
+            x1[need] = (x1[need] << 16) | words[wi : wi + k].astype(
                 np.uint64
             )
             wi += k
-        out[t] = sym.astype(np.uint8)
-        prev = sym
+        x = np.where(live, x1, x)
+        out[t] = np.where(live, sym, 0).astype(np.uint8)
+        prev2 = np.where(live, prev, prev2)
+        prev = np.where(live, sym, prev)
     if wi != len(words):
         raise WctxError("trailing wctx words")
     return out
@@ -431,12 +468,13 @@ def _ctx_fetch(ctx, planes, L: int, B: int):
     )
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8))
 def _encode_kernel(
     symm: jax.Array,  # (S, N) uint8 present-index symbols (sym in [0, B))
     ctxm: jax.Array,  # (S, N) int32 context matrix
     steps: jax.Array,  # i32 scalar: valid rows
     planes: jax.Array,  # (2, H, L*B) int8: pcum rows (cum-before, present order)
+    seg: jax.Array,  # (N,) int32 real symbols per lane (cells past are pads)
     S: int,
     N: int,
     L: int,
@@ -444,13 +482,21 @@ def _encode_kernel(
 ):
     """Backward-walk context rANS encode; mirrors rans._encode_kernel's
     scan/roll machinery with the (f, c) pair fetched per step from the
-    per-context cumulative table. Returns (emits, emask, states)."""
+    per-context cumulative table. Pad cells (row >= seg[lane]; trailing
+    only, by construction of the lane layout) are skipped entirely — the
+    decoder reconstructs the same mask from the lengths, so pads cost no
+    bits and never pollute the context tables. Returns (emits, emask,
+    states)."""
     sym_rev = jnp.roll(jnp.flip(symm, axis=0), -(S - steps), axis=0)
     ctx_rev = jnp.roll(jnp.flip(ctxm, axis=0), -(S - steps), axis=0)
+    row_rev = jnp.roll(
+        jnp.flip(jax.lax.iota(jnp.int32, S), axis=0), -(S - steps), axis=0
+    )
     valid = jax.lax.iota(jnp.int32, S) < steps
 
     def body(x, inp):
-        sym, ctx, v = inp
+        sym, ctx, v, t = inp
+        live = (t < seg) & v
         prow = _ctx_fetch(ctx, planes, L, B)  # (N, B) cum-before
         nrow = jnp.concatenate(
             [prow[:, 1:], jnp.full((prow.shape[0], 1), PROB_SCALE,
@@ -462,11 +508,12 @@ def _encode_kernel(
         ).astype(jnp.int32)
         c = jnp.sum(prow * oh, axis=1).astype(_u32)
         f = jnp.sum(nrow * oh, axis=1).astype(_u32) - c
-        emit = ((x >> 20) >= f) & v
+        f = jnp.where(live, f, _u32(1))  # pad cells: keep divmod defined
+        emit = ((x >> 20) >= f) & live
         word = (x & _u32(0xFFFF)).astype(_u16)
         x1 = jnp.where(emit, x >> 16, x)
         q, r = rans._divmod_state(x1, f)
-        x = jnp.where(v, (q << PROB_BITS) + r + c, x)
+        x = jnp.where(live, (q << PROB_BITS) + r + c, x)
         return x, (word, emit)
 
     x0 = jnp.full((N,), RANS_L, dtype=_u32)
@@ -474,14 +521,14 @@ def _encode_kernel(
     # of a tiny sequential body dominates at thousands of steps (the
     # E057 lesson re-learned for the context kernels; measured on-chip)
     x, (words_rev, emask_rev) = jax.lax.scan(
-        body, x0, (sym_rev, ctx_rev, valid), unroll=4
+        body, x0, (sym_rev, ctx_rev, valid, row_rev), unroll=4
     )
     emits = jnp.flip(jnp.roll(words_rev, S - steps, axis=0), axis=0)
     emask = jnp.flip(jnp.roll(emask_rev, S - steps, axis=0), axis=0)
     return emits, emask, x
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 10, 11))
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 12))
 def _decode_kernel(
     words: jax.Array,  # (W,) uint16, global (step, lane) order (+N zeros pad)
     states: jax.Array,  # (N,) uint32
@@ -490,6 +537,7 @@ def _decode_kernel(
     planes: jax.Array,  # (2, H, L*B) int8 pcum rows
     dpres: jax.Array,  # (B,) int32 present-value deltas (0-padded tail):
     # raw symbol = telescoping sum, same ge pattern as c/f
+    seg: jax.Array,  # (N,) int32 real symbols per lane (pads skipped)
     S: int,
     N: int,
     L: int,
@@ -507,8 +555,9 @@ def _decode_kernel(
     valid = jax.lax.iota(jnp.int32, S) < steps
 
     def body(carry, inp):
-        x, base, ctx, p, prev = carry
-        srow_bits, v = inp
+        x, base, ctx, p, prev, prev2 = carry
+        srow_bits, v, t = inp
+        live = (t < seg) & v
         start = (
             (srow_bits[:, None] >> jax.lax.iota(jnp.uint8, 8)[None, :])
             & 1
@@ -523,6 +572,11 @@ def _decode_kernel(
                 start == 1, NUM_QBINS - 1, jnp.minimum(prev, 46)
             )
             ctx = jnp.minimum(p >> 4, NUM_PBUCKETS - 1) * NUM_QBINS + qbin
+            if order == 1:  # qualctx model 1: x prev2 bucket
+                q2b = jnp.where(
+                    p >= 2, jnp.minimum(prev2, 46) >> 3, NUM_Q2B - 1
+                )
+                ctx = ctx * NUM_Q2B + q2b
         prow = _ctx_fetch(ctx, planes, L, B)  # (N, B) int32 cum-before
         slot = (x & _u32(PROB_SCALE - 1)).astype(jnp.int32)
         ge = (slot[:, None] >= prow).astype(jnp.int32)  # (N, B) monotone
@@ -548,17 +602,18 @@ def _decode_kernel(
         x1 = f * (x >> PROB_BITS) + slot.astype(_u32) - jnp.asarray(
             c, _u32
         )
-        need = (x1 < _u32(RANS_L)) & v
+        need = (x1 < _u32(RANS_L)) & live
         ni = need.astype(jnp.int32)
         incl = rans._cumsum_rolls(ni, N)
         rank = incl - ni
         chunk = jax.lax.dynamic_slice(words, (base,), (N,))
         wv = rans._monotonic_gather(chunk, rank, N).astype(_u32)
         x1 = jnp.where(need, (x1 << 16) | wv, x1)
-        x = jnp.where(v, x1, x)
+        x = jnp.where(live, x1, x)
         base = base + incl[-1]
-        prev = jnp.where(v, raw, prev)  # contexts see raw values
-        return (x, base, ctx, p, prev), sym.astype(jnp.uint8)
+        prev2 = jnp.where(live, prev, prev2)
+        prev = jnp.where(live, raw, prev)  # contexts see raw values
+        return (x, base, ctx, p, prev, prev2), sym.astype(jnp.uint8)
 
     carry0 = (
         states,
@@ -566,9 +621,12 @@ def _decode_kernel(
         jnp.zeros((N,), jnp.int32),
         jnp.full((N,), -1, jnp.int32),
         jnp.zeros((N,), jnp.int32),
+        jnp.zeros((N,), jnp.int32),
     )
-    (x, base, _, _, _), out = jax.lax.scan(
-        body, carry0, (startm_bits, valid), unroll=4
+    (x, base, _, _, _, _), out = jax.lax.scan(
+        body, carry0,
+        (startm_bits, valid, jax.lax.iota(jnp.int32, startm_bits.shape[0])),
+        unroll=4,
     )
     return out, x, base
 
@@ -579,10 +637,11 @@ def _decode_kernel(
 
 
 def build_tables(
-    symm: np.ndarray, ctxm: np.ndarray, C: int
+    symm: np.ndarray, ctxm: np.ndarray, C: int,
+    seg: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """-> (present (npres,) int, freq (C, npres) u16 in present order)."""
-    hist = matrix_histogram(symm, ctxm, C)
+    hist = matrix_histogram(symm, ctxm, C, seg)
     present = np.flatnonzero(hist.sum(axis=0) > 0)
     freq_full = normalize_tables(hist)
     return present, np.ascontiguousarray(freq_full[:, present])
@@ -625,13 +684,16 @@ def encode_stream(
     N = lanes or pick_lanes(n)
     C, H, L = model_geometry(model, order)
     sb, S = lane_bounds(lengths, N)
+    seg = (sb[1:] - sb[:-1]).astype(np.int32)
     startm = start_matrix(lengths, sb, S)
-    # padding = most frequent symbol (cheap to code, like ops/rans.py)
+    # pad fill value is arbitrary — pad cells are skipped by the coders
+    # and excluded from the tables (r3); most-frequent keeps the matrix
+    # content deterministic
     counts = np.bincount(flat_syms, minlength=256)
     pad_sym = int(np.argmax(counts))
     symm = to_matrix(flat_syms, sb, S, pad_sym)
     ctxm = context_matrix(symm, startm, model, order)
-    present, freq_p = build_tables(symm, ctxm, C)
+    present, freq_p = build_tables(symm, ctxm, C, seg)
     if len(present) > B_MAX and model == MODEL_QUAL:
         raise WctxError(
             f"wctx present alphabet {len(present)} exceeds {B_MAX}"
@@ -660,7 +722,7 @@ def encode_stream(
 
     emits, emask, states = _encode_kernel(
         jnp.asarray(symp), jnp.asarray(ctxp), jnp.int32(S),
-        jnp.asarray(planes), S_pad, N, L, B,
+        jnp.asarray(planes), jnp.asarray(seg), S_pad, N, L, B,
     )
     emits = np.asarray(emits[:S])
     emask = np.asarray(emask[:S])
@@ -770,6 +832,7 @@ def decode_stream(
     N = p["N"]
     C, H, L = model_geometry(p["model"], p["order"])
     sb, S = lane_bounds(lengths, N)
+    seg = (sb[1:] - sb[:-1]).astype(np.int32)
     startm = start_matrix(lengths, sb, S)
     npres = len(p["present"])
     B = 1
@@ -795,7 +858,7 @@ def decode_stream(
     out_mat, x, consumed = _decode_kernel(
         jnp.asarray(words), jnp.asarray(p["states"]),
         jnp.asarray(_pack_startm(startm_p)), jnp.int32(S),
-        jnp.asarray(planes), jnp.asarray(dpres),
+        jnp.asarray(planes), jnp.asarray(dpres), jnp.asarray(seg),
         S_pad, N, L, B, p["model"], p["order"],
     )
     if int(np.asarray(consumed)) != len(p["words"]):

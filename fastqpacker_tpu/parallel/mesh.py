@@ -623,6 +623,7 @@ def wctx_encode_sharded(
     ctxm: jax.Array,  # (D, S, N) uint16 context ids
     steps: jax.Array,  # (D,) int32 valid rows per shard
     planes: jax.Array,  # (D, 2, H, L*B) int8 per-block pcum planes
+    seg: jax.Array,  # (D, N) int32 real symbols per lane (pads skipped)
     *,
     mesh: Mesh,
     S: int,
@@ -635,11 +636,11 @@ def wctx_encode_sharded(
     :func:`entropy_encode_sharded_raw` (E057)."""
     from ..ops import wctx
 
-    def local(symm_l, ctxm_l, steps_l, planes_l):
+    def local(symm_l, ctxm_l, steps_l, planes_l, seg_l):
         emits, emask, states = wctx._encode_kernel.__wrapped__(
             symm_l[0], ctxm_l[0].astype(jnp.int32),
             steps_l.reshape(()).astype(jnp.int32), planes_l[0],
-            S, N, L, B,
+            seg_l[0], S, N, L, B,
         )
         bits = emask.reshape(-1, 8).astype(jnp.uint8)
         weights = (jnp.uint8(1) << jax.lax.iota(jnp.uint8, 8))[None, :]
@@ -658,13 +659,14 @@ def wctx_encode_sharded(
         in_specs=(
             P(BLOCK_AXIS, None, None), P(BLOCK_AXIS, None, None),
             P(BLOCK_AXIS), P(BLOCK_AXIS, None, None, None),
+            P(BLOCK_AXIS, None),
         ),
         out_specs=(
             P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
             P(BLOCK_AXIS, None), P(BLOCK_AXIS),
         ),
         check_vma=False,
-    )(symm, ctxm, steps, planes)
+    )(symm, ctxm, steps, planes, seg)
 
 
 @partial(
@@ -678,6 +680,7 @@ def wctx_decode_sharded(
     steps: jax.Array,  # (D,) int32
     planes: jax.Array,  # (D, 2, H, L*B) int8
     dpres: jax.Array,  # (D, B) int32
+    seg: jax.Array,  # (D, N) int32 real symbols per lane (pads skipped)
     *,
     mesh: Mesh,
     S: int,
@@ -689,11 +692,12 @@ def wctx_decode_sharded(
 ):
     from ..ops import wctx
 
-    def local(words_l, states_l, startm_l, steps_l, planes_l, dpres_l):
+    def local(words_l, states_l, startm_l, steps_l, planes_l, dpres_l,
+              seg_l):
         out, x, consumed = wctx._decode_kernel.__wrapped__(
             words_l.reshape(-1), states_l.reshape(-1), startm_l[0],
             steps_l.reshape(()).astype(jnp.int32), planes_l[0],
-            dpres_l.reshape(-1), S, N, L, B, model, order,
+            dpres_l.reshape(-1), seg_l[0], S, N, L, B, model, order,
         )
         return out[None], consumed[None]
 
@@ -704,29 +708,28 @@ def wctx_decode_sharded(
             P(BLOCK_AXIS, None), P(BLOCK_AXIS, None),
             P(BLOCK_AXIS, None, None), P(BLOCK_AXIS),
             P(BLOCK_AXIS, None, None, None), P(BLOCK_AXIS, None),
+            P(BLOCK_AXIS, None),
         ),
         out_specs=(P(BLOCK_AXIS, None, None), P(BLOCK_AXIS)),
         check_vma=False,
-    )(words, states, startm_bits, steps, planes, dpres)
+    )(words, states, startm_bits, steps, planes, dpres, seg)
 
 
 def _wctx_block_prep(syms, lengths, hist, model, order, N):
     """Host-side per-block prep for the sharded wctx encode: lane
     layout, matrices, tables, planes. ``hist``: (C, 256) DATA histogram
-    (padding is added here). Returns a dict of batchable pieces."""
-    import struct as _struct
-
+    — used as-is: pad cells are skipped by the coders (r3), so the
+    tables are exactly the host prepare histograms. Returns a dict of
+    batchable pieces."""
     from ..ops import wctx
 
     C, H, L = wctx.model_geometry(model, order)
     lengths = np.asarray(lengths, np.int64)
     sb, S = wctx.lane_bounds(lengths, N)
+    seg = (sb[1:] - sb[:-1]).astype(np.int32)
     n = len(syms)
-    pads = S * N - n
-    hist = hist.astype(np.int64).copy()
+    hist = hist.astype(np.int64)
     pad_sym = int(np.argmax(hist.sum(axis=0)))
-    pad_ctx = 0 if model == wctx.MODEL_SEQ else wctx.NUM_QBINS - 1
-    hist[pad_ctx, pad_sym] += pads
     present = np.flatnonzero(hist.sum(axis=0) > 0)
     freq_full = wctx.normalize_tables(hist)
     freq_p = np.ascontiguousarray(freq_full[:, present])
@@ -736,7 +739,7 @@ def _wctx_block_prep(syms, lengths, hist, model, order, N):
     ctxm = wctx.context_matrix(symm, startm, model, order)
     sym_idx = wctx._sym_to_idx(present)[symm]
     return {
-        "sb": sb, "S": S, "n": n, "npres": npres,
+        "sb": sb, "S": S, "n": n, "npres": npres, "seg": seg,
         "present": present, "freq_p": freq_p,
         "sym_idx": sym_idx, "ctxm": ctxm,
         "C": C, "H": H, "L": L,
@@ -793,6 +796,7 @@ def wctx_encode_streams(
     symb = np.zeros((d, S_pad, N), np.uint8)
     ctxb = np.zeros((d, S_pad, N), np.uint16)
     steps = np.zeros(d, np.int32)
+    segb = np.zeros((d, N), np.int32)
     planes = np.zeros((d, 2, H, L * B), np.int8)
     for i, p in enumerate(preps):
         if p is None:
@@ -800,6 +804,7 @@ def wctx_encode_streams(
         symb[i, : p["S"]] = p["sym_idx"]
         ctxb[i, : p["S"]] = p["ctxm"].astype(np.uint16)
         steps[i] = p["S"]
+        segb[i] = p["seg"]
         pcum = wctx._pcum_from_freq(p["freq_p"])
         pcum_b = np.zeros((C, B), np.int32)
         pcum_b[:, : p["npres"]] = pcum
@@ -809,6 +814,7 @@ def wctx_encode_streams(
                 pcum_b[:, jcol] = tail
         planes[i] = wctx.pack_planes(pcum_b, H, L)
 
+    sh2 = NamedSharding(mesh, P(BLOCK_AXIS, None))
     sh3 = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
     sh4 = NamedSharding(mesh, P(BLOCK_AXIS, None, None, None))
     lsh = NamedSharding(mesh, P(BLOCK_AXIS))
@@ -817,6 +823,7 @@ def wctx_encode_streams(
         jax.device_put(ctxb, sh3),
         jax.device_put(steps, lsh),
         jax.device_put(planes, sh4),
+        jax.device_put(segb, sh2),
         mesh=mesh, S=S_pad, N=N, L=L, B=B,
     )
     def finish():
@@ -909,6 +916,7 @@ def wctx_decode_streams(
     words_b = np.zeros((d, w_cap), np.uint16)
     states_b = np.zeros((d, N), np.uint32)
     steps_b = np.zeros(d, np.int32)
+    seg_b = np.zeros((d, N), np.int32)
     startm_b = np.zeros((d, S_pad, N // 8), np.uint8)
     planes_b = np.zeros((d, 2, H, L * B), np.int8)
     dpres_b = np.zeros((d, B), np.int32)
@@ -920,6 +928,7 @@ def wctx_decode_streams(
         words_b[i, : len(p["words"])] = p["words"]
         states_b[i] = p["states"]
         steps_b[i] = info["S"]
+        seg_b[i] = (info["sb"][1:] - info["sb"][:-1]).astype(np.int32)
         startm = wctx.start_matrix(info["lens"], info["sb"], info["S"])
         sp = np.zeros((S_pad, N), bool)
         sp[: info["S"]] = startm
@@ -948,6 +957,7 @@ def wctx_decode_streams(
         jax.device_put(steps_b, lsh),
         jax.device_put(planes_b, sh4),
         jax.device_put(dpres_b, sh2),
+        jax.device_put(seg_b, sh2),
         mesh=mesh, S=S_pad, N=N, L=L, B=B, model=model, order=order,
     )
     out_mat = np.asarray(out_mat)

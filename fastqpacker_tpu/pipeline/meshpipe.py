@@ -90,9 +90,10 @@ def _plan_seq(ordereds, lengths_l, codec, seq_dict=None):
 
 
 def _plan_qual(ordereds, lengths_l, codec):
-    """Per-block quality-slot pick: device order-1 context coder vs
-    device order-0 rANS vs host adaptive zstd, by estimated size
-    (mirrors native._encode_tagged_qual)."""
+    """Per-block quality-slot pick: device context coder (order-1 and
+    order-2 models, like host qctx) vs device order-0 rANS vs host
+    adaptive zstd, by estimated size (mirrors
+    native._encode_tagged_qual). Returns (infos, round qual order)."""
     from ..ops import qualctx, wctx
 
     infos = []
@@ -107,14 +108,18 @@ def _plan_qual(ordereds, lengths_l, codec):
                 raw_q, hist2 = qualctx.prepare(q_arr, lens)
                 hist0 = qualctx.hist_for_model(hist2, 0)
                 if int((hist0.any(axis=0)).sum()) <= wctx.B_MAX:
-                    est_w = wctx.estimate_size(
-                        hist0, wctx.pick_lanes(len(q))
-                    )
+                    lanes = wctx.pick_lanes(len(q))
+                    est = {
+                        0: wctx.estimate_size(hist0, lanes),
+                        1: wctx.estimate_size(hist2, lanes),
+                    }
+                    est_w = min(est.values())
                     # same est-noise slack as the seq gate: actual
                     # payload sizes make the final call
                     if est_w < bar * 1.02:
                         info.update(
-                            choice="wctx", raw=raw_q, hist=hist0
+                            choice="wctx", raw=raw_q,
+                            hists={0: hist0, 1: hist2}, est=est,
                         )
                         bar = min(bar, est_w)
             except ValueError:
@@ -123,7 +128,17 @@ def _plan_qual(ordereds, lengths_l, codec):
             if est_r0 < bar:
                 info["choice"] = "rans"
         infos.append(info)
-    return infos
+    # one qual order per round (one compiled group program), by summed
+    # estimates over the wctx-chosen blocks — same policy as seq_k
+    tot = {0: 0, 1: 0}
+    any_w = False
+    for info in infos:
+        if info["choice"] == "wctx":
+            any_w = True
+            tot[0] += info["est"][0]
+            tot[1] += info["est"][1]
+    q_order = (1 if tot[1] < tot[0] else 0) if any_w else 0
+    return infos, q_order
 
 
 def _plan_round(blks, raws, codec=None, seq_dict=None):
@@ -138,7 +153,7 @@ def _plan_round(blks, raws, codec=None, seq_dict=None):
         np.frombuffer(o[5], "<u4").astype(np.int64) for o in ordereds
     ]
     seq_infos, seq_k = _plan_seq(ordereds, lengths_l, codec, seq_dict)
-    qual_infos = _plan_qual(ordereds, lengths_l, codec)
+    qual_infos, qual_order = _plan_qual(ordereds, lengths_l, codec)
     crcs = [native._crc_streams(o) for o in ordereds]
     return {
         "raws": raws,
@@ -147,6 +162,7 @@ def _plan_round(blks, raws, codec=None, seq_dict=None):
         "seq_infos": seq_infos,
         "seq_k": seq_k,
         "qual_infos": qual_infos,
+        "qual_order": qual_order,
         "crcs": crcs,
     }
 
@@ -200,15 +216,18 @@ def _dispatch_round(plan, mesh, codec):
 
     # --- device program 2: qual context coder
     plan["qw_finish"] = None
+    q_order = plan["qual_order"]
     wjobs, wslots = [], []
     for i, info in enumerate(qual_infos):
         if info["choice"] == "wctx":
-            wjobs.append((info["raw"], lengths_l[i], info["hist"]))
+            wjobs.append(
+                (info["raw"], lengths_l[i], info["hists"][q_order])
+            )
             wslots.append(i)
     if wjobs:
         plan["qw_slots"] = wslots
         plan["qw_finish"] = pmesh.wctx_encode_streams(
-            wjobs, wctx.MODEL_QUAL, 0, mesh, async_result=True
+            wjobs, wctx.MODEL_QUAL, q_order, mesh, async_result=True
         )
 
     # --- device program 3: qual order-0 rANS (noisy quals with no

@@ -4241,7 +4241,8 @@ extern "C" {
 
 // Decode a TAG_WCTX word stream to flat unpacked symbols.
 //   words/nwords, states (N), lengths (nrec) — already wire-parsed;
-//   model 0 = seq order-k (order in [2,6]), 1 = qual order-1 (order 0);
+//   model 0 = seq order-k (order in [2,6]); model 1 = qual, order 0 =
+//   order-1 contexts (384), order 1 = order-2 contexts (x prev2, 3072);
 //   present (npres ascending u8 values), freq (C, npres) u16 rows
 //   summing to 0 or 4096; out must hold total = sum(lengths) bytes.
 // Returns 0, or a negative typed error (-1 corrupt stream, -2 truncated
@@ -4257,7 +4258,7 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
   std::vector<long long> rb, sb;
   std::vector<int32_t> pcum;
   std::vector<uint64_t> x;
-  std::vector<int32_t> ctx, p, prev, nxt, ri;
+  std::vector<int32_t> ctx, p, prev, prev2, nxt, ri;
   std::vector<long long> seg;
   try {
     lane_bounds(lengths, nrec, n_lanes, rb, sb);
@@ -4277,6 +4278,7 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
     ctx.assign((size_t)n_lanes, 0);
     p.assign((size_t)n_lanes, -1);
     prev.assign((size_t)n_lanes, 0);
+    prev2.assign((size_t)n_lanes, 0);
     nxt.assign((size_t)n_lanes, 0);
     ri.assign((size_t)n_lanes, 0);
     seg.resize((size_t)n_lanes);
@@ -4320,11 +4322,13 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
   long long wi = 0;
   for (long long t = 0; t < S; t++) {
     for (long long l = 0; l < n_lanes; l++) {
-      // record-start mask (start_matrix semantics: row 0 forced True;
-      // every padding cell is its own pseudo-record start)
-      bool start = (t == 0) || (t >= seg[(size_t)l]);
+      // pad cells (trailing, t >= seg) are SKIPPED: they cost no bits
+      // and the encoder never touched the state for them (r3)
+      if (t >= seg[(size_t)l]) continue;
+      // record-start mask (start_matrix semantics: row 0 forced True)
+      bool start = (t == 0);
       const long long r0 = rb[(size_t)l], r1 = rb[(size_t)l + 1];
-      if (t == (long long)nxt[(size_t)l] && t < seg[(size_t)l]) start = true;
+      if (t == (long long)nxt[(size_t)l]) start = true;
       if (start) {
         // advance nxt past this start's (nonzero) record
         long long r = r0 + ri[(size_t)l];
@@ -4348,7 +4352,14 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
                   : (prev[(size_t)l] < 46 ? prev[(size_t)l] : 46);
         int32_t pb = p[(size_t)l] >> 4;
         if (pb > 7) pb = 7;
-        ctx[(size_t)l] = pb * 48 + qbin;
+        int32_t c = pb * 48 + qbin;
+        if (order == 1) {  // qualctx model 1: x prev2 bucket
+          const int32_t pv2 =
+              prev2[(size_t)l] < 46 ? prev2[(size_t)l] : 46;
+          const int32_t q2b = p[(size_t)l] >= 2 ? (pv2 >> 3) : 7;
+          c = c * 8 + q2b;
+        }
+        ctx[(size_t)l] = c;
       }
       if (ctx[(size_t)l] >= C) return -1;
       // symbol: rightmost j with pcum[j] <= slot (guaranteed f > 0)
@@ -4386,8 +4397,9 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
       }
       x[(size_t)l] = xv;
       const uint8_t raw = present[j];
+      prev2[(size_t)l] = prev[(size_t)l];
       prev[(size_t)l] = raw;
-      if (t < seg[(size_t)l]) out[sb[(size_t)l] + t] = raw;
+      out[sb[(size_t)l] + t] = raw;
     }
   }
   if (wi != nwords) return -3;

@@ -49,10 +49,32 @@ def test_seq_roundtrip_all_orders(order):
     )
 
 
-def test_qual_roundtrip():
+@pytest.mark.parametrize("order", (0, 1))
+def test_qual_roundtrip(order):
     rng = np.random.default_rng(11)
     lengths = _rand_lengths(rng, 500)
-    _roundtrip(_walk_quals(rng, lengths), lengths, wctx.MODEL_QUAL, 0, 256)
+    _roundtrip(
+        _walk_quals(rng, lengths), lengths, wctx.MODEL_QUAL, order, 256
+    )
+
+
+def test_qual_model1_wins_on_momentum_quals():
+    """The order-2 model (x prev2 bucket, qualctx model 1) must beat
+    order-1 where the prev2 value carries slope information — and both
+    must round-trip on all backends."""
+    rng = np.random.default_rng(21)
+    n_rec, L = 4000, 80
+    dirs = np.where(rng.random((n_rec, L)) < 0.9, 0, 1)
+    d0 = rng.integers(0, 2, (n_rec, 1)) * 2 - 1
+    slope = d0 * np.where(np.cumsum(dirs, axis=1) % 2 == 0, 1, -1)
+    q = np.clip(
+        30 + np.cumsum(slope * rng.integers(1, 3, (n_rec, L)), axis=1),
+        2, 41,
+    ).astype(np.uint8).reshape(-1)
+    lengths = np.full(n_rec, L, np.int64)
+    p0 = _roundtrip(q, lengths, wctx.MODEL_QUAL, 0, 1024)
+    p1 = _roundtrip(q, lengths, wctx.MODEL_QUAL, 1, 1024)
+    assert len(p1) < len(p0)
 
 
 def test_edge_shapes():
@@ -68,6 +90,7 @@ def test_edge_shapes():
         total = int(lens.sum())
         _roundtrip(_seq_syms(rng, total), lens, wctx.MODEL_SEQ, 4, 256)
         _roundtrip(_walk_quals(rng, lens), lens, wctx.MODEL_QUAL, 0, 256)
+        _roundtrip(_walk_quals(rng, lens), lens, wctx.MODEL_QUAL, 1, 256)
 
 
 def test_sparse_present_alphabet():
@@ -96,9 +119,10 @@ def test_device_encode_decodes_under_reference():
     freq_full[:, p["present"]] = p["freq_p"]
     cum_full = np.zeros_like(freq_full)
     np.cumsum(freq_full[:, :-1], axis=1, out=cum_full[:, 1:])
+    seg = (sb[1:] - sb[:-1]).astype(np.int32)
     out = wctx.decode_reference(
         np.asarray(p["words"]).astype(np.uint16), p["states"], startm,
-        freq_full, cum_full, 0, 2,
+        freq_full, cum_full, 0, 2, seg,
     )
     assert np.array_equal(wctx.from_matrix(out, sb), syms)
 
@@ -116,11 +140,12 @@ def test_reference_encode_decodes_under_device_and_native():
     pad = int(np.argmax(counts))
     symm = wctx.to_matrix(syms, sb, S, pad)
     ctxm = wctx.context_matrix(symm, startm, 1, 0)
-    hist = wctx.matrix_histogram(symm, ctxm, wctx.QUAL_NUM_CTX)
+    seg = (sb[1:] - sb[:-1]).astype(np.int32)
+    hist = wctx.matrix_histogram(symm, ctxm, wctx.QUAL_NUM_CTX, seg)
     freq = wctx.normalize_tables(hist).astype(np.uint32)
     cum = np.zeros_like(freq)
     np.cumsum(freq[:, :-1], axis=1, out=cum[:, 1:])
-    words, states = wctx.encode_reference(symm, ctxm, freq, cum)
+    words, states = wctx.encode_reference(symm, ctxm, freq, cum, seg)
     # wrap into the wire format by hand
     import struct
 
