@@ -176,6 +176,45 @@ def estimate_size(hist: np.ndarray, freq: np.ndarray | None = None) -> int:
     return int(bits / 8) + overhead
 
 
+def sample_estimate(
+    delta: np.ndarray, lengths: np.ndarray, max_syms: int = 1 << 20
+) -> int | None:
+    """Optimistic projected qctx size from a record-aligned prefix —
+    the pre-gate twin of seqctx.sample_estimate: the full model
+    histogram costs a pass over the whole stream; on quality data with
+    no order-1/2 structure that pass is waste. Projects both models'
+    per-symbol rates from up to ``max_syms`` leading records and takes
+    the minimum (optimistic: sampled tables under-count used contexts).
+    Returns None when the stream is within 2x of the sample budget
+    (just run the real estimate)."""
+    lengths = lengths.astype(np.int64)
+    total = int(lengths.sum())
+    if total <= 2 * max_syms:
+        return None
+    csum = np.cumsum(lengths)
+    nrec_s = max(1, int(np.searchsorted(csum, max_syms, side="right")))
+    lens_s = lengths[:nrec_s]
+    nb = int(lens_s.sum())
+    if nb == 0:
+        return None
+    _, hist2_s = prepare(np.ascontiguousarray(delta[:nb]), lens_s)
+    best = None
+    for m in MODELS:
+        hist = hist_for_model(hist2_s, m)
+        freq = normalize_tables(hist)
+        nz = hist > 0
+        f = freq.astype(np.float64)
+        bits = float(
+            np.sum(hist[nz] * (PROB_BITS - np.log2(np.maximum(f[nz], 1))))
+        )
+        table_syms = int(nz.sum())
+        table_bytes = int((hist.shape[0] * 2 + table_syms * 3) * 0.6)
+        proj = int(bits / nb * total / 8) + 12 + table_bytes
+        if best is None or proj < best:
+            best = proj
+    return best
+
+
 def pick_model(hist2: np.ndarray) -> tuple[int, int]:
     """-> (model, estimated size): the order with the smaller estimate
     (payload bits + its own table overhead), from one max-model

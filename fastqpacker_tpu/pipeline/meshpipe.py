@@ -122,6 +122,29 @@ def _plan_qual(ordereds, lengths_l, codec):
                             hists={0: hist0, 1: hist2}, est=est,
                         )
                         bar = min(bar, est_w)
+                # host qctx as a FALLBACK candidate: its 16-state
+                # layout has no per-lane cost, so on tiny/constant
+                # quals it can be far smaller than the 4 B/lane wctx
+                # states. The device coder keeps priority — qctx only
+                # competes when it beats the device estimate by > 5%
+                # (paying ~1-2% to keep the entropy stage on-device is
+                # the mesh path's documented trade) or when wctx is not
+                # viable at all.
+                _, est_q = qualctx.pick_model(hist2)
+                w_est = (
+                    min(info["est"].values())
+                    if info["choice"] == "wctx"
+                    else None
+                )
+                if est_q < bar and (
+                    w_est is None or est_q < w_est * 0.95
+                ):
+                    hq = qualctx.encode_prepared(raw_q, lens, hist2)
+                    if len(hq) + 1 < len(info["host"]):
+                        info["host"] = bytes([native.TAG_QCTX]) + hq
+                        if len(hq) + 1 < bar:
+                            bar = len(hq) + 1
+                            info["choice"] = "host"
             except ValueError:
                 pass
             est_r0 = native._rans_size_estimate(q)

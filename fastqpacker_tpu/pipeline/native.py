@@ -321,9 +321,20 @@ def _encode_tagged_qual(
     if len(s) < RANS_MIN_BYTES:
         return bytes([TAG_ZSTD]) + z
     r0 = _rans_size_estimate(s)
-    if order1 or r0 < len(z):
-        from ..ops import qualctx
+    from ..ops import qualctx
 
+    bar = min(len(z), r0)
+    # The context model may also replace a winning zstd when it beats it
+    # by the same margin policy as the seq pick (SCTX_WIN_MARGIN) —
+    # momentum-shaped qualities (delta alphabet small but order-1/2
+    # structure strong) previously shipped zstd at +36% because the old
+    # gate only ran qctx when order-0 rANS beat zstd. A sampled pre-gate
+    # keeps the full histogram pass off streams with no structure.
+    try_qctx = order1 or r0 < len(z)
+    if not try_qctx:
+        proj = qualctx.sample_estimate(np.frombuffer(s, np.uint8), lengths)
+        try_qctx = proj is None or proj < bar * SCTX_WIN_MARGIN
+    if try_qctx:
         try:
             raw, hist2 = qualctx.prepare(
                 np.frombuffer(s, np.uint8), lengths
@@ -331,8 +342,8 @@ def _encode_tagged_qual(
             _, est1 = qualctx.pick_model(hist2)
         except ValueError:
             est1 = None
-        bar = min(len(z), r0)
-        if est1 is not None and est1 < bar:
+        margin = 1.0 if (order1 or r0 < len(z)) else SCTX_WIN_MARGIN
+        if est1 is not None and est1 < bar * margin:
             q = qualctx.encode_prepared(raw, lengths, hist2)
             if len(q) < bar:
                 return bytes([TAG_QCTX]) + q

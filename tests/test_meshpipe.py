@@ -125,63 +125,86 @@ def test_mesh_v3_phred64_flag():
 def test_mesh_streams_decode_with_host_twin(monkeypatch):
     """Every mesh-emitted device payload (TAG_RANS / TAG_WCTX) must
     decode byte-identically on the sequential C++ backend too
-    (backend-equivalence invariant)."""
-    from fastqpacker_tpu.ops import wctx
+    (backend-equivalence invariant). Streams are produced through the
+    SAME sharded encode programs the production path dispatches
+    (pmesh.entropy_encode_streams / wctx_encode_streams) — constructing
+    them directly keeps the test independent of the per-stream pick,
+    which since r3 legitimately routes small/structured streams to host
+    coders (qctx on tiny blocks) by actual size."""
+    from fastqpacker_tpu.ops import rans, wctx
     from fastqpacker_tpu.runtime import bindings
+    from fastqpacker_tpu.ops import qualctx
 
-    # mixed corpus: markov records (-> TAG_WCTX quals) followed by
-    # skewed-IID-qual records (-> TAG_RANS: fractional-bit win over
-    # zstd's integer-bit huffman on a 0.9/0.05/0.05 alphabet)
-    rng = np.random.default_rng(4)
-    skewed = []
-    for i in range(1500):
-        seq = np.frombuffer(b"ACGT", np.uint8)[
-            rng.integers(0, 4, 90)
-        ].tobytes()
-        qual = np.frombuffer(b"5AF", np.uint8)[
-            rng.choice(3, 90, p=[0.9, 0.05, 0.05])
-        ].tobytes()
-        skewed.append(b"@s%d\n%s\n+\n%s\n" % (i, seq, qual))
-    data = _markov_fastq(1500) + b"".join(skewed)
     mesh = pmesh.make_mesh(8)
-    comp = meshpipe.compress_mesh_bytes(data, fq.Options(block_size=500), mesh)
-    assert api.decompress_bytes(comp) == data
-    bio = io.BytesIO(comp)
-    fh = container.read_file_header(bio)
+    rng = np.random.default_rng(4)
     checked = 0
-    while True:
-        bh = container.read_block_header(bio, fh.version)
-        if bh is None:
-            break
-        chunks = [
-            bio.read(sz) for sz in bh.stream_sizes(fh.version)
-        ]
-        lengths = np.frombuffer(
-            __import__(
-                "fastqpacker_tpu.entropy.zstd", fromlist=["get_codec"]
-            ).get_codec().decompress(chunks[5]),
-            "<u4",
-        ).astype(np.int64)
-        for i in (0, 1):
-            chunk = chunks[i]
-            if chunk[0] == container.TAG_RANS:
-                monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
-                out_host = rans.decode_stream(chunk[1:])
-                monkeypatch.setenv("FQZ_RANS_BACKEND", "device")
-                out_dev = rans.decode_stream(chunk[1:])
-                assert out_host == out_dev
-                checked += 1
-            elif chunk[0] == container.TAG_WCTX:
-                assert bindings.wctx_available()
-                out_nat = wctx.decode_stream(
-                    chunk[1:], lengths, use_native=True
-                )
-                out_dev = wctx.decode_stream(
-                    chunk[1:], lengths, use_native=False
-                )
-                assert np.array_equal(out_nat, out_dev)
-                checked += 1
+
+    # TAG_RANS: skewed-IID byte streams through the sharded order-0
+    # coder, decoded by both backends
+    streams = [
+        np.frombuffer(b"5AF", np.uint8)[
+            rng.choice(3, 40000, p=[0.9, 0.05, 0.05])
+        ].tobytes()
+        for _ in range(4)
+    ]
+    payloads = pmesh.entropy_encode_streams(
+        streams + [b""] * (8 - len(streams)), mesh
+    )
+    for s, pl in zip(streams, payloads):
+        monkeypatch.setenv("FQZ_RANS_BACKEND", "host")
+        out_host = rans.decode_stream(pl)
+        monkeypatch.setenv("FQZ_RANS_BACKEND", "device")
+        out_dev = rans.decode_stream(pl)
+        assert out_host == out_dev == s
+        checked += 1
+
+    # TAG_WCTX: markov seq codes + walk quals through the sharded
+    # context coder (both models), decoded by C++ twin and XLA kernel
+    n_rec, L = 1200, 90
+    lengths = np.full(n_rec, L, np.int64)
+    jobs = []
+    seq_syms = rng.integers(0, 4, n_rec * L).astype(np.uint8)
+    # data histogram via the matrix path (what _wctx_block_prep needs)
+    sb, S = wctx.lane_bounds(lengths, 256)
+    seg = (sb[1:] - sb[:-1]).astype(np.int32)
+    startm = wctx.start_matrix(lengths, sb, S)
+    symm = wctx.to_matrix(seq_syms, sb, S, 0)
+    ctxm = wctx.context_matrix(symm, startm, wctx.MODEL_SEQ, 2)
+    hist6 = wctx.matrix_histogram(symm, ctxm, 16, seg)
+    qual_syms = np.clip(
+        30 + np.cumsum(rng.integers(-2, 3, n_rec * L)) // 2, 0, 46
+    ).astype(np.uint8)
+    _, hist2 = qualctx.prepare(
+        _integrated_to_delta(qual_syms, lengths), lengths
+    )
+    for model, order, syms, hist in (
+        (wctx.MODEL_SEQ, 2, seq_syms, hist6),
+        (wctx.MODEL_QUAL, 0, qual_syms, qualctx.hist_for_model(hist2, 0)),
+        (wctx.MODEL_QUAL, 1, qual_syms, hist2),
+    ):
+        payloads = pmesh.wctx_encode_streams(
+            [(syms, lengths, hist)] * 2, model, order, mesh, lanes=256
+        )
+        for pl in payloads:
+            if pl is None:  # padded group slots
+                continue
+            assert bindings.wctx_available()
+            out_nat = wctx.decode_stream(pl, lengths, use_native=True)
+            out_dev = wctx.decode_stream(pl, lengths, use_native=False)
+            assert np.array_equal(out_nat, out_dev)
+            assert np.array_equal(out_nat, syms)
+            checked += 1
     assert checked >= 6
+
+
+def _integrated_to_delta(raw: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    n_rec = len(lengths)
+    L = int(lengths[0])
+    q = raw.reshape(n_rec, L).astype(np.int16)
+    d = np.zeros_like(q)
+    d[:, 0] = q[:, 0]
+    d[:, 1:] = (q[:, 1:] - q[:, :-1]) % 256
+    return d.astype(np.uint8).reshape(-1)
 
 
 def test_entropy_encode_streams_lengths_and_empties():

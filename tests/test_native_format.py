@@ -190,7 +190,11 @@ def test_zstd_picked_for_lz_structured_streams():
     comp = compress_native_bytes(data)
     streams = _first_block_streams(comp)
     assert streams[0][0] == native.TAG_ZSTD
-    assert streams[1][0] == native.TAG_ZSTD
+    # constant quality: qctx's single-context table beats zstd by actual
+    # bytes since the r3 gate widening (sampled pre-gate +
+    # SCTX_WIN_MARGIN policy on the qual slot); either pick is a
+    # by-size win here
+    assert streams[1][0] in (native.TAG_ZSTD, native.TAG_QCTX)
     v2 = fq.compress_bytes(data)
     assert len(comp) < len(v2) * 1.05
     assert fq.decompress_bytes(comp) == data
