@@ -2506,6 +2506,7 @@ struct FqFusedBlock {
   long long sizes[6];
   long long nrec = 0;
   long long total_len = 0;
+  long long consumed = 0;  // bytes of complete records (resync proof chain)
   uint8_t* qual_mut = nullptr;  // mutable alias of streams[1] (offset patch)
 };
 
@@ -2803,6 +2804,7 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
   }
   fb->nrec = nrec;
   fb->total_len = total_len;
+  fb->consumed = pos;
   fb->sizes[0] = so; fb->sizes[1] = qo; fb->sizes[2] = ho;
   fb->sizes[3] = po; fb->sizes[4] = no; fb->sizes[5] = lo;
   fb->streams[0] = seq_s; fb->streams[1] = qual_s; fb->streams[2] = hdr_s;
@@ -3113,6 +3115,9 @@ struct Res {
   Buf out;
   long long err = 0;
   long long e0 = 0, e1 = 0;
+  long long start = 0;     // compress: slice offset (repair anchor)
+  long long consumed = 0;  // compress: bytes of complete records in slice
+  long long slice = 0;     // compress: the slice the job covered
 };
 
 // Ordered result collection: workers deposit by block index, the calling
@@ -3180,7 +3185,9 @@ struct Queue {
 struct CJob {
   long long idx = 0;
   const uint8_t* data = nullptr;
+  long long start = 0;  // offset of data in the file text
   long long slice = 0;  // fused scan+encode over data[0:slice)
+  bool final_slice = false;  // ends at EOF (partial tails allowed)
 };
 
 // FQZ_MT_STATS=1: per-stage busy-time accounting printed to stderr —
@@ -3249,6 +3256,43 @@ inline void write_block_header(uint8_t* dst, int version, long long nrec,
   }
 }
 
+// Resync framing probe (r3): the first structurally plausible record
+// start at or after byte `t` — a line start whose line begins with '@',
+// whose third line begins with '+', and whose 2nd/4th lines have equal
+// byte lengths. Best-effort by design: the consumed-chain verification
+// in fq_compress_mt makes framing exact regardless of what this locks
+// onto (a wrong lock can only cost a repair pass, never correctness).
+// Returns the offset, n for end-of-file, or -1 when no candidate is
+// found within the probe budget.
+inline long long fq_resync_record_start(const uint8_t* text, long long n,
+                                        long long t) {
+  long long pos = t;
+  for (int tries = 0; tries < 4096 && pos < n; tries++) {
+    const void* nl = memchr(text + pos, '\n', (size_t)(n - pos));
+    if (!nl) return n;
+    const long long c = (const uint8_t*)nl - text + 1;
+    if (c >= n) return n;
+    if (text[c] == '@') {
+      long long ls[5];
+      ls[0] = c;
+      int complete = 1;
+      for (int li = 1; li <= 4; li++) {
+        const void* e =
+            memchr(text + ls[li - 1], '\n', (size_t)(n - ls[li - 1]));
+        if (!e) {
+          complete = 0;
+          break;
+        }
+        ls[li] = (const uint8_t*)e - text + 1;
+      }
+      if (!complete) return c;  // near EOF: the chain check verifies
+      if (text[ls[2]] == '+' && ls[2] - ls[1] == ls[4] - ls[3]) return c;
+    }
+    pos = c;
+  }
+  return -1;
+}
+
 // Buffer-mode ownership handle (Python frees via fq_buf_free).
 struct OwnedBuf {
   std::vector<uint8_t> v;
@@ -3297,10 +3341,11 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   } catch (const std::bad_alloc&) {
     return fail(-12);
   }
-  // Pipeline state must exist before the scanner thread launches.
+  // Pipeline state must exist before any helper thread launches.
   Collector col;
   BufPool rpool;
-  Queue<CJob> jobs((size_t)workers * 2);
+  std::unique_ptr<Queue<CJob>> jobs_p(
+      new Queue<CJob>((size_t)workers * 2));
   std::atomic<bool> stop{false};
   MtStats stats;
   const double t_start = mt_now();
@@ -3309,14 +3354,17 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   // The detection window is EXACTLY the reference's — the first
   // min(100000, file) records regardless of -b (the Go detection batch
   // is fixed at NewRecordBatch(DefaultBlockSize), compress.go:48-52,
-  // 137-154). With the default block size the window IS block 0, and
-  // its worker folds the quality minimum during its fused transform
-  // (fq_encode_block_fused_scan qmin_io); entropy coding — which needs
-  // the offset only for each record's first quality byte — waits for
-  // resolution. The 10-byte file header is written lazily by the
-  // collector before the first block, so a malformed first block still
-  // produces no output at all (compress.go:137-168 ordering). State is
-  // guarded by col.mu; resolution piggybacks on the collector's cv.
+  // 137-154). In sequential framing with the window inside block 0 the
+  // block-0 worker folds the quality minimum during its fused transform
+  // (fq_encode_block_fused_scan qmin_io) and resolves detection for
+  // everyone; otherwise a detection THREAD runs the light framing+qmin
+  // walk concurrently with worker phase-1 transforms. Entropy coding —
+  // which needs the offset only for each record's first quality byte —
+  // waits for resolution. The 10-byte file header is written lazily by
+  // the collector before the first block, so a malformed first block
+  // still produces no output at all (compress.go:137-168 ordering).
+  // State is guarded by col.mu; resolution piggybacks on the
+  // collector's cv.
   const long long kDetectRecords = 100000;
   const long long det_window_blocks =
       (kDetectRecords + block_records - 1) / block_records;
@@ -3329,45 +3377,104 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     if (det_resolved) return;
     const long long total = col.total.load();
     const long long need =
-        total >= 0 ? std::min<long long>(det_window_blocks, total)
-                   : det_window_blocks;
+        total >= 0 ? std::min<long long>(1, total) : 1;
     if (det_contrib < need) return;
     det_qoffset =
         det_any ? (det_min < 59 ? 33 : (det_min >= 64 ? 64 : 33)) : 33;
     det_resolved = true;
   };
 
-  // Framing scanner launches FIRST, from byte 0: block boundaries are
-  // pure line counts — independent of the Phred detection result — so
-  // framing starts immediately and the workers follow as jobs appear.
-  std::thread scanner([&] {
-    // Light scan (E056): block boundaries are the byte just past every
-    // (4*block_records)-th newline. One movemask+popcount sweep; records
-    // are parsed, validated, and encoded by the workers in a single
-    // fused pass (fq_encode_block_fused). Framing by line count is
-    // exact: the parser consumes exactly 4 lines per record with no
-    // resynchronization, so the records of block k are the same under
-    // sliced and sequential parsing.
+  // Parallel resync framing (r3): block boundaries are GUESSED at
+  // ~block_records-sized byte offsets and realigned to a structurally
+  // plausible record start (fq_resync_record_start), so no thread ever
+  // walks the whole file counting newlines — the last full serial pass
+  // over the text is gone. Exactness does NOT rest on the resync
+  // heuristic: the collector verifies the consumed chain (block k's
+  // fused parse must consume its whole slice as complete records, which
+  // proves — by induction from offset 0 — that block k+1's start is a
+  // true record boundary of the global sequential parse). Any shortfall
+  // or parse error triggers the repair path below, which re-frames the
+  // remainder of the file with the exact newline-count scanner; real
+  // input errors then reappear at their exact Go-parity position.
+  bool resync = workers > 1 && n >= (4LL << 20);
+  {
+    const char* e = getenv("FQZ_MT_SEQ_FRAMING");
+    if (e && e[0] == '1') resync = false;
+  }
+  std::vector<long long> bnds;  // resync boundaries, incl. 0 and n
+  if (resync) {
+    // average record size from the leading sample (newline walk only)
+    long long pos = 0, recs = 0, last_end = 0;
+    int line = 0;
+    const long long cap = n < (256LL << 10) ? n : (256LL << 10);
+    while (pos < cap) {
+      const void* nl = memchr(text + pos, '\n', (size_t)(n - pos));
+      if (!nl) break;
+      pos = (const uint8_t*)nl - text + 1;
+      if (++line == 4) {
+        line = 0;
+        recs++;
+        last_end = pos;
+      }
+    }
+    if (recs < 8) {
+      resync = false;
+    } else {
+      const double avg = (double)last_end / (double)recs;
+      const long long blk = (long long)(avg * (double)block_records);
+      // small -b stays on the exact scanner: resync framing approximates
+      // records-per-block, and a user-chosen small block size should be
+      // honored exactly (the scan cost is minor next to many-small-block
+      // encode overhead anyway)
+      if (blk < (1LL << 20)) resync = false;
+      if (resync) try {
+        bnds.push_back(0);
+        long long t = blk;
+        while (t < n) {
+          const long long b = fq_resync_record_start(text, n, t);
+          if (b < 0 || b <= bnds.back()) {
+            resync = false;
+            break;
+          }
+          if (b >= n) break;
+          bnds.push_back(b);
+          t = b + blk;
+        }
+        if (resync) bnds.push_back(n);
+      } catch (const std::bad_alloc&) {
+        return fail(-12);
+      }
+    }
+  }
+
+  // Sequential newline-count framing (the exact scanner): initial mode
+  // when resync is off, and the repair mode after a resync mismatch.
+  // Framing by line count is exact: the parser consumes exactly 4 lines
+  // per record with no resynchronization, so the records of block k are
+  // the same under sliced and sequential parsing (E056).
+  auto seq_scanner_body = [&](long long scan_start, long long idx0) {
     const double ts0 = mt_stats_on() ? mt_now() : 0.0;
     const long long lines_per_block = 4 * block_records;
     long long remaining = lines_per_block;
-    long long start = 0;
-    long long idx = 0;
-    long long pos = 0;
+    long long start = scan_start;
+    long long idx = idx0;
+    long long pos = scan_start;
     bool ok = true;
     double push_s = 0.0;  // queue backpressure, excluded from scan_us
     auto emit = [&](long long end_off) -> bool {
       CJob j;
       j.idx = idx;
+      j.start = start;
       j.data = text + start;
       j.slice = end_off - start;
+      j.final_slice = end_off >= n;
       bool pushed;
       if (mt_stats_on()) {
         const double tp0 = mt_now();
-        pushed = jobs.push(std::move(j));
+        pushed = jobs_p->push(std::move(j));
         push_s += mt_now() - tp0;
       } else {
-        pushed = jobs.push(std::move(j));
+        pushed = jobs_p->push(std::move(j));
       }
       if (!pushed) return false;
       start = end_off;
@@ -3438,26 +3545,53 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       // asleep with a stale "total unknown" predicate.
       std::lock_guard<std::mutex> lk(col.mu);
       col.total.store(idx);
-      // A file with fewer blocks than the detection window can only
-      // resolve once the block count is known (need = min(window, total)).
+      // A file with no blocks can only resolve detection once the block
+      // count is known (need = min(1, total)).
       det_try_resolve_locked();
     }
     col.cv.notify_all();
-    jobs.close();
-  });
+    jobs_p->close();
+  };
 
-  // Multi-block window (block_records < 100000): workers cannot be
-  // guaranteed to have every window block in flight at once, so a
-  // worker parked on resolution while window blocks sat queued would
-  // deadlock the contribution scheme. Instead a detection THREAD runs
-  // the light framing+qmin walk concurrently with the workers' phase-1
-  // transforms — resolution never depends on worker progress.
-  // Structural validation still belongs to the workers, and the header
-  // is still deferred to the collector. With a one-block window
-  // (block_records >= 100000) this thread never starts and block 0's
-  // worker resolves detection from its own fused walk.
+  // Resync framer: boundaries are precomputed, so this thread only
+  // feeds the queue (backpressure) — no text walk at all.
+  auto framer_body = [&] {
+    {
+      std::lock_guard<std::mutex> lk(col.mu);
+      col.total.store((long long)bnds.size() - 1);
+      det_try_resolve_locked();
+    }
+    col.cv.notify_all();
+    for (size_t k = 0; k + 1 < bnds.size() && !stop.load(); k++) {
+      CJob j;
+      j.idx = (long long)k;
+      j.start = bnds[k];
+      j.data = text + bnds[k];
+      j.slice = bnds[k + 1] - bnds[k];
+      j.final_slice = bnds[k + 1] >= n;
+      if (!jobs_p->push(std::move(j))) break;
+    }
+    jobs_p->close();
+  };
+
+  std::thread scanner;
+  if (resync)
+    scanner = std::thread(framer_body);
+  else
+    scanner = std::thread(seq_scanner_body, 0LL, 0LL);
+
+  // Detection thread: owns resolution whenever the block-0 worker
+  // cannot (resync framing makes block extents independent of the
+  // window; small -b puts the window past block 0 — and a worker parked
+  // on resolution while window blocks sat queued would deadlock a pure
+  // contribution scheme there). Light framing + AVX2 qual-min walk over
+  // the first min(100000, file) records; structural validation still
+  // belongs to the workers. An unterminated final line is a dropped
+  // partial record (parser.go readLine: io.EOF mid-record discards the
+  // record), so it never participates.
+  const bool contribution_mode = !resync && det_window_blocks == 1;
   std::thread det_thread;
-  if (det_window_blocks > 1) det_thread = std::thread([&] {
+  if (!contribution_mode) det_thread = std::thread([&] {
     const double t0p = mt_stats_on() ? mt_now() : 0.0;
     long long remaining = kDetectRecords;
     long long line_start = 0;
@@ -3469,9 +3603,6 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     FqNlIter nl(text, n);
 #endif
     while (remaining > 0 && line_start < n) {
-      // An unterminated final line is a dropped partial record
-      // (parser.go readLine: io.EOF mid-record discards the record), so
-      // it never participates in detection.
 #ifdef FQ_AVX2
       const long long line_end = nl.next();
       if (line_end < 0) break;
@@ -3525,18 +3656,19 @@ long long fq_compress_mt(const uint8_t* text, long long n,
 
   auto encode_one = [&](const CJob& j, Res& r) {
     r.out.len = 0;
+    r.consumed = 0;
+    r.slice = j.slice;
+    r.start = j.start;
     // Phase 1: fused parse+validate+transform (no entropy coding yet).
     FqFusedBlock fb;
     long long detail[2] = {0, 0};
     uint8_t qmin_io[2] = {0xFF, 0};
-    // Contributions only exist in the one-block-window mode; with a
-    // multi-block window the detection thread owns resolution and the
-    // workers' extra qmin folds would be wasted work.
-    const bool in_window = det_window_blocks == 1 && j.idx == 0;
+    const bool in_window = contribution_mode && j.idx == 0;
     const long long qmin_cap = in_window ? kDetectRecords : 0;
     const long long rc = fq_encode_block_fused_scan(
         j.data, j.slice, &fb, detail, in_window ? qmin_io : nullptr,
         qmin_cap);
+    r.consumed = fb.consumed;
     if (rc < 0) {
       switch (rc) {
         case -1: r.err = MT_ERR_FIELD_LEN; break;
@@ -3552,9 +3684,10 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         default: r.err = -12; break;
       }
     }
-    // Contribute the window minimum (ALWAYS for window blocks, errors
-    // included — a missing contribution would park every other worker
-    // forever), then wait for resolution before entropy coding.
+    // Contribute the window minimum (ALWAYS for block 0 in contribution
+    // mode, errors included — a missing contribution would park every
+    // other worker forever), then wait for resolution before entropy
+    // coding.
     uint8_t qoffset = 33;
     {
       std::unique_lock<std::mutex> lk(col.mu);
@@ -3594,31 +3727,38 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   };
 
   std::vector<std::thread> ws;
-  ws.reserve((size_t)workers);
-  for (int t = 0; t < workers; t++) {
-    ws.emplace_back([&] {
-      // Borrow a pooled zstd worker: these threads live for one call, so
-      // a thread_local would re-fault its contexts and arena every run.
-      ZstdWorker* zw = zw_acquire();
-      g_zw_override = zw;
-      for (;;) {
-        CJob j;
-        bool got = false;
-        FQ_MT_TIME(stats.pop_us, got = jobs.pop(j));
-        if (!got) break;
-        FQ_MT_TIME(stats.credit_us,
-                   col.wait_credit(j.idx, (long long)workers * 2 + 2));
-        if (col.failed.load()) continue;  // drain
-        Res r;
-        rpool.get(r.out);
-        FQ_MT_TIME(stats.encode_us, encode_one(j, r));
-        if (r.err) stop.store(true);
-        col.deposit(j.idx, std::move(r));
-      }
-      g_zw_override = nullptr;
-      zw_release(zw);
-    });
-  }
+  auto spawn_workers = [&] {
+    ws.reserve((size_t)workers);
+    for (int t = 0; t < workers; t++) {
+      ws.emplace_back([&] {
+        // Borrow a pooled zstd worker: these threads live for one call,
+        // so a thread_local would re-fault its contexts and arena every
+        // run.
+        ZstdWorker* zw = zw_acquire();
+        g_zw_override = zw;
+        for (;;) {
+          CJob j;
+          bool got = false;
+          FQ_MT_TIME(stats.pop_us, got = jobs_p->pop(j));
+          if (!got) break;
+          FQ_MT_TIME(stats.credit_us,
+                     col.wait_credit(j.idx, (long long)workers * 2 + 2));
+          Res r;
+          r.start = j.start;
+          r.slice = j.slice;
+          if (!col.failed.load()) {
+            rpool.get(r.out);
+            FQ_MT_TIME(stats.encode_us, encode_one(j, r));
+            if (r.err) stop.store(true);
+          }
+          col.deposit(j.idx, std::move(r));
+        }
+        g_zw_override = nullptr;
+        zw_release(zw);
+      });
+    }
+  };
+  spawn_workers();
 
   // The 10-byte file header is deferred until the first block result (or
   // end-of-stream for block-less files): detection resolves before any
@@ -3641,6 +3781,39 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     ret += 10;
     return true;
   };
+
+  // Repair: a resync boundary was wrong (consumed chain broke at block
+  // `idx`, or a parse error that may be a framing artifact). Blocks
+  // written so far are PROVEN correct (their slices fully consumed from
+  // verified starts), and `idx`'s own complete-record prefix is valid
+  // and already written by the caller when err-free. Drain the stale
+  // speculative jobs, then re-frame the remainder of the file with the
+  // exact scanner — real input errors reappear at their exact position.
+  auto repair_from = [&](long long resume_off, long long resume_idx) {
+    stop.store(true);
+    {
+      std::lock_guard<std::mutex> lk(col.mu);
+      col.failed.store(true);  // drain parked/queued workers fast
+    }
+    col.cv.notify_all();
+    jobs_p->close();
+    scanner.join();
+    for (auto& t : ws) t.join();
+    ws.clear();
+    {
+      std::lock_guard<std::mutex> lk(col.mu);
+      col.pending.clear();
+      col.failed.store(false);
+      col.next.store(resume_idx);
+      col.total.store(-1);
+    }
+    stop.store(false);
+    jobs_p.reset(new Queue<CJob>((size_t)workers * 2));
+    scanner = std::thread(seq_scanner_body, resume_off, resume_idx);
+    spawn_workers();
+  };
+
+  bool verify_chain = resync;
   long long next = 0;
   for (;;) {
     Res r;
@@ -3661,6 +3834,40 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       col.next.store(next + 1);
     }
     col.cv.notify_all();
+    if (verify_chain && (r.err || r.consumed < r.slice)) {
+      const bool final_ok = !r.err && next + 1 == col.total.load();
+      if (!final_ok) {
+        // Write the verified complete-record prefix of this block, then
+        // re-frame the rest exactly. An errored block contributes
+        // nothing (the sequential rescan of its slice re-finds a real
+        // error with exact semantics, or proves it was a framing
+        // artifact).
+        long long resume_off, resume_idx;
+        if (!r.err && r.consumed > 0 && r.out.len > 0) {
+          bool wok = header_written || write_file_header();
+          if (wok)
+            FQ_MT_TIME(stats.write_us,
+                       wok = sink.write(r.out.p, r.out.len));
+          if (!wok) {
+            ret = MT_ERR_WRITE;
+            err_info[0] = sink.err_no;
+            repair_from(n, next + 1);  // unblock + drain, then abort
+            break;
+          }
+          ret += (long long)r.out.len;
+          resume_off = r.start + r.consumed;
+          resume_idx = next + 1;
+        } else {
+          resume_off = r.start + (r.err ? 0 : r.consumed);
+          resume_idx = next;
+        }
+        rpool.put(std::move(r.out));
+        verify_chain = false;  // one repair: exact framing from here on
+        repair_from(resume_off, resume_idx);
+        next = resume_idx;
+        continue;
+      }
+    }
     if (r.err) {
       ret = r.err;
       err_info[0] = r.e0;
@@ -3673,7 +3880,7 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         col.failed.store(true);
       }
       stop.store(true);
-      jobs.close();
+      jobs_p->close();
       col.cv.notify_all();
       break;
     }
@@ -3689,7 +3896,7 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         col.failed.store(true);
       }
       stop.store(true);
-      jobs.close();
+      jobs_p->close();
       col.cv.notify_all();
       break;
     }

@@ -413,3 +413,80 @@ def test_scatter_error_truncates_partial_prefix():
             part = f.read()
     assert data.startswith(part)
     assert len(part) < len(data)
+
+
+def test_resync_framing_roundtrips_large_files():
+    """>=4 MB inputs use parallel resync framing (no whole-file newline
+    scan): output must decode byte-identically and block record counts
+    must approximate the requested block size."""
+    data = _fastq(40000, read_len=120)  # ~10 MB
+    assert len(data) > (4 << 20)
+    comp = fq.compress_bytes(data)
+    assert fq.decompress_bytes(comp) == data
+    # block census: v2 header walk
+    counts = []
+    pos = 10
+    while pos < len(comp):
+        fields = struct.unpack_from("<9I", comp, pos)
+        counts.append(fields[0])
+        pos += 36 + sum(fields[1:7])
+    from fastqpacker_tpu.pipeline import api
+
+    assert sum(counts) == 40000
+    assert all(c > api.SPEED_BLOCK_SIZE // 2 for c in counts[:-1])
+
+
+def test_resync_framing_seq_env_knob_exact_blocks():
+    """FQZ_MT_SEQ_FRAMING=1 forces the exact newline-count scanner: the
+    container must be byte-identical to the per-block reference path
+    (the fused-encoder oracle, preserved behind the knob)."""
+    import subprocess
+    import sys
+
+    data = _fastq(30000, read_len=120)
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.fq")
+        with open(src, "wb") as f:
+            f.write(data)
+        outs = {}
+        for knob in ("0", "1"):
+            out = os.path.join(d, f"out{knob}.fqz")
+            env = dict(os.environ, FQZ_MT_SEQ_FRAMING=knob,
+                       FQZ_BACKEND="cpu")
+            subprocess.run(
+                [sys.executable, "-m", "fastqpacker_tpu.cli.fqpack",
+                 "-i", src, "-o", out],
+                check=True, env=env,
+            )
+            with open(out, "rb") as f:
+                outs[knob] = f.read()
+    # both decode to the input; the seq-framing container additionally
+    # matches the per-block path byte for byte
+    assert fq.decompress_bytes(outs["0"]) == data
+    assert fq.decompress_bytes(outs["1"]) == data
+    per_block = io.BytesIO()
+    from fastqpacker_tpu.pipeline import api
+
+    api.compress(
+        io.BytesIO(data), per_block,
+        fq.Options(workers=1, block_size=api.SPEED_BLOCK_SIZE),
+    )
+    assert outs["1"] == per_block.getvalue()
+
+
+def test_resync_mislock_repair_is_exact():
+    """Adversarial corpus where the resync probe CAN lock onto a quality
+    line (qual starts '@', seq starts '+', header/plus lengths match):
+    the consumed-chain verification must catch any mis-lock and repair
+    with the exact scanner — output identical to the sequential path."""
+    rec = b"@r000001\n" + b"+ACGTACGTACGTACGTACGTACGTACGTACG\n" \
+          + b"+payload\n" + b"@FFFFFFFFFFFFFFFFFFFFFFFFFFFFFFF\n"
+    n = ((5 << 20) // len(rec)) + 1
+    data = rec * n
+    assert len(data) > (4 << 20)
+    comp = fq.compress_bytes(data)
+    out = fq.decompress_bytes(comp)
+    # the seq line's '+' is a non-ACGT symbol: normalized to N by spec,
+    # so compare against the per-block reference path's output
+    ref = fq.decompress_bytes(_per_block_compress(data, fq.Options()))
+    assert out == ref
