@@ -524,3 +524,44 @@ def test_hostile_wctx_declared_sizes_fall_back_typed():
         wctx.decode_stream(bytes(bad_words), lengths)
     except (wctx.WctxError, ValueError):
         pass
+
+
+def test_resync_framing_text_mutations_roundtrip_or_fail_typed():
+    """r3 fresh-seed campaign over the parallel resync framing (E068):
+    >= 4 MB text under random byte mutation must either compress +
+    round-trip exactly (per normalization rules) or fail with the
+    reference-verbatim parse errors — never crash, never produce a
+    container that decodes to the wrong text. Mutations near guessed
+    boundaries exercise the probe + consumed-chain repair path."""
+    rng = np.random.default_rng(20260821)
+    seq = ("ACGT" * 37)[:147]
+    base_recs = [
+        f"@r{i} lane:7\n{seq}\n+\n" + "I" * 147 + "\n"
+        for i in range(22000)
+    ]
+    base = "".join(base_recs).encode()
+    assert len(base) > (4 << 20)
+    ref_out = fq.decompress_bytes(fq.compress_bytes(base))
+    for trial in range(60):
+        b = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        data = bytes(b)
+        try:
+            comp = fq.compress_bytes(data)
+        except EXPECTED_ERRORS:
+            continue
+        # compressed fine: decode must match the per-block reference
+        # pipeline's view of the same (possibly normalized) text
+        out = fq.decompress_bytes(comp)
+        bio_ref = io.BytesIO()
+        from fastqpacker_tpu.runtime import bindings as _b
+
+        real = _b.mt_available
+        _b.mt_available = lambda: False
+        try:
+            fq.compress(io.BytesIO(data), bio_ref)
+        finally:
+            _b.mt_available = real
+        assert out == fq.decompress_bytes(bio_ref.getvalue())
+    del ref_out
