@@ -4498,20 +4498,29 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
     seg[(size_t)l] = sb[(size_t)l + 1] - sb[(size_t)l];
     if (seg[(size_t)l] > S) S = seg[(size_t)l];
   }
-  // Per-(ctx, slot) lookup table replacing the binary search when it
-  // fits a sane budget (<= 16 MB: qual's 384 contexts, seq k <= 4):
-  // u32 = sym_idx<<24 | (f-1)<<12 | c0. k=6 seq stays on the 2-step
-  // binary search (its table would be 64 MB for a 4-wide alphabet).
-  std::vector<uint32_t> slot_tab;
-  if (C * kProbScale * 4 <= (1LL << 24)) {
+  // Per-(ctx, slot) lookup table replacing the binary search:
+  // u32 = sym_idx<<24 | (f-1)<<12 | c0. Lives in a thread-local
+  // grow-only arena so repeated decodes reuse warm pages (first-touch
+  // faults cost ~100 us/page on this host — a fresh 64 MB vector per
+  // stream would dwarf the decode). Budget covers every model we ship
+  // (seq k=6: 64 MB; qual model 1: 48 MB); the fill is gated on the
+  // stream being big enough to amortize it.
+  static thread_local std::vector<uint32_t> g_slot_tab_arena;
+  uint32_t* slot_tab = nullptr;
+  const long long tab_cells = C * kProbScale;
+  if (npres > 4 && tab_cells * 4 <= (1LL << 27) &&
+      (tab_cells <= (1LL << 22) || total >= C * 64)) {
     try {
-      slot_tab.assign((size_t)(C * kProbScale), 0);
+      if ((long long)g_slot_tab_arena.size() < tab_cells)
+        g_slot_tab_arena.resize((size_t)tab_cells);
     } catch (const std::bad_alloc&) {
       return -12;
     }
+    slot_tab = g_slot_tab_arena.data();
+    memset(slot_tab, 0, (size_t)tab_cells * 4);
     for (long long c = 0; c < C; c++) {
       const uint16_t* row = freq + c * npres;
-      uint32_t* trow = slot_tab.data() + (size_t)(c * kProbScale);
+      uint32_t* trow = slot_tab + (size_t)(c * kProbScale);
       uint32_t acc = 0;
       for (int j = 0; j < npres; j++) {
         const uint32_t f = row[j];
@@ -4527,6 +4536,249 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
   const int32_t cmask =
       model == 0 ? ((1 << (2 * order)) - 1) : 0;
   long long wi = 0;
+#ifdef FQ_AVX2
+  // Lane-vectorized decode (r3): 8 independent lanes per step in one
+  // AVX2 group — gathered slot-table entries, vector context carry,
+  // vector renorm with an in-group rank for the (lane-ordered) word
+  // pulls. Record starts and the strided output stores stay scalar
+  // (starts touch ~1/read_len of cells; stores scatter to per-lane
+  // bases). Requires the slot table and a multiple-of-8 lane count
+  // (every shipped lane tier is a power of two >= 256).
+  // Tiny alphabets (every seq model: npres <= 4) skip the slot table
+  // entirely: the symbol is resolved from <= 5 boundary PLANES (plane j
+  // holds pcum[ctx][j] for all contexts), gathered from L1/L2-resident
+  // arrays — the k=6 slot table is 64 MB and its gathers were
+  // DRAM-latency-bound.
+  const bool planes_ok = npres <= 4;
+  std::vector<int32_t> bplanes;
+  if (planes_ok && (n_lanes % 8) == 0) {
+    try {
+      bplanes.resize((size_t)(5 * C));
+    } catch (const std::bad_alloc&) {
+      return -12;
+    }
+    for (long long c = 0; c < C; c++) {
+      const int32_t* prow = pcum.data() + (size_t)c * npres;
+      int32_t total_row = 0;
+      for (int j = 0; j < npres; j++)
+        total_row += freq[(size_t)c * npres + j];
+      for (int j = 0; j < 5; j++)
+        bplanes[(size_t)(j * C + c)] =
+            j < npres ? prow[j] : total_row;
+    }
+  }
+  if ((slot_tab || planes_ok) && (n_lanes % 8) == 0) {
+    static thread_local std::vector<uint16_t> g_wpad_arena;
+    try {
+      if ((long long)g_wpad_arena.size() < nwords + 2)
+        g_wpad_arena.resize((size_t)nwords + 2);
+    } catch (const std::bad_alloc&) {
+      return -12;
+    }
+    if (nwords) memcpy(g_wpad_arena.data(), words, (size_t)nwords * 2);
+    g_wpad_arena[(size_t)nwords] = 0;
+    g_wpad_arena[(size_t)nwords + 1] = 0;
+    const uint16_t* wpad = g_wpad_arena.data();
+    std::vector<int32_t> seg32((size_t)n_lanes), x32((size_t)n_lanes);
+    std::vector<int32_t> pres32(256, 0);
+    for (int j = 0; j < npres; j++) pres32[(size_t)j] = present[j];
+    for (long long l = 0; l < n_lanes; l++) {
+      seg32[(size_t)l] =
+          (int32_t)(seg[(size_t)l] > 0x7FFFFFFF ? 0x7FFFFFFF
+                                                : seg[(size_t)l]);
+      x32[(size_t)l] = (int32_t)(uint32_t)x[(size_t)l];
+    }
+    const __m256i vProbMask = _mm256_set1_epi32((int)(kProbScale - 1));
+    const __m256i vScale = _mm256_set1_epi32((int)kProbScale);
+    const __m256i vFFF = _mm256_set1_epi32(0xFFF);
+    const __m256i vOne = _mm256_set1_epi32(1);
+    const __m256i vOnes = _mm256_set1_epi32(-1);
+    const __m256i vBias = _mm256_set1_epi32((int)0x80000000);
+    const __m256i vRansLb =
+        _mm256_set1_epi32((int)(kRansL ^ 0x80000000u));
+    const __m256i v46 = _mm256_set1_epi32(46);
+    const __m256i v47 = _mm256_set1_epi32(47);
+    const __m256i v7 = _mm256_set1_epi32(7);
+    const __m256i v48 = _mm256_set1_epi32(48);
+    const __m256i vCmask = _mm256_set1_epi32(cmask);
+    const __m256i vW16 = _mm256_set1_epi32(0xFFFF);
+    for (long long t = 0; t < S; t++) {
+      const __m256i vt = _mm256_set1_epi32((int)t);
+      for (long long l = 0; l < n_lanes; l += 8) {
+        const __m256i vseg =
+            _mm256_loadu_si256((const __m256i*)(seg32.data() + l));
+        const __m256i live = _mm256_cmpgt_epi32(vseg, vt);
+        if (_mm256_testz_si256(live, live)) continue;
+        // record starts: scalar per affected lane (rare), vector flag
+        __m256i vnxt =
+            _mm256_loadu_si256((const __m256i*)(nxt.data() + l));
+        __m256i isStart = _mm256_cmpeq_epi32(vnxt, vt);
+        if (t == 0) isStart = vOnes;
+        isStart = _mm256_and_si256(isStart, live);
+        int startMask =
+            _mm256_movemask_ps(_mm256_castsi256_ps(isStart));
+        if (startMask) {
+          for (int k = 0; k < 8; k++) {
+            if (!((startMask >> k) & 1)) continue;
+            const long long ll = l + k;
+            const long long r0 = rb[(size_t)ll], r1 = rb[(size_t)ll + 1];
+            long long r = r0 + ri[(size_t)ll];
+            while (r < r1 && lengths[r] == 0) r++;
+            if (r < r1) {
+              nxt[(size_t)ll] = (int32_t)(t + lengths[r]);
+              ri[(size_t)ll] = (int32_t)(r - r0 + 1);
+            } else {
+              nxt[(size_t)ll] = -1;
+            }
+          }
+        }
+        // context carry (vector, start-blended)
+        __m256i vctx =
+            _mm256_loadu_si256((const __m256i*)(ctx.data() + l));
+        __m256i vprev =
+            _mm256_loadu_si256((const __m256i*)(prev.data() + l));
+        if (model == 0) {
+          __m256i c1 = _mm256_and_si256(
+              _mm256_or_si256(_mm256_slli_epi32(vctx, 2), vprev),
+              vCmask);
+          vctx = _mm256_andnot_si256(isStart, c1);
+        } else {
+          __m256i vp =
+              _mm256_loadu_si256((const __m256i*)(p.data() + l));
+          __m256i p1 = _mm256_add_epi32(vp, vOne);
+          p1 = _mm256_andnot_si256(isStart, p1);
+          _mm256_storeu_si256((__m256i*)(p.data() + l), p1);
+          __m256i qbin = _mm256_min_epi32(vprev, v46);
+          qbin = _mm256_blendv_epi8(qbin, v47, isStart);
+          __m256i pb =
+              _mm256_min_epi32(_mm256_srli_epi32(p1, 4), v7);
+          vctx = _mm256_add_epi32(_mm256_mullo_epi32(pb, v48), qbin);
+          if (order == 1) {
+            __m256i vprev2 =
+                _mm256_loadu_si256((const __m256i*)(prev2.data() + l));
+            __m256i q2b = _mm256_srli_epi32(
+                _mm256_min_epi32(vprev2, v46), 3);
+            // sentinel 7 when p < 2
+            __m256i ge2 = _mm256_cmpgt_epi32(p1, vOne);
+            q2b = _mm256_blendv_epi8(v7, q2b, ge2);
+            vctx = _mm256_add_epi32(_mm256_slli_epi32(vctx, 3), q2b);
+          }
+        }
+        _mm256_storeu_si256((__m256i*)(ctx.data() + l), vctx);
+        __m256i vx = _mm256_loadu_si256((const __m256i*)(x32.data() + l));
+        __m256i slot = _mm256_and_si256(vx, vProbMask);
+        __m256i j8, f8, c0;
+        if (planes_ok) {
+          // boundary-plane resolve: j = #boundaries <= slot (minus the
+          // always-true j=0), c0/f from blended plane values
+          const int32_t* bp = bplanes.data();
+          __m256i slotP1 = _mm256_add_epi32(slot, vOne);
+          __m256i b1 = _mm256_mask_i32gather_epi32(
+              _mm256_setzero_si256(), (const int*)(bp + C), vctx, live,
+              4);
+          __m256i b2 = _mm256_mask_i32gather_epi32(
+              _mm256_setzero_si256(), (const int*)(bp + 2 * C), vctx,
+              live, 4);
+          __m256i b3 = _mm256_mask_i32gather_epi32(
+              _mm256_setzero_si256(), (const int*)(bp + 3 * C), vctx,
+              live, 4);
+          __m256i b4 = _mm256_mask_i32gather_epi32(
+              _mm256_setzero_si256(), (const int*)(bp + 4 * C), vctx,
+              live, 4);
+          __m256i ge1 = _mm256_cmpgt_epi32(slotP1, b1);
+          __m256i ge2 = _mm256_cmpgt_epi32(slotP1, b2);
+          __m256i ge3 = _mm256_cmpgt_epi32(slotP1, b3);
+          j8 = _mm256_add_epi32(
+              _mm256_add_epi32(_mm256_and_si256(ge1, vOne),
+                               _mm256_and_si256(ge2, vOne)),
+              _mm256_and_si256(ge3, vOne));
+          c0 = _mm256_setzero_si256();
+          c0 = _mm256_blendv_epi8(c0, b1, ge1);
+          c0 = _mm256_blendv_epi8(c0, b2, ge2);
+          c0 = _mm256_blendv_epi8(c0, b3, ge3);
+          __m256i nx = b1;
+          nx = _mm256_blendv_epi8(nx, b2, ge1);
+          nx = _mm256_blendv_epi8(nx, b3, ge2);
+          nx = _mm256_blendv_epi8(nx, b4, ge3);
+          f8 = _mm256_sub_epi32(nx, c0);
+          __m256i bad = _mm256_and_si256(
+              _mm256_cmpeq_epi32(f8, _mm256_setzero_si256()), live);
+          if (!_mm256_testz_si256(bad, bad)) return -1;
+        } else {
+          // slot-table gather + bounds
+          __m256i idx = _mm256_add_epi32(
+              _mm256_mullo_epi32(vctx, vScale), slot);
+          __m256i e = _mm256_mask_i32gather_epi32(
+              _mm256_setzero_si256(), (const int*)slot_tab, idx, live,
+              4);
+          j8 = _mm256_srli_epi32(e, 24);
+          f8 = _mm256_add_epi32(
+              _mm256_and_si256(_mm256_srli_epi32(e, 12), vFFF), vOne);
+          c0 = _mm256_and_si256(e, vFFF);
+          __m256i ge =
+              _mm256_cmpgt_epi32(_mm256_add_epi32(c0, f8), slot);
+          __m256i bad = _mm256_or_si256(
+              _mm256_cmpgt_epi32(c0, slot), _mm256_xor_si256(ge, vOnes));
+          bad = _mm256_and_si256(bad, live);
+          if (!_mm256_testz_si256(bad, bad)) return -1;
+        }
+        // x' = f*(x>>12) + slot - c0  (fits u32 by the coder invariant)
+        __m256i x1 = _mm256_add_epi32(
+            _mm256_mullo_epi32(f8, _mm256_srli_epi32(vx, 12)),
+            _mm256_sub_epi32(slot, c0));
+        // renorm: need = x' <u 2^16, words pulled in lane order
+        __m256i need = _mm256_cmpgt_epi32(
+            vRansLb, _mm256_xor_si256(x1, vBias));
+        need = _mm256_and_si256(need, live);
+        const int nm =
+            _mm256_movemask_ps(_mm256_castsi256_ps(need));
+        if (nm) {
+          const int cnt = __builtin_popcount((unsigned)nm);
+          if (wi + cnt > nwords) return -2;
+          alignas(32) int32_t rk[8];
+          int racc = 0;
+          for (int k = 0; k < 8; k++) {
+            rk[k] = racc;
+            racc += (nm >> k) & 1;
+          }
+          __m256i woff = _mm256_add_epi32(
+              _mm256_set1_epi32((int)wi),
+              _mm256_load_si256((const __m256i*)rk));
+          __m256i w32 = _mm256_mask_i32gather_epi32(
+              _mm256_setzero_si256(), (const int*)wpad, woff, need, 2);
+          w32 = _mm256_and_si256(w32, vW16);
+          __m256i xren =
+              _mm256_or_si256(_mm256_slli_epi32(x1, 16), w32);
+          x1 = _mm256_blendv_epi8(x1, xren, need);
+          wi += cnt;
+        }
+        vx = _mm256_blendv_epi8(vx, x1, live);
+        _mm256_storeu_si256((__m256i*)(x32.data() + l), vx);
+        // raw symbols + carries + strided output stores
+        __m256i rawv = _mm256_mask_i32gather_epi32(
+            _mm256_setzero_si256(), (const int*)pres32.data(), j8, live,
+            4);
+        __m256i vprev2n = _mm256_blendv_epi8(
+            _mm256_loadu_si256((const __m256i*)(prev2.data() + l)),
+            vprev, live);
+        _mm256_storeu_si256((__m256i*)(prev2.data() + l), vprev2n);
+        __m256i vprevn = _mm256_blendv_epi8(vprev, rawv, live);
+        _mm256_storeu_si256((__m256i*)(prev.data() + l), vprevn);
+        alignas(32) int32_t rawArr[8];
+        _mm256_store_si256((__m256i*)rawArr, rawv);
+        int lm = _mm256_movemask_ps(_mm256_castsi256_ps(live));
+        while (lm) {
+          const int k = __builtin_ctz((unsigned)lm);
+          lm &= lm - 1;
+          out[sb[(size_t)(l + k)] + t] = (uint8_t)rawArr[k];
+        }
+      }
+    }
+    if (wi != nwords) return -3;
+    (void)total;
+    return 0;
+  }
+#endif
   for (long long t = 0; t < S; t++) {
     for (long long l = 0; l < n_lanes; l++) {
       // pad cells (trailing, t >= seg) are SKIPPED: they cost no bits
@@ -4574,7 +4826,7 @@ int fq_wctx_decode(const uint16_t* words, long long nwords,
       const int32_t slot = (int32_t)(xv & (kProbScale - 1));
       int j;
       int32_t c0, f;
-      if (!slot_tab.empty()) {
+      if (slot_tab) {
         const uint32_t e =
             slot_tab[(size_t)(ctx[(size_t)l] * kProbScale + slot)];
         j = (int)(e >> 24);
