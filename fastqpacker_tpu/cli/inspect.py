@@ -150,6 +150,7 @@ def _v3_tag_name(slot: int, tag: int) -> str:
         container.TAG_QCTX: "qctx",
         container.TAG_SCTX: "sctx",
         container.TAG_SLDM: "sldm",
+        container.TAG_WCTX: "wctx",
     }.get(tag, f"tag{tag}")
 
 
