@@ -177,16 +177,19 @@ def estimate_size(hist: np.ndarray, freq: np.ndarray | None = None) -> int:
 
 
 def sample_estimate(
-    delta: np.ndarray, lengths: np.ndarray, max_syms: int = 1 << 20
+    delta: np.ndarray, lengths: np.ndarray, max_syms: int = 1 << 17
 ) -> int | None:
     """Optimistic projected qctx size from a record-aligned prefix —
     the pre-gate twin of seqctx.sample_estimate: the full model
     histogram costs a pass over the whole stream; on quality data with
-    no order-1/2 structure that pass is waste. Projects both models'
-    per-symbol rates from up to ``max_syms`` leading records and takes
-    the minimum (optimistic: sampled tables under-count used contexts).
-    Returns None when the stream is within 2x of the sample budget
-    (just run the real estimate)."""
+    no order-1/2 structure that pass is waste. The probe must itself be
+    cheap (~1-2 ms: it runs on every large quality stream, win or
+    lose), so it projects from the MODEL-0 contexts of a 128k-symbol
+    prefix only — model 1 refines model 0, so an extra 7% optimism
+    factor stands in for its possible edge plus sampling under-count.
+    Optimistic is the safe direction for a skip-gate. Returns None when
+    the stream is within 2x of the sample budget (just run the real
+    estimate)."""
     lengths = lengths.astype(np.int64)
     total = int(lengths.sum())
     if total <= 2 * max_syms:
@@ -197,22 +200,32 @@ def sample_estimate(
     nb = int(lens_s.sum())
     if nb == 0:
         return None
-    _, hist2_s = prepare(np.ascontiguousarray(delta[:nb]), lens_s)
-    best = None
-    for m in MODELS:
-        hist = hist_for_model(hist2_s, m)
-        freq = normalize_tables(hist)
+    from ..runtime import bindings
+
+    probe = (
+        bindings.qctx_sample_bits(delta[:nb], lens_s)
+        if bindings.available()
+        else None
+    )
+    if probe is not None:
+        bits, table_syms = probe
+    else:
+        raw_s = integrate(
+            np.ascontiguousarray(delta[:nb]).astype(np.uint8), lens_s
+        )
+        ctx0 = contexts(raw_s, lens_s, model=0)
+        hist = histogram(raw_s, ctx0, num_ctx=NUM_CTX)
         nz = hist > 0
+        freq = normalize_tables(hist)
         f = freq.astype(np.float64)
         bits = float(
-            np.sum(hist[nz] * (PROB_BITS - np.log2(np.maximum(f[nz], 1))))
+            np.sum(
+                hist[nz] * (PROB_BITS - np.log2(np.maximum(f[nz], 1)))
+            )
         )
         table_syms = int(nz.sum())
-        table_bytes = int((hist.shape[0] * 2 + table_syms * 3) * 0.6)
-        proj = int(bits / nb * total / 8) + 12 + table_bytes
-        if best is None or proj < best:
-            best = proj
-    return best
+    table_bytes = int((NUM_CTX * 2 + table_syms * 3) * 0.6)
+    return int(bits / nb * total / 8 * 0.93) + 12 + table_bytes
 
 
 def pick_model(hist2: np.ndarray) -> tuple[int, int]:

@@ -74,6 +74,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.fq_hist256.argtypes = [_u8p, _ll, _i64p]
     lib.fq_crc32.restype = ctypes.c_uint32
     lib.fq_crc32.argtypes = [ctypes.c_uint32, _u8p, _ll]
+    lib.fq_qctx_sample_bits.restype = ctypes.c_double
+    lib.fq_qctx_sample_bits.argtypes = [
+        _u8p, _i64p, _ll, ctypes.POINTER(ctypes.c_longlong),
+    ]
     _lib = lib
     return _lib
 
@@ -100,6 +104,22 @@ SCAN_ERRORS = {
     2: "invalid FASTQ: separator line must start with +",
     3: "invalid FASTQ: sequence and quality lengths must match",
 }
+
+
+def qctx_sample_bits(delta: np.ndarray, lengths: np.ndarray):
+    """-> (empirical conditional bits, present cells) for the model-0
+    quality contexts of a record-aligned delta prefix, or None without
+    the native library (caller falls back to the numpy probe)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cells = ctypes.c_longlong(0)
+    bits = lib.fq_qctx_sample_bits(
+        _nz_u8(np.ascontiguousarray(delta, np.uint8)),
+        np.ascontiguousarray(lengths, np.int64),
+        len(lengths), ctypes.byref(cells),
+    )
+    return float(bits), int(cells.value)
 
 
 def crc32(data, crc: int = 0) -> int:
