@@ -41,6 +41,15 @@ def source_view(r: BinaryIO) -> Optional[memoryview]:
                 return None
             pos = r.tell()
             mm = mmap.mmap(r.fileno(), 0, access=mmap.ACCESS_READ)
+            # Cold-cache files: tell the kernel we will stream the whole
+            # mapping so readahead runs ahead of the scanner/workers (the
+            # async-read item of the reference's producer overlap —
+            # io_uring buys nothing over full-file readahead here).
+            try:
+                mm.madvise(mmap.MADV_SEQUENTIAL)
+                mm.madvise(mmap.MADV_WILLNEED)
+            except (AttributeError, OSError):
+                pass
         except (OSError, ValueError):
             return None
         r.seek(0, io.SEEK_END)
