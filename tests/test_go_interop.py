@@ -224,3 +224,28 @@ def test_goreader_rejects_truncation():
         goreader.decode(comp[: len(comp) - 7])
     with pytest.raises(goreader.GoReaderError, match="magic"):
         goreader.decode(b"NOPE" + comp[4:])
+
+
+def test_resync_framed_container_decodes_under_goreader():
+    """Parallel resync framing (E068) produces approximate block record
+    counts; the v1/v2 wire carries per-block counts, so the Go reader
+    must be indifferent — validated here with the strict goreader over a
+    >= 4 MB default-framing container (plus: every non-final block fully
+    consumed, the consumed-chain invariant, visible as counts near the
+    default block size)."""
+    data = _corpus() * 8
+    assert len(data) > (4 << 20)
+    comp = fq.compress_bytes(data)  # default block size -> resync framing
+    import struct as _s
+
+    counts = []
+    pos = 10
+    while pos < len(comp):
+        fields = _s.unpack_from("<9I", comp, pos)
+        counts.append(fields[0])
+        pos += 36 + sum(fields[1:7])
+    from fastqpacker_tpu.pipeline import api
+
+    assert sum(counts) == data.count(b"\n") // 4
+    assert all(c > api.SPEED_BLOCK_SIZE // 2 for c in counts[:-1])
+    assert goreader.decode(comp) == data
