@@ -212,26 +212,64 @@ def bench_compress(data: bytes, device: bool, repeats: int = 3):
             run(r, warm)
         out_size = warm.nbytes
 
-        best = float("inf")
         # real sink (fd): engages the native whole-file fd path, like the
         # reference's file-to-file benchmark (scripts/benchmark_fqpack_9gb.sh).
-        # This 2-vCPU host swings 30-40% run to run AND alternates
-        # fast/slow phases on MINUTE timescales (E034, round-2 summary):
-        # keep sampling past `repeats` until a 10 s budget or 96 runs —
-        # a 4 s window could sit entirely inside a slow phase, making
-        # the recorded best pure phase luck.
+        # Phase-robust estimator (E070): this 2-vCPU host swings 30-40%
+        # run to run AND alternates fast/slow phases on MINUTE timescales
+        # (E034), so a fixed 10 s best-of window can sit entirely inside
+        # a slow phase — that is how r3's driver capture recorded 0.96x
+        # across a round of real +17% wins. Sample in ~2 s windows and
+        # keep extending until the best has been REPRODUCED: the two
+        # fastest window-bests must agree within 2% (the fast phase seen
+        # at least twice), up to a 90 s cap. The headline stays best-of
+        # (BASELINE.md's protocol); the reproduction requirement is what
+        # makes a bad phase unable to erase a real win.
+        WINDOW_S = 2.0
+        MIN_WINDOWS = 3
+        CAP_S = 90.0
+        # Two agreeing windows inside one slow phase would otherwise
+        # satisfy the reproduction test without ever seeing the fast
+        # phase (first 5-invocation trial: 11% spread, stops at ~8 s):
+        # never stop before MIN_S of sampling — phases alternate on
+        # ~minute timescales, so the horizon must be a fair fraction of
+        # one before "reproduced" means anything.
+        MIN_S = 60.0
+        AGREE = 0.02
+        window_bests = []
+        best = float("inf")
         loop_t0 = time.perf_counter()
         runs = 0
         with open(os.devnull, "wb", buffering=0) as w:
-            while runs < repeats or (
-                runs < 96 and time.perf_counter() - loop_t0 < 10.0
-            ):
-                with open(path, "rb") as r:
-                    t0 = time.perf_counter()
-                    run(r, w)
-                    dt = time.perf_counter() - t0
-                best = min(best, dt)
-                runs += 1
+            while True:
+                wbest = float("inf")
+                w_t0 = time.perf_counter()
+                while time.perf_counter() - w_t0 < WINDOW_S:
+                    with open(path, "rb") as r:
+                        t0 = time.perf_counter()
+                        run(r, w)
+                        dt = time.perf_counter() - t0
+                    wbest = min(wbest, dt)
+                    runs += 1
+                window_bests.append(wbest)
+                best = min(best, wbest)
+                elapsed = time.perf_counter() - loop_t0
+                if (
+                    elapsed >= MIN_S
+                    and len(window_bests) >= MIN_WINDOWS
+                    and runs >= repeats
+                ):
+                    lo = sorted(window_bests)[:2]
+                    if lo[1] / lo[0] - 1.0 <= AGREE:
+                        break  # fast phase reproduced: best is evidence
+                if elapsed >= CAP_S:
+                    break
+        spread = (max(window_bests) / min(window_bests) - 1.0) * 100
+        log(
+            f"estimator: {runs} runs / {len(window_bests)} windows, "
+            f"window-best spread {spread:.0f}%, "
+            f"top-2 agree "
+            f"{(sorted(window_bests)[1] / sorted(window_bests)[0] - 1) * 100:.1f}%"
+        )
     finally:
         os.unlink(path)
     mbps = len(data) / 1e6 / best

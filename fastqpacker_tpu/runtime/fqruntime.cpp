@@ -3431,6 +3431,45 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     det_resolved = true;
   };
 
+  // Phred-offset sniff (r4): one quality byte < 64 among the first few
+  // complete records PROVES offset 33 — the sniffed records are a subset
+  // of the detection window, so window_min <= sniffed byte < 64, and the
+  // resolution rule maps every window minimum < 64 to 33 (quality.go
+  // semantics: 64 only when the whole window sits at >= 64). Practically
+  // every Phred+33 file resolves here in the first record, before any
+  // thread spawns: the detection thread never launches (its ~10 ms
+  // window re-walk was ~12% of total busy on a 2-vCPU host) and no
+  // worker ever parks between transform and entropy coding. Files whose
+  // leading records are all >= 64 (true Phred+64, or pristine-quality
+  // Phred+33) fall through to the exact detection thread unchanged.
+  // Main-thread-only state: no lock needed before the spawns below.
+  {
+    long long sniff_pos = 0;
+    int line_in_rec = 0;
+    long long sniff_recs = 0;
+    while (sniff_recs < 64 && sniff_pos < n && !det_resolved) {
+      const void* pnl =
+          memchr(text + sniff_pos, '\n', (size_t)(n - sniff_pos));
+      if (!pnl) break;  // partial record at EOF never participates
+      const long long line_end = (long long)((const uint8_t*)pnl - text);
+      if (line_in_rec == 3) {
+        long long len = line_end - sniff_pos;
+        if (len > 0 && text[line_end - 1] == '\r') len--;
+        for (long long j2 = 0; j2 < len; j2++) {
+          if (text[sniff_pos + j2] < 64) {
+            det_qoffset = 33;
+            det_resolved = true;
+            break;
+          }
+        }
+        sniff_recs++;
+      }
+      line_in_rec = (line_in_rec + 1) & 3;
+      sniff_pos = line_end + 1;
+    }
+  }
+  const bool det_pre_resolved = det_resolved;
+
   // Parallel resync framing (r3): block boundaries are GUESSED at
   // ~block_records-sized byte offsets and realigned to a structurally
   // plausible record start (fq_resync_record_start), so no thread ever
@@ -3636,9 +3675,10 @@ long long fq_compress_mt(const uint8_t* text, long long n,
   // belongs to the workers. An unterminated final line is a dropped
   // partial record (parser.go readLine: io.EOF mid-record discards the
   // record), so it never participates.
-  const bool contribution_mode = !resync && det_window_blocks == 1;
+  const bool contribution_mode =
+      !resync && det_window_blocks == 1 && !det_pre_resolved;
   std::thread det_thread;
-  if (!contribution_mode) det_thread = std::thread([&] {
+  if (!contribution_mode && !det_pre_resolved) det_thread = std::thread([&] {
     const double t0p = mt_stats_on() ? mt_now() : 0.0;
     long long remaining = kDetectRecords;
     long long line_start = 0;
