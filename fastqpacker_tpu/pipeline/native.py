@@ -119,12 +119,59 @@ def _encode_tagged(s: bytes, codec) -> bytes:
 SCTX_WIN_MARGIN = 0.98
 
 
+class PickMemo:
+    """Cross-block probe memoization (E072).
+
+    Blocks of one file share statistics: on structure-free data the
+    sctx sampling probe (~2.6-4.3 ms/block) and the coverage probe
+    (~1.4 ms/block) reach the same "skip" verdict on every block — pure
+    per-block waste that the E067 native-qctx-probe work did not touch.
+    After ``STREAK`` consecutive negative probes, later blocks skip the
+    probe and only re-check every ``PROBE_EVERY``-th block, so a
+    mid-file statistics change (e.g. coverage appearing) is detected at
+    most ``PROBE_EVERY - 1`` blocks late; any positive probe resets the
+    streak and probing resumes for every block. One instance per
+    compress invocation, shared across the worker pool (counter updates
+    are GIL-atomic; a lost increment only shifts WHICH block re-probes).
+    ``None`` (the default everywhere) preserves probe-every-block
+    behavior bit-for-bit.
+    """
+
+    PROBE_EVERY = 4
+    STREAK = 2
+
+    def __init__(self) -> None:
+        self._sctx_miss = 0
+        self._sctx_seen = 0
+        self._cov_miss = 0
+        self._cov_seen = 0
+
+    def sctx_should_probe(self) -> bool:
+        self._sctx_seen += 1
+        if self._sctx_miss < self.STREAK:
+            return True
+        return self._sctx_seen % self.PROBE_EVERY == 0
+
+    def sctx_outcome(self, hopeless: bool) -> None:
+        self._sctx_miss = self._sctx_miss + 1 if hopeless else 0
+
+    def cov_should_probe(self) -> bool:
+        self._cov_seen += 1
+        if self._cov_miss < self.STREAK:
+            return True
+        return self._cov_seen % self.PROBE_EVERY == 0
+
+    def cov_outcome(self, hit: bool) -> None:
+        self._cov_miss = 0 if hit else self._cov_miss + 1
+
+
 def _encode_tagged_seq(
     s: bytes,
     lengths: np.ndarray,
     codec,
     max_ratio: bool = False,
     seq_dict: np.ndarray | None = None,
+    memo: "PickMemo | None" = None,
 ) -> bytes:
     """Sequence-stream pick: zstd vs order-0 rANS vs order-k context
     model over the unpacked bases, by estimated-then-verified size.
@@ -152,9 +199,15 @@ def _encode_tagged_seq(
         sctx_hopeless = False
         if not max_ratio:
             # sampled pre-gate: skip the full histogram pass when even
-            # the optimistic sampled projection cannot reach the margin
-            proj = seqctx.sample_estimate(s_arr, lengths)
-            sctx_hopeless = proj is not None and proj >= bar * margin
+            # the optimistic sampled projection cannot reach the margin;
+            # a streak of hopeless blocks skips the probe itself (E072)
+            if memo is not None and not memo.sctx_should_probe():
+                sctx_hopeless = True
+            else:
+                proj = seqctx.sample_estimate(s_arr, lengths)
+                sctx_hopeless = proj is not None and proj >= bar * margin
+                if memo is not None:
+                    memo.sctx_outcome(sctx_hopeless)
         if not sctx_hopeless:
             bases, hist6 = seqctx.prepare(s_arr, lengths)
             _, est_s = seqctx.pick_order(hist6)
@@ -169,11 +222,12 @@ def _encode_tagged_seq(
     # only when the sampled 16-mer duplicate probe sees block-local
     # coverage (so coverage-free data never pays the LDM pass).
     try:
-        if (
-            seq_dict is not None
-            or max_ratio
-            or sldm.coverage_probe(s_arr) >= sldm.DUP_THRESHOLD
-        ):
+        run_cov = seq_dict is not None or max_ratio
+        if not run_cov and (memo is None or memo.cov_should_probe()):
+            run_cov = sldm.coverage_probe(s_arr) >= sldm.DUP_THRESHOLD
+            if memo is not None:
+                memo.cov_outcome(run_cov)
+        if run_cov:
             d = (
                 sldm.encode_bases(bases, prefix=seq_dict)
                 if bases is not None
@@ -451,6 +505,7 @@ def encode_block_native(
     seq_dict: np.ndarray | None = None,
     raw=None,
     lossless: bool = False,
+    memo: "PickMemo | None" = None,
 ) -> bytes:
     """Encode one record block to v3 wire bytes (header + tagged
     streams). Shared by the single-host pipeline and the multi-host
@@ -490,7 +545,7 @@ def encode_block_native(
             lengths = np.frombuffer(ordered[5], "<u4").astype(np.int64)
             comp.append(
                 _encode_tagged_seq(
-                    s, lengths, codec, order1_qual, seq_dict
+                    s, lengths, codec, order1_qual, seq_dict, memo
                 )
             )
         elif policy == "rans":
@@ -609,11 +664,13 @@ def compress_native(
         yield from peeked
         yield from block_iter
 
+    memo = PickMemo()
+
     def encode_one(blk: RecordBlock) -> bytes:
         return encode_block_native(
             blk, qual_offset, opts.order1_qual, encode_arrays, seq_dict,
             raw=raw0 if blk is first_block else None,
-            lossless=opts.lossless,
+            lossless=opts.lossless, memo=memo,
         )
 
     api.ordered_map_write(

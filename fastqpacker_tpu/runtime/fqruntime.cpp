@@ -490,18 +490,33 @@ extern "C" {
 // host swings 0.3-15 s/GB (first-touch + per-element dispatch), this
 // stays ~1 ns/byte.
 void fq_hist256(const uint8_t* data, long long n, long long* out) {
-  long long h[4][256];
+  // 8 sub-histograms of u32 counters: byte-histogramming is bound by
+  // store-to-load forwarding stalls when adjacent bytes collide in one
+  // table; 8 tables cut the collision rate and the u32 counters halve
+  // the L1 footprint (8 KB vs 16 KB). u32 cannot overflow: each table
+  // sees n/8 <= block-size bytes, far under 2^32. Loading 8 bytes as
+  // one u64 also removes 7 of 8 load uops.
+  uint32_t h[8][256];
   memset(h, 0, sizeof(h));
   long long i = 0;
-  for (; i + 4 <= n; i += 4) {
-    h[0][data[i]]++;
-    h[1][data[i + 1]]++;
-    h[2][data[i + 2]]++;
-    h[3][data[i + 3]]++;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t w;
+    memcpy(&w, data + i, 8);
+    h[0][w & 0xFF]++;
+    h[1][(w >> 8) & 0xFF]++;
+    h[2][(w >> 16) & 0xFF]++;
+    h[3][(w >> 24) & 0xFF]++;
+    h[4][(w >> 32) & 0xFF]++;
+    h[5][(w >> 40) & 0xFF]++;
+    h[6][(w >> 48) & 0xFF]++;
+    h[7][w >> 56]++;
   }
   for (; i < n; i++) h[0][data[i]]++;
-  for (int k = 0; k < 256; k++)
-    out[k] = h[0][k] + h[1][k] + h[2][k] + h[3][k];
+  for (int k = 0; k < 256; k++) {
+    long long s = 0;
+    for (int t = 0; t < 8; t++) s += h[t][k];
+    out[k] = s;
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -217,3 +217,60 @@ def test_inspect_tag_slots_mirror_stream_codecs():
         i for i, pol in enumerate(native.STREAM_CODECS) if pol != "zstd"
     )
     assert fqinspect._V3_TAGGED_SLOTS == tagged
+
+
+def test_pick_memo_streak_and_reprobe_semantics():
+    """E072: after STREAK hopeless probes the memo skips, but re-probes
+    every PROBE_EVERY-th block; any positive outcome resets the streak
+    so probing resumes for every block."""
+    m = native.PickMemo()
+    # first STREAK blocks always probe
+    for _ in range(native.PickMemo.STREAK):
+        assert m.sctx_should_probe()
+        m.sctx_outcome(True)
+    # in skip mode: only every PROBE_EVERY-th call probes
+    decisions = [m.sctx_should_probe() for _ in range(8)]
+    assert sum(decisions) == 2  # 8 / PROBE_EVERY
+    # a positive outcome resets: everything probes again
+    m.sctx_outcome(False)
+    assert m.sctx_should_probe() is True
+    # coverage memo: same machinery
+    c = native.PickMemo()
+    for _ in range(native.PickMemo.STREAK):
+        assert c.cov_should_probe()
+        c.cov_outcome(False)
+    assert sum(c.cov_should_probe() for _ in range(8)) == 2
+    c.cov_outcome(True)
+    assert c.cov_should_probe() is True
+
+
+def test_pick_memo_output_identical_on_homogeneous_corpus():
+    """On statistics-homogeneous data a skipped probe reaches the same
+    verdict as a run probe, so the memoized pipeline's container must be
+    byte-identical to per-block encoding with no memo."""
+    rng = np.random.default_rng(99)
+    n, L = 30000, 100
+    seq = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, size=(n, L))
+    ]
+    qual = (33 + rng.integers(0, 41, size=(n, L))).astype(np.uint8)
+    recs = []
+    for i in range(n):
+        recs.append(
+            b"@r%d\n%s\n+\n%s\n"
+            % (i, seq[i].tobytes(), qual[i].tobytes())
+        )
+    data = b"".join(recs)
+    comp_memo = compress_native_bytes(data, block_size=5000)
+    # per-block path with memo disabled: parse into the same blocks and
+    # encode each with memo=None, then compare payload bytes block-wise
+    from fastqpacker_tpu.parser.fastq import FastqStreamParser
+    import io as _io
+
+    parser = FastqStreamParser(_io.BytesIO(data), block_size=5000)
+    payload = b"".join(
+        native.encode_block_native(blk, 33, memo=None)
+        for blk in parser.blocks()
+    )
+    assert payload in comp_memo  # same block bytes after the header
+    assert fq.decompress_bytes(comp_memo) == data
