@@ -101,7 +101,14 @@ def unpack_stream(packed: np.ndarray, lengths: np.ndarray) -> np.ndarray:
 
 
 def pack_stream(bases: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`unpack_stream`, zero padding bits."""
+    """Inverse of :func:`unpack_stream`, zero padding bits.
+
+    Routes through the C packer when available: the numpy fancy-index +
+    ufunc.at path below costs ~2x the whole wctx entropy decode on this
+    host (E073 — 119 ms vs 57 ms on a 7.4M-symbol container)."""
+    nat = _native()
+    if nat is not None and len(bases):
+        return nat.sldm_pack(bases, lengths)
     lengths = lengths.astype(np.int64)
     plens = packed_row_lengths(lengths)
     out = np.zeros(int(plens.sum()), dtype=np.uint8)

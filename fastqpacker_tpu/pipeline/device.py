@@ -152,6 +152,30 @@ def compress_device(
             w.write(fut.result())
 
 
+def _first_block_wctx(view) -> bool:
+    """True when the first block's seq or qual stream is TAG_WCTX —
+    the cheap sniff behind the device-mesh decode routing. Any parse
+    trouble answers False (the ordinary decoder owns error semantics)."""
+    import io as _io
+
+    from . import native
+
+    rr = _io.BytesIO(view)
+    try:
+        hdr = container.read_block_header(rr, container.VERSION_3_NATIVE)
+    except container.FormatError:
+        return False
+    if hdr is None:
+        return False
+    sizes = hdr.stream_sizes(container.VERSION_2)
+    base = rr.tell()
+    wt = native.TAG_WCTX
+    t0 = view[base] if sizes[0] > 0 and len(view) > base else -1
+    o1 = base + sizes[0]
+    t1 = view[o1] if sizes[1] > 0 and len(view) > o1 else -1
+    return t0 == wt or t1 == wt
+
+
 def decompress_device(
     r: BinaryIO, w: BinaryIO, opts: Optional[api.DecompressOptions] = None
 ) -> None:
@@ -161,6 +185,31 @@ def decompress_device(
     if fh.version == container.VERSION_3_NATIVE:
         from . import native
 
+        # Context-coded (TAG_WCTX) containers carry the mesh coder's
+        # streams; when a device is present and the transfer probe says
+        # it pays, decode them with the batched sharded mesh decoder
+        # instead of the host twin (VERDICT r4 #4). Dict/lossless
+        # containers and non-addressable sources keep the host path
+        # (decompress_mesh would bounce them anyway).
+        if not (
+            fh.flags
+            & (container.FLAG_SEQ_DICT | container.FLAG_LOSSLESS)
+        ):
+            from ..utils.inmem import source_view
+
+            view = source_view(r)
+            if view is not None:
+                import io as _io
+
+                r = _io.BytesIO(view)
+                if _first_block_wctx(view):
+                    from . import auto
+
+                    if auto.device_worthwhile():
+                        from . import meshpipe
+
+                        meshpipe.decompress_mesh(r, w, fh=fh)
+                        return
         native.decompress_native(
             r, w, fh, _offset(fh), api._resolve_workers(opts.workers)
         )

@@ -497,7 +497,7 @@ def compress_mesh_bytes(data: bytes, opts=None, mesh=None) -> bytes:
     return out.getvalue()
 
 
-def decompress_mesh(r: BinaryIO, w: BinaryIO, mesh=None) -> None:
+def decompress_mesh(r: BinaryIO, w: BinaryIO, mesh=None, fh=None) -> None:
     """Decompress an FQZ v3 container with the rANS entropy stage batched
     on the device mesh: groups of D consecutive blocks whose seq/qual
     streams are TAG_RANS with a shared frequency table (what
@@ -511,7 +511,9 @@ def decompress_mesh(r: BinaryIO, w: BinaryIO, mesh=None) -> None:
     from ..parallel import mesh as pmesh
     from ..ops import rans
 
-    opts_fh = container.read_file_header(r)
+    # ``fh``: the caller (device.decompress_device's TAG_WCTX routing)
+    # already consumed the file header from ``r``.
+    opts_fh = fh if fh is not None else container.read_file_header(r)
     if opts_fh.version != container.VERSION_3_NATIVE:
         raise container.FormatError(
             "decompress_mesh requires an FQZ v3 container "

@@ -80,3 +80,84 @@ def test_device_pipeline_phred64():
     q = "".join(chr(64 + i % 40) for i in range(80))
     data = f"@p64\n{'ACGT' * 20}\n+\n{q}\n".encode()
     assert _roundtrip_device(data, 10) == data
+
+
+def test_wctx_container_routes_to_mesh_decoder(monkeypatch):
+    """VERDICT r4 #4: decompress_device sends TAG_WCTX containers to the
+    batched mesh decoder when the device probe says it pays, and to the
+    host twin otherwise — byte-exact either way."""
+    import io
+
+    import numpy as np
+
+    from fastqpacker_tpu.pipeline import (
+        api,
+        auto,
+        device as devpipe,
+        meshpipe,
+    )
+    from fastqpacker_tpu.parallel import mesh as pmesh
+    from fastqpacker_tpu.format import container
+
+    # markov-ish corpus that the mesh path wctx-codes (same recipe as
+    # tests/test_meshpipe.py)
+    rng = np.random.default_rng(11)
+    n, L = 4000, 80
+    probs = np.array(
+        [
+            [0.17, 0.45, 0.25, 0.13],
+            [0.13, 0.17, 0.45, 0.25],
+            [0.45, 0.25, 0.13, 0.17],
+            [0.25, 0.13, 0.17, 0.45],
+        ]
+    )
+    cum = np.cumsum(probs, axis=1)
+    u = rng.random(n * L)
+    codes = np.empty(n * L, np.uint8)
+    prev = 0
+    for i in range(n * L):
+        prev = int(np.searchsorted(cum[prev], u[i]))
+        codes[i] = prev
+    seq = np.frombuffer(b"ACGT", np.uint8)[codes].reshape(n, L)
+    steps = rng.integers(-2, 3, size=(n, L)).astype(np.int32)
+    qual = np.clip(33 + 30 + np.cumsum(steps, axis=1) // 3, 33, 74).astype(
+        np.uint8
+    )
+    recs = []
+    for i in range(n):
+        recs.append(
+            b"@m%d\n%s\n+\n%s\n" % (i, seq[i].tobytes(), qual[i].tobytes())
+        )
+    data = b"".join(recs)
+
+    mesh = pmesh.make_mesh(8)
+    comp = meshpipe.compress_mesh_bytes(
+        data, __import__("fastqpacker_tpu").Options(block_size=1000), mesh
+    )
+    # the corpus must actually produce wctx streams for this test to
+    # exercise the routing sniff
+    bio = io.BytesIO(comp)
+    fh = container.read_file_header(bio)
+    from fastqpacker_tpu.utils.inmem import source_view
+
+    assert devpipe._first_block_wctx(source_view(bio))
+
+    calls = {"mesh": 0}
+    real = meshpipe.decompress_mesh
+
+    def spy(r, w, mesh=None, fh=None):
+        calls["mesh"] += 1
+        return real(r, w, mesh, fh=fh)
+
+    monkeypatch.setattr(meshpipe, "decompress_mesh", spy)
+    monkeypatch.setattr(auto, "device_worthwhile", lambda: True)
+    out = io.BytesIO()
+    devpipe.decompress_device(io.BytesIO(comp), out)
+    assert out.getvalue() == data
+    assert calls["mesh"] == 1
+
+    monkeypatch.setattr(auto, "device_worthwhile", lambda: False)
+    out2 = io.BytesIO()
+    devpipe.decompress_device(io.BytesIO(comp), out2)
+    assert out2.getvalue() == data
+    assert calls["mesh"] == 1  # host twin path, no new mesh call
