@@ -312,6 +312,16 @@ def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
     fetched to host. The relay dedupes identical dispatches and its
     block_until_ready is unreliable (CLAUDE.md), so N independent
     dispatches of the same arrays cannot be trusted for timing.
+
+    Two E074 corrections over the r1-r3 protocol, which recorded "2% of
+    roofline" numbers that were measurement artifacts:
+    - the relay's ~31-36 ms fixed dispatch cost dwarfed the ~42 us
+      kernel at 20 steps, so the SAME chained program is timed at two
+      step counts and the slope is the per-step kernel time (the fixed
+      cost cancels);
+    - the old carry consumed only qual_delta, so XLA dead-code
+      -eliminated the packed/nmask computation entirely; every output
+      is now loop-carried (XOR), which forces materialization.
     """
     import jax
     import jax.numpy as jnp
@@ -325,30 +335,61 @@ def bench_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
         rng.integers(33, 74, size=(r, read_len)).astype(np.uint8)
     )
     lengths = jax.device_put(np.full(r, read_len, dtype=np.int32))
+    pk0 = jax.device_put(
+        np.zeros((r, (read_len + 3) // 4), dtype=np.uint8)
+    )
+    nm0 = jax.device_put(
+        np.zeros((r, (read_len + 7) // 8), dtype=np.uint8)
+    )
 
-    @jax.jit
-    def chained(seq0, qual0):
-        def body(_, carry):
-            sq, ql = carry
-            enc = encode_arrays_jit(sq, ql, lengths, 33)
-            return (sq ^ enc.qual_delta, ql ^ enc.qual_delta)
+    def make(nsteps):
+        @jax.jit
+        def chained(seq0, qual0, p0, n0):
+            def body(_, carry):
+                sq, ql, pk, nm, acc = carry
+                enc = encode_arrays_jit(sq, ql, lengths, 33)
+                return (
+                    sq ^ enc.qual_delta,
+                    ql ^ enc.qual_delta,
+                    pk ^ enc.packed,
+                    nm ^ enc.nmask_bits,
+                    acc + jnp.sum(enc.n_counts),
+                )
 
-        sq, ql = jax.lax.fori_loop(0, steps, body, (seq0, qual0))
-        return jnp.sum(sq.astype(jnp.uint32)) + jnp.sum(
-            ql.astype(jnp.uint32)
-        )
+            sq, ql, pk, nm, acc = jax.lax.fori_loop(
+                0, nsteps, body, (seq0, qual0, p0, n0, jnp.int32(0))
+            )
+            return (
+                jnp.sum(sq.astype(jnp.uint32))
+                + jnp.sum(ql.astype(jnp.uint32))
+                + jnp.sum(pk.astype(jnp.uint32))
+                + jnp.sum(nm.astype(jnp.uint32))
+                + acc.astype(jnp.uint32)
+            )
 
-    float(chained(seq, qual))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained(seq, qual))  # fetching the scalar forces execution
-    dt = (time.perf_counter() - t0) / steps
+        return lambda: float(chained(seq, qual, pk0, nm0))
+
+    s_lo, s_hi = max(steps, 20), max(steps, 20) * 16
+    t = {}
+    for s in (s_lo, s_hi):
+        fn = make(s)
+        fn()  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        t[s] = best
+    dt = (t[s_hi] - t[s_lo]) / (s_hi - s_lo)
+    log(
+        f"slope fit: {dt * 1e6:.1f} us/step, fixed relay cost "
+        f"{(t[s_lo] - s_lo * dt) * 1e3:.1f} ms"
+    )
     input_bytes = 2 * r * read_len  # seq + qual per step
-    # HBM traffic per step: encode reads seq+qual (2 rL), writes packed
-    # (rL/4) + delta (rL) + nmask (rL/8); the chain's XOR carries read
-    # and rewrite both operands (4 rL). Memory-bound -> utilization is
-    # the honest metric (VERDICT r1 weak #3).
+    # HBM traffic per step with every output loop-carried: read sq, ql,
+    # pk, nm + write the same four = 2 * (1 + 1 + 0.25 + 0.125) rL.
     rl = r * read_len
-    _roofline("encode-kernel", int(rl * (2 + 0.25 + 1 + 0.125 + 4)), dt)
+    _roofline("encode-kernel", int(rl * 2 * (2 + 0.25 + 0.125)), dt)
     return input_bytes / 1e6 / dt
 
 
@@ -543,6 +584,9 @@ def bench_wctx_entropy(mb: int = 16, steps: int = 4, decode: bool = False):
     sym_d = jax.device_put(jnp.asarray(symp))
     ctx_d = jax.device_put(jnp.asarray(ctxp))
     pl_d = jax.device_put(jnp.asarray(planes))
+    # per-lane real symbol counts (E066 pad-skip semantics)
+    seg = np.diff(sb).astype(np.int32)
+    seg_d = jax.device_put(jnp.asarray(seg))
 
     if not decode:
 
@@ -552,7 +596,7 @@ def bench_wctx_entropy(mb: int = 16, steps: int = 4, decode: bool = False):
                 sy, acc = carry
                 sy = jnp.roll(sy, 1, axis=1)
                 emits, emask, states = wctx._encode_kernel.__wrapped__(
-                    sy, ctx_d, jnp.int32(S), pl_d, S_pad, N, L, B
+                    sy, ctx_d, jnp.int32(S), pl_d, seg_d, S_pad, N, L, B
                 )
                 acc = (
                     acc
@@ -577,7 +621,7 @@ def bench_wctx_entropy(mb: int = 16, steps: int = 4, decode: bool = False):
     payload = None
     emits, emask, states = wctx._encode_kernel(
         jnp.asarray(symp), jnp.asarray(ctxp), jnp.int32(S),
-        jnp.asarray(planes), S_pad, N, L, B,
+        jnp.asarray(planes), jnp.asarray(seg), S_pad, N, L, B,
     )
     em = np.asarray(emits[:S])
     ms = np.asarray(emask[:S])
@@ -599,7 +643,7 @@ def bench_wctx_entropy(mb: int = 16, steps: int = 4, decode: bool = False):
         def body(_, carry):
             s, acc = carry
             out, fx, consumed = wctx._decode_kernel.__wrapped__(
-                wd, s, sm_d, jnp.int32(S), pl_d, dp_d,
+                wd, s, sm_d, jnp.int32(S), pl_d, dp_d, seg_d,
                 S_pad, N, L, B, wctx.MODEL_QUAL, 0,
             )
             s2 = jnp.maximum(fx, jnp.uint32(1 << 16))
@@ -675,21 +719,39 @@ def bench_decode_kernel(read_len: int = 152, r: int = 65536, steps: int = 20):
     d_dev = jax.device_put(jnp.asarray(np.ascontiguousarray(delta).view("<u4")))
 
     # chained fori_loop + scalar fetch: dedupe-proof timing (see
-    # bench_kernel; the relay dedupes identical dispatches)
-    @jax.jit
-    def chained(p0, d0):
-        def body(_, carry):
-            p, d = carry
-            s32, q32 = pk.decode_arrays_pallas(p, d, 33)
-            return ((p + (q32 & 1).astype(jnp.uint8)), d ^ s32)
+    # bench_kernel; the relay dedupes identical dispatches). Slope
+    # protocol (E074): the same chain timed at two step counts cancels
+    # the relay's ~31-36 ms fixed dispatch cost, which dominated the
+    # old single-dispatch-divided-by-steps numbers.
+    def make(nsteps):
+        @jax.jit
+        def chained(p0, d0):
+            def body(_, carry):
+                p, d = carry
+                s32, q32 = pk.decode_arrays_pallas(p, d, 33)
+                return ((p + (q32 & 1).astype(jnp.uint8)), d ^ s32)
 
-        p, d = jax.lax.fori_loop(0, steps, body, (p0, d0))
-        return jnp.sum(p.astype(jnp.uint32)) + jnp.sum(d)
+            p, d = jax.lax.fori_loop(0, nsteps, body, (p0, d0))
+            return jnp.sum(p.astype(jnp.uint32)) + jnp.sum(d)
 
-    float(chained(p_dev, d_dev))  # compile + warm
-    t0 = time.perf_counter()
-    float(chained(p_dev, d_dev))
-    dt = (time.perf_counter() - t0) / steps
+        return lambda: float(chained(p_dev, d_dev))
+
+    s_lo, s_hi = max(steps, 20), max(steps, 20) * 16
+    t = {}
+    for s in (s_lo, s_hi):
+        fn = make(s)
+        fn()  # compile + warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        t[s] = best
+    dt = (t[s_hi] - t[s_lo]) / (s_hi - s_lo)
+    log(
+        f"slope fit: {dt * 1e6:.1f} us/step, fixed relay cost "
+        f"{(t[s_lo] - s_lo * dt) * 1e3:.1f} ms"
+    )
     output_bytes = 2 * r * read_len  # seq + qual ASCII produced per step
     # decode reads packed (rL/4) + delta (rL), writes seq+qual ASCII
     # (2 rL); the chain updates read/rewrite both carries (~2.5 rL)

@@ -3522,7 +3522,18 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       resync = false;
     } else {
       const double avg = (double)last_end / (double)recs;
-      const long long blk = (long long)(avg * (double)block_records);
+      // Long-read files: record-count framing alone makes gigantic
+      // blocks (146k ONT-length reads x ~7 KB = one 1 GB block),
+      // serializing the whole MT pipeline onto one worker (E075: the
+      // binary-longread corpus compressed at 527 MB/s with wall ==
+      // single-worker busy). Cap block bytes at 16 MB: the short-read
+      // default (37.5k x ~300 B ~= 11 MB) stays under the cap, so
+      // framing is byte-identical for every existing fixture, and the
+      // v1/v2 wire carries per-block record counts, so readers are
+      // indifferent to the count actually framed.
+      long long blk = (long long)(avg * (double)block_records);
+      const long long kBlockByteCap = 16LL << 20;
+      if (blk > kBlockByteCap) blk = kBlockByteCap;
       // small -b stays on the exact scanner: resync framing approximates
       // records-per-block, and a user-chosen small block size should be
       // honored exactly (the scan cost is minor next to many-small-block
