@@ -358,6 +358,15 @@ if __name__ == "__main__":
     # execute's finally; nothing here needs finalizers. Library callers
     # (tests) use main() directly and are unaffected.
     _rc = main()
-    sys.stdout.flush()
-    sys.stderr.flush()
+    # A consumer that closed our stdout mid-stream (`fqpack info | head`)
+    # makes these flushes raise; exiting 141 silently is the pipe
+    # convention, not an interpreter error dump.
+    try:
+        sys.stdout.flush()
+    except (BrokenPipeError, ValueError, OSError):
+        _rc = 141
+    try:
+        sys.stderr.flush()
+    except (BrokenPipeError, ValueError, OSError):
+        pass
     os._exit(_rc)

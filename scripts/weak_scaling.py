@@ -20,8 +20,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(d: int, mb: int, steps: int = 4) -> float:
@@ -82,10 +85,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb-per-device", type=int, default=8)
     ap.add_argument("--devices", type=int, nargs="*", default=None)
+    # sitecustomize pins JAX_PLATFORMS=axon; env vars alone cannot force
+    # the virtual CPU mesh (CLAUDE.md) — the live config update can.
+    ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     avail = len(jax.devices())
     platform = jax.devices()[0].platform
     dlist = args.devices or [d for d in (1, 2, 4, 8) if d <= avail]
