@@ -24,6 +24,43 @@ FLAGS = [
 LIBS = ["-lzstd"]
 
 
+CLI_SRC = os.path.join(_DIR, "fqpack_cli.cpp")
+CLI_BIN = os.path.join(os.path.dirname(os.path.dirname(_DIR)), "bin", "fqpack")
+
+
+def build_cli(verbose: bool = False) -> str | None:
+    """Build the native fqpack front-end (E077): drives the whole-file
+    MT pipeline in libfqruntime.so directly for the v1/v2 CLI surface
+    (~5 ms startup vs ~2.3 s of Python/jax environment startup) and
+    execs the Python CLI for everything else."""
+    if ensure_built(verbose) is None:
+        return None
+    try:
+        if os.path.exists(CLI_BIN) and os.path.getmtime(
+            CLI_BIN
+        ) >= max(os.path.getmtime(CLI_SRC), os.path.getmtime(LIB)):
+            return CLI_BIN
+        os.makedirs(os.path.dirname(CLI_BIN), exist_ok=True)
+        cmd = [
+            CXX, "-O3", "-march=native", "-pthread", "-o", CLI_BIN,
+            CLI_SRC, "-L" + _DIR, "-lfqruntime", "-lzstd",
+            "-Wl,-rpath," + os.path.join(
+                "$ORIGIN", "..", "fastqpacker_tpu", "runtime"
+            ),
+        ]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            if verbose:
+                print(
+                    f"fqpack cli build failed:\n{proc.stderr}",
+                    file=sys.stderr,
+                )
+            return None
+        return CLI_BIN
+    except OSError:
+        return None
+
+
 def ensure_built(verbose: bool = False) -> str | None:
     """Compile if needed; returns the library path or None on failure."""
     try:
@@ -128,13 +165,19 @@ def build_sanitized(kind: str) -> str | None:
 if __name__ == "__main__":
     if "--pgo" in sys.argv:
         path = build_pgo()
+        if path is not None:
+            build_cli(verbose=True)  # relink against the PGO'd .so
     elif "--tsan" in sys.argv:
         path = build_sanitized("thread")
     elif "--asan" in sys.argv:
         path = build_sanitized("address")
     elif "--force" in sys.argv:
         path = LIB if _compile([]) else None
+    elif "--cli" in sys.argv:
+        path = build_cli(verbose=True)
     else:
         path = ensure_built(verbose=True)
+        if path is not None:
+            build_cli(verbose=True)  # best-effort; bin/fqpack
     print(path or "BUILD FAILED")
     sys.exit(0 if path else 1)

@@ -1,0 +1,297 @@
+// Native fqpack front-end: the v1/v2 compatibility path with ~5 ms
+// startup (E077).
+//
+// The Python CLI pays ~2.3 s of environment startup per invocation on
+// this host (sitecustomize pre-imports the accelerator runtime before
+// any user code runs — python -X importtime shows site: ~2.0 s), which
+// dominates file-to-file benchmark rows the way the Go reference's
+// instant binary never does. The whole-file MT pipeline already lives
+// in libfqruntime.so (fq_compress_mt / fq_decompress_mt, byte-identical
+// to the Python path by the test suite); this thin binary drives it
+// directly for the reference CLI surface (cmd/fqpack/main.go:37-203:
+// -d -i -o -c -b -w -version -h + positionals) and EXECS the Python CLI
+// for everything else (v3/native format, --mesh, --max-ratio,
+// --lossless, --pair, gzip inputs, info/check/cat/bench, stdin).
+//
+// Error strings match the Python CLI verbatim (runtime/bindings.py
+// _mt_raise_* and format/container.py read_file_header), which in turn
+// match the reference where the reference defines them
+// (parser.go:70,88,180).
+
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <fcntl.h>
+#include <limits.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+long long fq_compress_mt(const uint8_t* text, long long n,
+                         long long block_records, int version,
+                         uint8_t extra_flags, int workers, int out_fd,
+                         void** out_handle, uint8_t** out_ptr,
+                         long long* err_info);
+long long fq_decompress_mt(const uint8_t* data, long long n, int version,
+                           uint8_t qoffset, int workers, int out_fd,
+                           void** out_handle, uint8_t** out_ptr,
+                           long long* err_info);
+}
+
+namespace {
+
+constexpr long long kSpeedBlockRecords = 37500;  // pipeline/api.py
+constexpr long long kMaxSeqLen = 65536;          // sequence.go:11
+
+int g_argc;
+char** g_argv;
+
+[[noreturn]] void exec_python_cli() {
+  // <repo>/fastqpacker_tpu/runtime/../../ == repo root; prepend it to
+  // PYTHONPATH so `-m fastqpacker_tpu.cli.fqpack` resolves no matter
+  // where the binary was invoked from.
+  char self[PATH_MAX];
+  const ssize_t k = readlink("/proc/self/exe", self, sizeof(self) - 1);
+  if (k > 0) {
+    self[k] = 0;
+    std::string root(self);
+    for (int up = 0; up < 2; up++) {
+      const size_t s = root.rfind('/');
+      if (s == std::string::npos) break;
+      root.resize(s);
+    }
+    const char* old = getenv("PYTHONPATH");
+    std::string pp = old && *old ? root + ":" + old : root;
+    setenv("PYTHONPATH", pp.c_str(), 1);
+  }
+  std::vector<char*> args;
+  args.push_back(const_cast<char*>("python"));
+  args.push_back(const_cast<char*>("-m"));
+  args.push_back(const_cast<char*>("fastqpacker_tpu.cli.fqpack"));
+  for (int i = 1; i < g_argc; i++) args.push_back(g_argv[i]);
+  args.push_back(nullptr);
+  execvp("python", args.data());
+  execvp("python3", args.data());
+  perror("error: cannot exec python fallback");
+  _exit(1);
+}
+
+int fail(const std::string& msg) {
+  fprintf(stderr, "error: %s\n", msg.c_str());
+  return 1;
+}
+
+struct Mapped {
+  const uint8_t* p = nullptr;
+  long long n = 0;
+  void* base = nullptr;
+  size_t map_len = 0;
+  ~Mapped() {
+    if (base) munmap(base, map_len);
+  }
+};
+
+bool map_file(const char* path, Mapped* out, std::string* err) {
+  const int fd = open(path, O_RDONLY);
+  if (fd < 0) {
+    *err = std::string("cannot open input: [Errno ") +
+           std::to_string(errno) + "] " + strerror(errno) + ": '" + path +
+           "'";
+    return false;
+  }
+  struct stat st;
+  if (fstat(fd, &st) != 0 || !S_ISREG(st.st_mode)) {
+    close(fd);
+    *err = std::string("cannot open input: not a regular file: '") + path +
+           "'";
+    return false;
+  }
+  out->n = (long long)st.st_size;
+  if (out->n == 0) {
+    close(fd);
+    return true;  // empty file: nullptr map, n = 0
+  }
+  void* m = mmap(nullptr, (size_t)st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  close(fd);
+  if (m == MAP_FAILED) {
+    *err = std::string("cannot read input: ") + strerror(errno);
+    return false;
+  }
+  madvise(m, (size_t)st.st_size, MADV_SEQUENTIAL);
+  madvise(m, (size_t)st.st_size, MADV_WILLNEED);
+  out->base = m;
+  out->map_len = (size_t)st.st_size;
+  out->p = (const uint8_t*)m;
+  return true;
+}
+
+const char* scan_error(long long code) {
+  switch (code) {
+    case 1: return "invalid FASTQ: header line must start with @";
+    case 2: return "invalid FASTQ: separator line must start with +";
+    case 3: return "invalid FASTQ: sequence and quality lengths must match";
+  }
+  return "invalid FASTQ";
+}
+
+int compress_errmsg(long long rc, const long long* info) {
+  if (rc == -10) return fail(scan_error(info[0]));
+  if (rc == -1) return fail("record field longer than 65535 bytes");
+  if (rc == -6) {
+    char buf[256];
+    snprintf(buf, sizeof(buf),
+             "record \"record %lld\": sequence length %lld has ambiguous "
+             "bases beyond position %lld; N-position tracking is limited "
+             "to %lld bp",
+             info[0], info[1], kMaxSeqLen, kMaxSeqLen);
+    return fail(buf);
+  }
+  if (rc == -11) {
+    return fail(std::string("[Errno ") + std::to_string(info[0]) + "] " +
+                strerror((int)info[0]));
+  }
+  return fail("native compress pipeline failed (" + std::to_string(rc) +
+              ")");
+}
+
+int decompress_errmsg(long long rc, const long long* info) {
+  switch (rc) {
+    case -21: return fail("truncated block header");
+    case -22: return fail("truncated block payload");
+    case -7: return fail("corrupted zstd frame in block payload");
+    case -1: return fail("truncated sequence data");
+    case -2: return fail("truncated quality data");
+    case -3: return fail("truncated header data");
+    case -4: return fail("truncated plus-line payload data");
+    case -5: return fail("truncated N position data");
+    case -6: return fail("truncated length data");
+    case -11:
+      return fail(std::string("[Errno ") + std::to_string(info[0]) + "] " +
+                  strerror((int)info[0]));
+  }
+  return fail("native decompress pipeline failed (" + std::to_string(rc) +
+              ")");
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  g_argc = argc;
+  g_argv = argv;
+
+  bool decompress = false, to_stdout = false;
+  std::string input, output;
+  long long block_records = 0;
+  int workers = 0;
+  std::vector<std::string> positional;
+
+  for (int i = 1; i < argc; i++) {
+    const std::string a = argv[i];
+    auto need_val = [&](const char* flag) -> const char* {
+      if (i + 1 >= argc) {
+        fprintf(stderr, "error: %s requires a value\n", flag);
+        exit(1);
+      }
+      return argv[++i];
+    };
+    if (a == "-d") decompress = true;
+    else if (a == "-c") to_stdout = true;
+    else if (a == "-i") input = need_val("-i");
+    else if (a == "-o") output = need_val("-o");
+    else if (a == "-b") block_records = atoll(need_val("-b"));
+    else if (a == "-w") workers = atoi(need_val("-w"));
+    else if (!a.empty() && a[0] != '-') positional.push_back(a);
+    else exec_python_cli();  // -version, -h, --format, --mesh, ... :
+                             // full-featured surface lives in Python
+  }
+  // subcommands (info/check/cat/bench appear as positionals)
+  if (!positional.empty() &&
+      (positional[0] == "info" || positional[0] == "check" ||
+       positional[0] == "cat" || positional[0] == "bench"))
+    exec_python_cli();
+  if (input.empty() && !positional.empty()) input = positional[0];
+  if (output.empty() && positional.size() > 1) output = positional[1];
+
+  // stdin sources can't be peeked-then-reexeced; Python owns them.
+  if (input.empty() || input == "-") exec_python_cli();
+
+  Mapped in;
+  std::string err;
+  if (!map_file(input.c_str(), &in, &err)) return fail(err);
+
+  if (!decompress) {
+    // gzip inputs (suffix or magic, main.go:142-174) gunzip in Python
+    const bool gz_suffix =
+        input.size() > 3 && input.compare(input.size() - 3, 3, ".gz") == 0;
+    const bool gz_magic = in.n >= 2 && in.p[0] == 0x1f && in.p[1] == 0x8b;
+    if (gz_suffix || gz_magic) exec_python_cli();
+  } else if (in.n >= 5 && memcmp(in.p, "FQZ\0", 4) == 0 && in.p[4] == 3) {
+    exec_python_cli();  // v3/native containers decode in Python
+  }
+
+  int out_fd = 1;
+  if (!output.empty() && !to_stdout) {
+    out_fd = open(output.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0644);
+    if (out_fd < 0)
+      return fail(std::string("cannot create output: [Errno ") +
+                  std::to_string(errno) + "] " + strerror(errno) + ": '" +
+                  output + "'");
+  }
+
+  if (workers <= 0) {
+    const long nc = sysconf(_SC_NPROCESSORS_ONLN);
+    workers = nc > 0 ? (int)nc : 1;
+  }
+  long long info[2] = {0, 0};
+  int rc_main = 0;
+  if (!decompress) {
+    if (block_records <= 0) block_records = kSpeedBlockRecords;
+    const long long rc =
+        fq_compress_mt(in.p, in.n, block_records, 2, 0, workers, out_fd,
+                       nullptr, nullptr, info);
+    if (rc < 0) rc_main = compress_errmsg(rc, info);
+  } else {
+    // 10-byte file header (container.go:48-67 layout)
+    if (in.n < 4) {
+      rc_main = fail("truncated file header");
+    } else if (memcmp(in.p, "FQZ\0", 4) != 0) {
+      rc_main = fail("invalid magic bytes: not an FQZ file");
+    } else if (in.n < 10) {
+      rc_main = fail("truncated file header");
+    } else {
+      const int version = in.p[4];
+      const uint8_t flags = in.p[9];
+      if (version != 1 && version != 2) {
+        rc_main = fail("unsupported file version: " +
+                       std::to_string(version));
+      } else {
+        const uint8_t qoffset = (flags & 2) ? 64 : 33;
+        const long long rc =
+            fq_decompress_mt(in.p + 10, in.n - 10, version, qoffset,
+                             workers, out_fd, nullptr, nullptr, info);
+        if (rc == -20) {
+          // foreign zstd frames without declared content sizes: the
+          // per-block Python path owns that fallback
+          if (out_fd != 1) {
+            close(out_fd);
+            out_fd = -1;
+          }
+          exec_python_cli();
+        }
+        if (rc < 0) rc_main = decompress_errmsg(rc, info);
+      }
+    }
+  }
+  if (out_fd != 1 && out_fd >= 0) {
+    if (close(out_fd) != 0 && rc_main == 0)
+      rc_main = fail(std::string("[Errno ") + std::to_string(errno) + "] " +
+                     strerror(errno));
+  }
+  return rc_main;
+}

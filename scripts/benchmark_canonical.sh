@@ -41,7 +41,15 @@ if [[ -z "$INPUT" ]]; then
 fi
 [[ -f "$INPUT" ]] || { echo "error: input not found: $INPUT" >&2; exit 1; }
 
-FQ="python -m fastqpacker_tpu.cli.fqpack"
+# the native front-end (bin/fqpack, E077) is the product CLI for the
+# v1/v2 path — ~5 ms startup vs ~2.3 s of Python/jax environment
+# startup per invocation; it execs the Python CLI for v3/device runs
+python fastqpacker_tpu/runtime/build.py --cli >/dev/null 2>&1 || true
+if [[ -x bin/fqpack ]]; then
+    FQ="bin/fqpack"
+else
+    FQ="python -m fastqpacker_tpu.cli.fqpack"
+fi
 TMP="$(mktemp -d)"
 trap 'rm -rf "$TMP"' EXIT
 OUT="$TMP/out.fqz"; DEC="$TMP/dec.fq"
