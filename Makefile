@@ -23,21 +23,43 @@ test:
 # instrumented libfqruntime.so, hammers the MT + fuzz suites under the
 # preloaded sanitizer runtime, then restores the production build.
 CXXBIN ?= g++
+# The leg PASSES iff pytest passes AND no sanitizer report involves
+# libfqruntime.so. jaxlib's uninstrumented Eigen/llvm thread pools emit
+# reports TSan cannot always attribute (a destroyed pool mutex has no
+# creation stack for a mutex: suppression to match), so halting on every
+# report makes the leg flaky on noise that says nothing about our MT
+# runtime. External reports are counted and ignored; any report that
+# names our library fails the build. The PGO restore ALWAYS runs — a
+# failed leg must not leave the instrumented .so behind.
 test-tsan:
 	$(PY) fastqpacker_tpu/runtime/build.py --tsan
-	LD_PRELOAD=$$($(CXXBIN) -print-file-name=libtsan.so) \
-	TSAN_OPTIONS="halt_on_error=1 report_signal_unsafe=0 allocator_may_return_null=1" \
-	JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
-	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py -x -q
-	$(PY) fastqpacker_tpu/runtime/build.py --pgo  # restore the production (PGO) build
+	rm -f /tmp/fqz_tsan_log.*
+	-LD_PRELOAD=$$($(CXXBIN) -print-file-name=libtsan.so) \
+	TSAN_OPTIONS="halt_on_error=0 exitcode=0 report_signal_unsafe=0 allocator_may_return_null=1 suppressions=tests/tsan.supp log_path=/tmp/fqz_tsan_log" \
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
+	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py tests/test_native_format.py -x -q; \
+	echo $$? > /tmp/fqz_tsan_rc
+	$(PY) fastqpacker_tpu/runtime/build.py --pgo  # ALWAYS restore production build
+	@rc=$$(cat /tmp/fqz_tsan_rc); if [ "$$rc" != "0" ]; then echo "test-tsan: pytest failed ($$rc)"; exit 1; fi
+	@if grep -l libfqruntime /tmp/fqz_tsan_log.* >/dev/null 2>&1; then \
+	  echo "test-tsan: sanitizer report involves libfqruntime:"; \
+	  grep -l libfqruntime /tmp/fqz_tsan_log.*; exit 1; fi
+	@echo "test-tsan OK ($$(ls /tmp/fqz_tsan_log.* 2>/dev/null | wc -l) external-library reports ignored)"
 
 test-asan:
 	$(PY) fastqpacker_tpu/runtime/build.py --asan
-	LD_PRELOAD=$$($(CXXBIN) -print-file-name=libasan.so) \
-	ASAN_OPTIONS="detect_leaks=0 halt_on_error=1 allocator_may_return_null=1" \
-	JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
-	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py -x -q
-	$(PY) fastqpacker_tpu/runtime/build.py --pgo  # restore the production (PGO) build
+	rm -f /tmp/fqz_asan_log.*
+	-LD_PRELOAD=$$($(CXXBIN) -print-file-name=libasan.so) \
+	ASAN_OPTIONS="detect_leaks=0 halt_on_error=0 allocator_may_return_null=1 log_path=/tmp/fqz_asan_log exitcode=0" \
+	PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu FQZ_SANITIZE=1 \
+	$(PY) -m pytest tests/test_mt_pipeline.py tests/test_fuzz.py tests/test_native_format.py -x -q; \
+	echo $$? > /tmp/fqz_asan_rc
+	$(PY) fastqpacker_tpu/runtime/build.py --pgo  # ALWAYS restore production build
+	@rc=$$(cat /tmp/fqz_asan_rc); if [ "$$rc" != "0" ]; then echo "test-asan: pytest failed ($$rc)"; exit 1; fi
+	@if grep -l libfqruntime /tmp/fqz_asan_log.* >/dev/null 2>&1; then \
+	  echo "test-asan: sanitizer report involves libfqruntime:"; \
+	  grep -l libfqruntime /tmp/fqz_asan_log.*; exit 1; fi
+	@echo "test-asan OK ($$(ls /tmp/fqz_asan_log.* 2>/dev/null | wc -l) external-library reports ignored)"
 
 lint:
 	$(PY) -m compileall -q fastqpacker_tpu tests bench.py __graft_entry__.py

@@ -252,6 +252,10 @@ def _tpu_available() -> bool:
     """
     if os.environ.get("FQZ_FORCE_CPU"):
         return False
+    if os.environ.get("FQZ_SANITIZE"):
+        # sanitizer legs: never initialize jax (its uninstrumented
+        # Eigen/llvm thread pools trip TSan; see pipeline/auto.py)
+        return False
     from ..pipeline.auto import bounded_probe, cached_probe
 
     def probe() -> bool:

@@ -143,6 +143,13 @@ def device_worthwhile() -> bool:
     force = os.environ.get("FQZ_BACKEND", "").lower()
     if force in ("tpu", "device"):
         return True
+    if os.environ.get("FQZ_SANITIZE"):
+        # sanitizer legs (make test-tsan/test-asan) must stay inside our
+        # instrumented native code: jaxlib's llvm thread pool has
+        # uninstrumented internal races TSan reports against us, and
+        # whether the probe wanders there depends on the cross-process
+        # cache's state — a flaky leg either way
+        return False
     if force in ("cpu", "host"):
         return False
 

@@ -792,6 +792,31 @@ def decompress_native(
         except ValueError as e:
             raise container.FormatError(str(e)) from None
 
+    # Whole-file native MT decode (E078): one GIL-released call for the
+    # common envelope (no dict/lossless sections, zstd/rANS/tok streams,
+    # addressable source). Context-coded containers and foreign frames
+    # return None and take the per-block path below unchanged.
+    if not (
+        fh.flags & (container.FLAG_SEQ_DICT | container.FLAG_LOSSLESS)
+    ):
+        from ..runtime import bindings
+        from ..utils.inmem import source_view
+
+        if bindings.available() and bindings.decompress_mt_v3_available():
+            view = source_view(r)
+            if view is not None:
+                fd = api._sink_fd(w)
+                if fd >= 0 or len(view) <= api._MT_BUFFER_CAP_DECODE:
+                    res = bindings.decompress_mt_v3(
+                        np.frombuffer(view, np.uint8), qual_offset,
+                        workers, fd, sink=w,
+                    )
+                    if res is not None:
+                        return
+                import io as _io
+
+                r = _io.BytesIO(view)
+
     def read_jobs():
         while True:
             hdr = container.read_block_header(r, container.VERSION_3_NATIVE)

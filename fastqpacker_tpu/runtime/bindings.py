@@ -1126,6 +1126,13 @@ def _bind_mt(lib):
     ]
     lib.fq_buf_free.restype = None
     lib.fq_buf_free.argtypes = [ctypes.c_void_p]
+    if hasattr(lib, "fq_decompress_mt_v3"):
+        lib.fq_decompress_mt_v3.restype = _ll
+        lib.fq_decompress_mt_v3.argtypes = [
+            _u8p, _ll, ctypes.c_uint8, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i64p,
+        ]
     lib._mt_bound = True
 
 
@@ -1290,6 +1297,13 @@ def _mt_raise_decompress(code: int, info) -> None:
         raise FormatError("truncated block payload")
     if code == -7:
         raise ZstdError("corrupted zstd frame in block payload")
+    # v3 MT decode extensions (fq_decompress_mt_v3)
+    if code == -8:
+        raise FormatError("truncated or corrupted rANS stream")
+    if code == -9:
+        raise FormatError("corrupted tokenized header stream")
+    if code == -13:
+        raise FormatError("block CRC32 mismatch: corrupted data")
     if -6 <= code <= -1:
         raise FormatError(
             _DECODE_STREAM_ERRORS.get(code, "corrupted block data")
@@ -1367,6 +1381,36 @@ def decompress_mt(
     res, info = _mt_call(
         lib.fq_decompress_mt, src, (version, qual_offset, workers), out_fd,
         sink,
+    )
+    if res < 0:
+        if res == MT_FALLBACK:
+            return None
+        _mt_raise_decompress(res, info)
+    return res
+
+
+def decompress_mt_v3_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fq_decompress_mt_v3")
+
+
+def decompress_mt_v3(
+    src: np.ndarray,
+    qual_offset: int,
+    workers: int,
+    out_fd: int = -1,
+    sink=None,
+):
+    """Whole-file v3 (native format) decompress of a container body
+    (file header already consumed) — E078. Returns the byte count, or
+    ``None`` for containers outside the native envelope (seq-dict/
+    lossless flags are the CALLER's check from the file header;
+    context-coded streams and foreign frames fall back here)."""
+    lib = _load()
+    if not hasattr(lib, "_mt_bound"):
+        _bind_mt(lib)
+    res, info = _mt_call(
+        lib.fq_decompress_mt_v3, src, (qual_offset, workers), out_fd, sink
     )
     if res < 0:
         if res == MT_FALLBACK:

@@ -42,6 +42,10 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
                            uint8_t qoffset, int workers, int out_fd,
                            void** out_handle, uint8_t** out_ptr,
                            long long* err_info);
+long long fq_decompress_mt_v3(const uint8_t* data, long long n,
+                              uint8_t qoffset, int workers, int out_fd,
+                              void** out_handle, uint8_t** out_ptr,
+                              long long* err_info);
 }
 
 namespace {
@@ -165,6 +169,9 @@ int decompress_errmsg(long long rc, const long long* info) {
     case -21: return fail("truncated block header");
     case -22: return fail("truncated block payload");
     case -7: return fail("corrupted zstd frame in block payload");
+    case -8: return fail("truncated or corrupted rANS stream");
+    case -9: return fail("corrupted tokenized header stream");
+    case -13: return fail("block CRC32 mismatch: corrupted data");
     case -1: return fail("truncated sequence data");
     case -2: return fail("truncated quality data");
     case -3: return fail("truncated header data");
@@ -231,8 +238,10 @@ int main(int argc, char** argv) {
         input.size() > 3 && input.compare(input.size() - 3, 3, ".gz") == 0;
     const bool gz_magic = in.n >= 2 && in.p[0] == 0x1f && in.p[1] == 0x8b;
     if (gz_suffix || gz_magic) exec_python_cli();
-  } else if (in.n >= 5 && memcmp(in.p, "FQZ\0", 4) == 0 && in.p[4] == 3) {
-    exec_python_cli();  // v3/native containers decode in Python
+  } else if (in.n >= 10 && memcmp(in.p, "FQZ\0", 4) == 0 &&
+             in.p[4] == 3 && (in.p[9] & ((1 << 2) | (1 << 4)))) {
+    // v3 with seq-dict/lossless sections: Python owns those envelopes
+    exec_python_cli();
   }
 
   int out_fd = 1;
@@ -267,17 +276,22 @@ int main(int argc, char** argv) {
     } else {
       const int version = in.p[4];
       const uint8_t flags = in.p[9];
-      if (version != 1 && version != 2) {
+      if (version != 1 && version != 2 && version != 3) {
         rc_main = fail("unsupported file version: " +
                        std::to_string(version));
       } else {
         const uint8_t qoffset = (flags & 2) ? 64 : 33;
         const long long rc =
-            fq_decompress_mt(in.p + 10, in.n - 10, version, qoffset,
-                             workers, out_fd, nullptr, nullptr, info);
+            version == 3
+                ? fq_decompress_mt_v3(in.p + 10, in.n - 10, qoffset,
+                                      workers, out_fd, nullptr, nullptr,
+                                      info)
+                : fq_decompress_mt(in.p + 10, in.n - 10, version, qoffset,
+                                   workers, out_fd, nullptr, nullptr,
+                                   info);
         if (rc == -20) {
-          // foreign zstd frames without declared content sizes: the
-          // per-block Python path owns that fallback
+          // outside the native envelope (foreign zstd frames; v3
+          // context-coded streams): the Python path owns the fallback
           if (out_fd != 1) {
             close(out_fd);
             out_fd = -1;

@@ -4303,6 +4303,383 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
   return ret;
 }
 
+// ---------------------------------------------------------------------------
+// Whole-file v3 (native format) MT decode (E078). The v3 container's
+// per-stream codecs all have C implementations (zstd frames, the
+// interleaved-lane rANS wire of ops/rans.py encode_stream, and the
+// fq_tok_* header tokenizer); this orchestrates them like
+// fq_decompress_mt does for v2: serial header walk -> parallel workers
+// (entropy decode + CRC32 verify + fused assembly) -> ordered collector.
+// Containers outside the supported envelope — FLAG_SEQ_DICT/LOSSLESS
+// (checked by the caller from the file header), context-coded streams
+// (TAG_SCTX/QCTX/SLDM/WCTX), or foreign zstd frames without declared
+// content sizes — return MT_ERR_FALLBACK and the Python per-block path
+// handles them (pipeline/native.py decode_block_payload defines the
+// semantics; equivalence pinned by tests/test_native_format.py).
+// Error codes extend the v2 set: -8 corrupt rANS stream, -9 corrupt
+// tokenized header stream, -13 block CRC32 mismatch.
+// ---------------------------------------------------------------------------
+
+long long fq_decompress_mt_v3(const uint8_t* data, long long n,
+                              uint8_t qoffset, int workers, int out_fd,
+                              void** out_handle, uint8_t** out_ptr,
+                              long long* err_info) {
+  using namespace fqmt;
+  err_info[0] = err_info[1] = 0;
+  if (workers < 1) workers = 1;
+  constexpr long long kHdr = 40;  // v3: 9 u32 (v2 fields) + u32 crc32
+  constexpr long long kMaxStreamRaw = 1LL << 34;
+  constexpr uint8_t kTagRans = 0, kTagZstd = 1, kTagTok = 2;
+
+  struct VJob {
+    const uint8_t* payload;
+    long long comp[6];
+    uint8_t tag[6];       // slots 0-2; 0xFF for untagged slots
+    long long raw[6];     // decoded sizes (slot 2 TAG_TOK: zstd size,
+                          // final size resolved in-worker)
+    long long nrec;
+    uint32_t crc;
+    long long bound;      // 0 for TAG_TOK blocks: computed in-worker
+  };
+  std::vector<VJob> djobs;
+  long long total_bound = 0;
+  try {
+    long long pos = 0;
+    while (pos < n) {
+      if (n - pos < kHdr) return MT_ERR_TRUNC_HDR;
+      uint32_t f[10];
+      memcpy(f, data + pos, (size_t)kHdr);
+      VJob d{};
+      d.nrec = f[0];
+      for (int i = 0; i < 6; i++) d.comp[i] = f[1 + i];
+      d.crc = f[9];
+      long long payload_n = 0;
+      for (int i = 0; i < 6; i++) payload_n += d.comp[i];
+      pos += kHdr;
+      if (payload_n > n - pos) return MT_ERR_TRUNC_PAYLOAD;
+      d.payload = data + pos;
+      pos += payload_n;
+      long long off = 0;
+      bool tok = false;
+      for (int i = 0; i < 6; i++) {
+        d.tag[i] = 0xFF;
+        if (d.comp[i] == 0) {
+          d.raw[i] = 0;
+          continue;
+        }
+        const uint8_t* s = d.payload + off;
+        long long sn = d.comp[i];
+        if (i <= 2) {  // tagged slots (STREAM_CODECS seq/rans/tok)
+          d.tag[i] = s[0];
+          s++;
+          sn--;
+          const bool ok =
+              i == 2 ? (d.tag[i] == kTagZstd || d.tag[i] == kTagTok)
+                     : (d.tag[i] == kTagZstd || d.tag[i] == kTagRans);
+          if (!ok) return MT_ERR_FALLBACK;  // context coders: Python path
+        }
+        if (d.tag[i] == kTagRans) {
+          // ops/rans.py wire: u32 raw_len, u8 lanes_log2, 3 pad
+          if (sn < 8) return -8;
+          uint32_t raw_len;
+          memcpy(&raw_len, s, 4);
+          d.raw[i] = (long long)raw_len;
+        } else if (d.tag[i] == kTagTok) {
+          const unsigned long long z = ZSTD_getFrameContentSize(s, (size_t)sn);
+          if (z == ZSTD_CONTENTSIZE_UNKNOWN || z == ZSTD_CONTENTSIZE_ERROR)
+            return MT_ERR_FALLBACK;
+          d.raw[i] = (long long)z;  // tokenized size; final known in-worker
+          tok = true;
+        } else {  // zstd frame (tagged or plain)
+          const unsigned long long z = ZSTD_getFrameContentSize(s, (size_t)sn);
+          if (z == ZSTD_CONTENTSIZE_UNKNOWN || z == ZSTD_CONTENTSIZE_ERROR)
+            return MT_ERR_FALLBACK;
+          d.raw[i] = (long long)z;
+        }
+        if (d.raw[i] > kMaxStreamRaw) return MT_ERR_FALLBACK;
+        off += d.comp[i];
+      }
+      // text bound: per record '@h\ns\n+p\nq\n' = h+p+s+q+6 bytes and the
+      // header/plus raws carry 2-byte length prefixes each
+      d.bound = tok ? 0
+                    : d.raw[2] + d.raw[3] + 2 * d.raw[1] + 2 * d.nrec;
+      total_bound += tok ? d.raw[2] * 8 + d.raw[3] + 2 * d.raw[1] +
+                               2 * d.nrec
+                         : d.bound;
+      djobs.push_back(d);
+    }
+  } catch (...) {
+    // allocation failure on hostile block counts must not cross the ABI
+    return -12;
+  }
+  if (total_bound > 64 * n + (1LL << 30)) return MT_ERR_FALLBACK;
+
+  OwnedBuf* owned = nullptr;
+  Sink sink;
+  if (out_fd >= 0) {
+    sink.fd = out_fd;
+  } else {
+    owned = new OwnedBuf();
+    try {
+      owned->v.reserve((size_t)total_bound);
+    } catch (...) {
+      delete owned;
+      return MT_ERR_FALLBACK;
+    }
+    sink.buf = &owned->v;
+  }
+
+  Collector col;
+  BufPool rpool;
+  col.total.store((long long)djobs.size());
+  std::atomic<long long> next_job{0};
+  MtStats stats;
+  const double t_start = mt_now();
+
+  auto decode_one = [&](const VJob& d, Res& r) {
+    ZstdDecodeWorker& zw = g_zstd_dworker;
+    // scratch layout: six decoded streams back to back. EVERYTHING is
+    // reserved up front — a mid-loop reallocation would dangle the
+    // parts[] pointers of already-decoded streams. The one size not
+    // known before decoding (the detokenized header stream) gets a
+    // generous factor and a checked bail-to-fallback if exceeded.
+    long long need = 256;
+    for (int i = 0; i < 6; i++) need += d.raw[i] + 16;
+    const long long tok_extra =
+        d.tag[2] == kTagTok ? d.raw[2] * 8 + 4096 : 0;
+    try {
+      zw.scratch.clear();
+      zw.scratch.reserve((size_t)(need + tok_extra));
+    } catch (...) {  // bad_alloc OR length_error from hostile sizes
+      r.err = -12;
+      return;
+    }
+    std::vector<uint8_t>& arena = zw.scratch;
+    auto arena_take = [&](long long sz) -> uint8_t* {
+      const size_t aligned = (arena.size() + 7) & ~(size_t)7;
+      if (aligned + (size_t)sz > arena.capacity()) return nullptr;
+      arena.resize(aligned + (size_t)sz);
+      return arena.data() + aligned;
+    };
+    const uint8_t* parts[6];
+    long long psz[6];
+    long long off = 0;
+    for (int i = 0; i < 6; i++) {
+      const uint8_t* s = d.payload + off;
+      long long sn = d.comp[i];
+      off += d.comp[i];
+      if (i <= 2 && sn > 0) {
+        s++;
+        sn--;
+      }
+      if (sn == 0 || (d.raw[i] == 0 && d.tag[i] != kTagTok)) {
+        // an empty stream may still be a zstd frame of b""
+        parts[i] = arena.data();
+        psz[i] = 0;
+        continue;
+      }
+      if (d.tag[i] == kTagRans) {
+        // ops/rans.py wire: hdr(8: u32 raw_len, u8 lanes_log2, 3 pad) +
+        // freq(512) + states(4N) + total_words(4) + words(2W). The
+        // payload sits at arbitrary mmap offsets, so tables are copied
+        // into aligned scratch before the kernel touches them.
+        if (sn < 8 + 512 + 4) {
+          r.err = -8;
+          return;
+        }
+        uint32_t raw_len;
+        memcpy(&raw_len, s, 4);
+        const int lanes_log2 = s[4];
+        if (lanes_log2 > 20 || (long long)raw_len != d.raw[i]) {
+          r.err = -8;
+          return;
+        }
+        const long long N = 1LL << lanes_log2;
+        long long p2 = 8;
+        alignas(8) uint16_t freq[256];
+        memcpy(freq, s + p2, 512);
+        p2 += 512;
+        if (sn < p2 + 4 * N + 4) {
+          r.err = -8;
+          return;
+        }
+        uint32_t* states = (uint32_t*)arena_take(4 * N);
+        if (!states) {
+          r.err = -12;
+          return;
+        }
+        memcpy(states, s + p2, (size_t)(4 * N));
+        p2 += 4 * N;
+        uint32_t total_words;
+        memcpy(&total_words, s + p2, 4);
+        p2 += 4;
+        if (sn < p2 + 2 * (long long)total_words) {
+          r.err = -8;
+          return;
+        }
+        uint16_t* words = (uint16_t*)arena_take(2LL * total_words + 2);
+        if (!words) {
+          r.err = -12;
+          return;
+        }
+        memcpy(words, s + p2, (size_t)(2LL * total_words));
+        uint8_t* dst = arena_take((long long)raw_len);
+        if (!dst) {
+          r.err = -12;
+          return;
+        }
+        const int rc = fq_rans_decode(words, (long long)total_words,
+                                      states, (int)N, freq,
+                                      (long long)raw_len, dst);
+        if (rc != 0) {
+          r.err = -8;
+          return;
+        }
+        parts[i] = dst;
+        psz[i] = (long long)raw_len;
+      } else {
+        // zstd frame (plain slot, TAG_ZSTD, or the TAG_TOK payload)
+        uint8_t* dst = arena_take(d.raw[i]);
+        if (!dst) {
+          r.err = -12;
+          return;
+        }
+        ZSTD_DCtx* ctx = zw.ctx();
+        if (!ctx) {
+          r.err = -12;
+          return;
+        }
+        const size_t zr = ZSTD_decompressDCtx(ctx, dst, (size_t)d.raw[i],
+                                              s, (size_t)sn);
+        if (ZSTD_isError(zr) || (long long)zr != d.raw[i]) {
+          r.err = -7;
+          return;
+        }
+        if (d.tag[i] == kTagTok) {
+          const long long fin = fq_tok_decoded_size(dst, d.raw[i]);
+          if (fin < 0 || fin > kMaxStreamRaw) {
+            r.err = -9;
+            return;
+          }
+          uint8_t* dst2 = arena_take(fin);
+          if (!dst2) {
+            // detokenized stream outgrew the reserve factor: hand the
+            // container to the Python per-block path
+            r.err = MT_ERR_FALLBACK;
+            return;
+          }
+          const long long w = fq_tok_decode(dst, d.raw[i], d.nrec, dst2,
+                                            fin);
+          if (w != fin) {
+            r.err = -9;
+            return;
+          }
+          parts[i] = dst2;
+          psz[i] = fin;
+          continue;
+        }
+        parts[i] = dst;
+        psz[i] = d.raw[i];
+      }
+    }
+    // CRC32 over the decoded streams in wire order (native.py
+    // _crc_streams; chained fq_crc32 == zlib.crc32 of the concatenation)
+    uint32_t crc = 0;
+    for (int i = 0; i < 6; i++) crc = fq_crc32(crc, parts[i], psz[i]);
+    if (crc != d.crc) {
+      r.err = -13;
+      return;
+    }
+    const long long bound =
+        psz[2] + psz[3] + 2 * psz[1] + 2 * d.nrec + 64;
+    if (!r.out.ensure((size_t)bound)) {
+      r.err = -12;
+      return;
+    }
+    const long long w = fq_decode_block_full(
+        parts[0], psz[0], parts[1], psz[1], parts[2], psz[2], parts[3],
+        psz[3], parts[4], psz[4], parts[5], psz[5], d.nrec, qoffset,
+        /*wide=*/1, /*has_plus=*/1, r.out.p);
+    if (w < 0) {
+      r.out.len = 0;
+      r.err = w;  // -1..-6 stream truncation codes
+      return;
+    }
+    r.out.len = (size_t)w;
+  };
+
+  const int nw = (int)std::min<long long>(workers, (long long)djobs.size());
+  std::vector<std::thread> ws;
+  for (int t = 0; t < nw; t++) {
+    ws.emplace_back([&] {
+      for (;;) {
+        const long long i = next_job.fetch_add(1);
+        if (i >= (long long)djobs.size()) return;
+        FQ_MT_TIME(stats.credit_us,
+                   col.wait_credit(i, (long long)workers * 2 + 2));
+        if (col.failed.load()) return;
+        Res r;
+        rpool.get(r.out);
+        FQ_MT_TIME(stats.encode_us, decode_one(djobs[(size_t)i], r));
+        col.deposit(i, std::move(r));
+      }
+    });
+  }
+
+  long long ret = 0;
+  long long next = 0;
+  const long long total = (long long)djobs.size();
+  while (next < total) {
+    Res r;
+    {
+      std::unique_lock<std::mutex> lk(col.mu);
+      col.cv.wait(lk, [&] { return col.pending.count(next) > 0; });
+      auto it = col.pending.find(next);
+      r = std::move(it->second);
+      col.pending.erase(it);
+      col.next.store(next + 1);
+    }
+    col.cv.notify_all();
+    if (r.err) {
+      ret = r.err;
+      if (r.err == MT_ERR_WRITE) err_info[0] = r.e0;
+      {
+        std::lock_guard<std::mutex> lk(col.mu);
+        col.failed.store(true);
+      }
+      col.cv.notify_all();
+      break;
+    }
+    bool wok = true;
+    FQ_MT_TIME(stats.write_us, wok = sink.write(r.out.p, r.out.len));
+    if (!wok) {
+      ret = MT_ERR_WRITE;
+      err_info[0] = sink.err_no;
+      {
+        std::lock_guard<std::mutex> lk(col.mu);
+        col.failed.store(true);
+      }
+      col.cv.notify_all();
+      break;
+    }
+    ret += (long long)r.out.len;
+    rpool.put(std::move(r.out));
+    next++;
+  }
+
+  for (auto& t : ws) t.join();
+  stats.dump("decompress-v3", mt_now() - t_start, ret > 0 ? ret : 0);
+  if (ret < 0) {
+    delete owned;
+    return ret;
+  }
+  if (out_fd < 0) {
+    *out_handle = owned;
+    *out_ptr = owned->v.data();
+  }
+  return ret;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

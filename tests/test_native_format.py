@@ -274,3 +274,84 @@ def test_pick_memo_output_identical_on_homogeneous_corpus():
     )
     assert payload in comp_memo  # same block bytes after the header
     assert fq.decompress_bytes(comp_memo) == data
+
+
+def _mt_v3_decode(comp: bytes):
+    """Drive the whole-file native v3 decoder directly (no fallback)."""
+    from fastqpacker_tpu.runtime import bindings
+
+    if not (bindings.available() and bindings.decompress_mt_v3_available()):
+        pytest.skip("native v3 MT decoder unavailable")
+    sink = io.BytesIO()
+    res = bindings.decompress_mt_v3(
+        np.frombuffer(comp[10:], np.uint8), 33, 2, -1, sink=sink
+    )
+    return res, sink.getvalue()
+
+
+def _zstd_tag_corpus(n=20000, seed=5) -> bytes:
+    """Corpus whose v3 streams stay in the native decode envelope
+    (zstd/rans/tok tags — pooled qualities keep qctx out)."""
+    rng = np.random.default_rng(seed)
+    pool = (33 + rng.integers(0, 41, (64, 120)).astype(np.uint8))
+    recs = []
+    for i in range(n):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), 120).tobytes()
+        recs.append(
+            b"@q%d z:%d\n%s\n+\n%s\n"
+            % (i, i % 3, seq, pool[i % 64].tobytes())
+        )
+    return b"".join(recs)
+
+
+def test_mt_v3_decode_engages_and_matches(tmp_path):
+    """E078: the whole-file native v3 decoder handles zstd/rANS/tok
+    containers byte-exactly; context-coded containers fall back."""
+    data = _zstd_tag_corpus()
+    comp = compress_native_bytes(data, block_size=5000)
+    res, out = _mt_v3_decode(comp)
+    assert res == len(data) and out == data
+    # public API end-to-end (routes through the MT path)
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_mt_v3_decode_hostile_containers():
+    """Mutated v3 containers through the MT decoder: typed failure or
+    clean fallback, never a crash, and hostile declared sizes must not
+    allocate absurd memory (E048/E038 classes)."""
+    from fastqpacker_tpu.runtime import bindings
+
+    if not (bindings.available() and bindings.decompress_mt_v3_available()):
+        pytest.skip("native v3 MT decoder unavailable")
+    data = _zstd_tag_corpus(4000, seed=6)
+    comp = bytearray(compress_native_bytes(data, block_size=1000))
+    # CRC flip -> typed CRC mismatch through the public API
+    flipped = bytearray(comp)
+    # find first block header (after 10-byte file header): crc is the
+    # 10th u32 of the 40-byte header
+    flipped[10 + 36] ^= 0xFF
+    with pytest.raises(container.FormatError, match="CRC32 mismatch"):
+        fq.decompress_bytes(bytes(flipped))
+    # hostile num_records / stream sizes: every mutation of the first
+    # header must fail typed or fall back, within a time box
+    import time
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        b = bytearray(comp)
+        off = 10 + int(rng.integers(0, 40))
+        b[off] = int(rng.integers(0, 256))
+        t0 = time.perf_counter()
+        try:
+            fq.decompress_bytes(bytes(b))
+        except (container.FormatError, ValueError, RuntimeError, OSError):
+            pass
+        assert time.perf_counter() - t0 < 20
+    # random payload mutations
+    for _ in range(200):
+        b = bytearray(comp)
+        b[int(rng.integers(50, len(b)))] = int(rng.integers(0, 256))
+        try:
+            fq.decompress_bytes(bytes(b))
+        except (container.FormatError, ValueError, RuntimeError, OSError):
+            pass
