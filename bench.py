@@ -912,7 +912,13 @@ def _run_metric(args, data, device) -> int:
             "vs_baseline": round(mbps / BASELINE_DECOMPRESS_MBPS, 3),
         }
     elif args.metric == "mesh-entropy":
-        mbps = bench_mesh_entropy(min(args.mb, 64))
+        # 16 MB cap (E079): the encode scan falls off a 3x cliff when
+        # the padded step tier crosses 1024 (>16.8 MB/stream at 16384
+        # lanes) — and production per-stream shards sit under it (a
+        # 100k-record block's qual stream is ~15 MB), so larger sizes
+        # measure a regime the pipeline never runs. r3's "degraded
+        # phase 261 MB/s" was this cliff at --mb 32, not relay health.
+        mbps = bench_mesh_entropy(min(args.mb, 16))
         result = {
             "metric": "mesh_entropy_encode_throughput",
             "value": round(mbps, 1),
