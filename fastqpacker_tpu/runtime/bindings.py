@@ -1304,6 +1304,8 @@ def _mt_raise_decompress(code: int, info) -> None:
         raise FormatError("corrupted tokenized header stream")
     if code == -13:
         raise FormatError("block CRC32 mismatch: corrupted data")
+    if code == -14:
+        raise FormatError("corrupted qctx quality data")
     if -6 <= code <= -1:
         raise FormatError(
             _DECODE_STREAM_ERRORS.get(code, "corrupted block data")

@@ -172,6 +172,7 @@ int decompress_errmsg(long long rc, const long long* info) {
     case -8: return fail("truncated or corrupted rANS stream");
     case -9: return fail("corrupted tokenized header stream");
     case -13: return fail("block CRC32 mismatch: corrupted data");
+    case -14: return fail("corrupted qctx quality data");
     case -1: return fail("truncated sequence data");
     case -2: return fail("truncated quality data");
     case -3: return fail("truncated header data");

@@ -4329,7 +4329,7 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
   if (workers < 1) workers = 1;
   constexpr long long kHdr = 40;  // v3: 9 u32 (v2 fields) + u32 crc32
   constexpr long long kMaxStreamRaw = 1LL << 34;
-  constexpr uint8_t kTagRans = 0, kTagZstd = 1, kTagTok = 2;
+  constexpr uint8_t kTagRans = 0, kTagZstd = 1, kTagTok = 2, kTagQctx = 3;
 
   struct VJob {
     const uint8_t* payload;
@@ -4375,10 +4375,19 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
           sn--;
           const bool ok =
               i == 2 ? (d.tag[i] == kTagZstd || d.tag[i] == kTagTok)
-                     : (d.tag[i] == kTagZstd || d.tag[i] == kTagRans);
-          if (!ok) return MT_ERR_FALLBACK;  // context coders: Python path
+              : i == 1 ? (d.tag[i] == kTagZstd || d.tag[i] == kTagRans ||
+                          d.tag[i] == kTagQctx)
+                       : (d.tag[i] == kTagZstd || d.tag[i] == kTagRans);
+          if (!ok) return MT_ERR_FALLBACK;  // other context coders: Python
         }
-        if (d.tag[i] == kTagRans) {
+        if (d.tag[i] == kTagQctx) {
+          // ops/qualctx.py wire: u32 total, u8 nchunks, u8 model, 2 pad
+          if (sn < 12) return -14;
+          uint32_t total32;
+          memcpy(&total32, s, 4);
+          if (s[4] != QCTX_CHUNKS || s[5] > 1) return -14;
+          d.raw[i] = (long long)total32;  // decoded = raw qual bytes
+        } else if (d.tag[i] == kTagRans) {
           // ops/rans.py wire: u32 raw_len, u8 lanes_log2, 3 pad
           if (sn < 8) return -8;
           uint32_t raw_len;
@@ -4445,8 +4454,14 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
     // generous factor and a checked bail-to-fallback if exceeded.
     long long need = 256;
     for (int i = 0; i < 6; i++) need += d.raw[i] + 16;
-    const long long tok_extra =
+    long long tok_extra =
         d.tag[2] == kTagTok ? d.raw[2] * 8 + 4096 : 0;
+    if (d.tag[1] == kTagQctx) {
+      // table blob (<= 8 MB cap) + dense freq tables + aligned word
+      // copy + i64 record lengths
+      tok_extra += (1LL << 23) + (long long)QCTX_NCTX2 * 512 +
+                   2 * d.comp[1] + 8 * d.nrec + 64;
+    }
     try {
       zw.scratch.clear();
       zw.scratch.reserve((size_t)(need + tok_extra));
@@ -4463,11 +4478,17 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
     };
     const uint8_t* parts[6];
     long long psz[6];
-    long long off = 0;
-    for (int i = 0; i < 6; i++) {
-      const uint8_t* s = d.payload + off;
+    long long offs[7];
+    offs[0] = 0;
+    for (int i = 0; i < 6; i++) offs[i + 1] = offs[i] + d.comp[i];
+    // the qctx qual coder needs record lengths, so slot 5 (plain zstd)
+    // decodes first; wire/CRC order is restored via parts[] indices
+    long long* lens64 = nullptr;
+    const int slot_order[6] = {5, 0, 1, 2, 3, 4};
+    for (int oi = 0; oi < 6; oi++) {
+      const int i = slot_order[oi];
+      const uint8_t* s = d.payload + offs[i];
       long long sn = d.comp[i];
-      off += d.comp[i];
       if (i <= 2 && sn > 0) {
         s++;
         sn--;
@@ -4476,6 +4497,140 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
         // an empty stream may still be a zstd frame of b""
         parts[i] = arena.data();
         psz[i] = 0;
+        continue;
+      }
+      if (d.tag[i] == kTagQctx) {
+        // ops/qualctx.py wire: u32 total | u8 nchunks | u8 model | 2 pad
+        // | u32 blob_size | zstd blob (sparse tables: per context u16
+        // nsyms + nsyms x (u8 sym, u16 freq)) | 4 x (4 u32 states +
+        // u32 nwords) | words. fq_qctx_decode emits the DELTA stream.
+        if (lens64 == nullptr || sn < 12) {
+          r.err = -14;
+          return;
+        }
+        uint32_t total32, blob_size;
+        memcpy(&total32, s, 4);
+        const int model = s[5];
+        memcpy(&blob_size, s + 8, 4);
+        long long p2 = 12;
+        if (sn < p2 + (long long)blob_size) {
+          r.err = -14;
+          return;
+        }
+        long long lens_sum = 0;
+        for (long long k = 0; k < d.nrec; k++) lens_sum += lens64[k];
+        if (lens_sum != (long long)total32) {
+          r.err = -14;
+          return;
+        }
+        const unsigned long long braw =
+            ZSTD_getFrameContentSize(s + p2, (size_t)blob_size);
+        if (braw == ZSTD_CONTENTSIZE_UNKNOWN ||
+            braw == ZSTD_CONTENTSIZE_ERROR || braw > (1ULL << 23)) {
+          r.err = -14;
+          return;
+        }
+        uint8_t* blob = arena_take((long long)braw);
+        if (!blob) {
+          r.err = -12;
+          return;
+        }
+        ZSTD_DCtx* bctx = zw.ctx();
+        if (!bctx) {
+          r.err = -12;
+          return;
+        }
+        const size_t br = ZSTD_decompressDCtx(
+            bctx, blob, (size_t)braw, s + p2, (size_t)blob_size);
+        if (ZSTD_isError(br) || br != braw) {
+          r.err = -14;
+          return;
+        }
+        p2 += blob_size;
+        const int nctx = model ? QCTX_NCTX2 : QCTX_NCTX;
+        uint16_t* freq = (uint16_t*)arena_take((long long)nctx * 512);
+        if (!freq) {
+          r.err = -12;
+          return;
+        }
+        memset(freq, 0, (size_t)nctx * 512);
+        {
+          long long bo = 0;
+          const long long bn = (long long)braw;
+          for (int c = 0; c < nctx; c++) {
+            if (bo + 2 > bn) {
+              r.err = -14;
+              return;
+            }
+            uint16_t nsyms;
+            memcpy(&nsyms, blob + bo, 2);
+            bo += 2;
+            if (nsyms > 256 || bo + 3LL * nsyms > bn) {
+              r.err = -14;
+              return;
+            }
+            uint32_t sum = 0;
+            for (int t2 = 0; t2 < nsyms; t2++) {
+              const uint8_t sym = blob[bo];
+              uint16_t fv;
+              memcpy(&fv, blob + bo + 1, 2);
+              bo += 3;
+              freq[(size_t)c * 256 + sym] = fv;
+              sum += fv;
+            }
+            if (nsyms && sum != QCTX_SCALE) {
+              r.err = -14;
+              return;
+            }
+          }
+          if (bo != bn) {
+            r.err = -14;
+            return;
+          }
+        }
+        // per-chunk interleaved states + word counts, then the words
+        const long long step = 4LL * 4 + 4;
+        if (sn < p2 + QCTX_CHUNKS * step) {
+          r.err = -14;
+          return;
+        }
+        alignas(8) uint32_t states[QCTX_CHUNKS * 4];
+        long long wcounts[QCTX_CHUNKS];
+        long long wstarts[QCTX_CHUNKS];
+        long long total_words = 0;
+        for (int k = 0; k < QCTX_CHUNKS; k++) {
+          memcpy(states + k * 4, s + p2, 16);
+          uint32_t nw;
+          memcpy(&nw, s + p2 + 16, 4);
+          wstarts[k] = total_words;
+          wcounts[k] = (long long)nw;
+          total_words += (long long)nw;
+          p2 += step;
+        }
+        if (sn < p2 + 2 * total_words) {
+          r.err = -14;
+          return;
+        }
+        uint16_t* words = (uint16_t*)arena_take(2 * total_words + 2);
+        if (!words) {
+          r.err = -12;
+          return;
+        }
+        memcpy(words, s + p2, (size_t)(2 * total_words));
+        uint8_t* dst = arena_take((long long)total32);
+        if (!dst) {
+          r.err = -12;
+          return;
+        }
+        const int rc = fq_qctx_decode(words, wstarts, wcounts, states,
+                                      (long long)total32, lens64, d.nrec,
+                                      freq, dst, model);
+        if (rc != 0) {
+          r.err = -14;
+          return;
+        }
+        parts[i] = dst;
+        psz[i] = (long long)total32;
         continue;
       }
       if (d.tag[i] == kTagRans) {
@@ -4580,6 +4735,23 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
         }
         parts[i] = dst;
         psz[i] = d.raw[i];
+      }
+      if (i == 5 && d.tag[1] == kTagQctx) {
+        // the qctx qual decode (a later iteration) needs i64 lengths
+        if (psz[5] != 4 * d.nrec) {
+          r.err = -14;
+          return;
+        }
+        lens64 = (long long*)arena_take(8 * d.nrec + 8);
+        if (!lens64) {
+          r.err = -12;
+          return;
+        }
+        for (long long k = 0; k < d.nrec; k++) {
+          uint32_t l32;
+          memcpy(&l32, parts[5] + 4 * k, 4);
+          lens64[k] = (long long)l32;
+        }
       }
     }
     // CRC32 over the decoded streams in wire order (native.py

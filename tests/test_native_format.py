@@ -355,3 +355,53 @@ def test_mt_v3_decode_hostile_containers():
             fq.decompress_bytes(bytes(b))
         except (container.FormatError, ValueError, RuntimeError, OSError):
             pass
+
+
+def test_mt_v3_decode_qctx_envelope(tmp_path):
+    """E078 follow-up: TAG_QCTX quality streams decode through the
+    whole-file native path (wire parse + table deserialization + the
+    fq_qctx_decode twin), byte-exact, and hostile mutations stay typed."""
+    rng = np.random.default_rng(12)
+    recs = []
+    for i in range(30000):
+        ln = int(rng.integers(1, 160))
+        s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), ln).tobytes()
+        q = (33 + rng.integers(0, 41, ln).astype(np.uint8)).tobytes()
+        recs.append(b"@sr%d f:%d\n%s\n+\n%s\n" % (i, i % 11, s, q))
+    data = b"".join(recs)
+    comp = compress_native_bytes(data, block_size=8000)
+    # the corpus must actually route qual to qctx for this test to bite
+    tags = [row for row in _all_block_tags(comp)]
+    assert any(t[1] == native.TAG_QCTX for t in tags), tags
+    res, out = _mt_v3_decode(comp)
+    assert res == len(data) and out == data
+    assert fq.decompress_bytes(comp) == data
+    # hostile mutations across header/tables/words: typed or fallback
+    import time
+
+    base = bytearray(comp)
+    for _ in range(150):
+        b = bytearray(base)
+        b[int(rng.integers(50, len(b)))] = int(rng.integers(0, 256))
+        t0 = time.perf_counter()
+        try:
+            fq.decompress_bytes(bytes(b))
+        except (container.FormatError, ValueError, RuntimeError, OSError):
+            pass
+        assert time.perf_counter() - t0 < 20
+
+
+def _all_block_tags(comp):
+    bio = io.BytesIO(comp)
+    container.read_file_header(bio)
+    out = []
+    while True:
+        bh = container.read_block_header(bio, container.VERSION_3_NATIVE)
+        if bh is None:
+            break
+        row = []
+        for i, sz in enumerate(bh.stream_sizes(container.VERSION_2)):
+            chunk = bio.read(sz)
+            row.append(chunk[0] if (i < 3 and sz) else None)
+        out.append(row)
+    return out
