@@ -36,6 +36,17 @@ if [[ -z "$INPUT" ]]; then
             echo "No real dataset found; building the system-source corpus" >&2
             python scripts/make_system_corpus.py "$INPUT" 1024 >&2
         fi
+        # Corpora are regenerated on demand (not tracked in git); the
+        # committed manifest pins the bytes the recorded rows ran on.
+        # System-source content depends on the host's files, so a
+        # mismatch is a warning (different machine), not an error.
+        if [[ -f benchmark_data/MANIFEST.sha256 ]]; then
+            if (cd "$REPO_ROOT" && grep "system_source_1024mb" benchmark_data/MANIFEST.sha256 | sha256sum -c --quiet -) 2>/dev/null; then
+                echo "corpus matches committed manifest" >&2
+            else
+                echo "warning: corpus does not match benchmark_data/MANIFEST.sha256 (host-dependent content; rows are not directly comparable to recorded ones)" >&2
+            fi
+        fi
         LABEL="system-source mapping (real file content, repo-independent; NOT comparable to published real-data rows)"
     fi
 fi
