@@ -589,6 +589,43 @@ def compress_native(
 ) -> None:
     opts = opts or api.Options()
     block_size = api.resolve_block_size(opts)
+
+    # Whole-file native MT compress (E080): one GIL-released C++ call —
+    # scanner + pick workers + ordered collector — for the common
+    # envelope (default picks; --lossless and --max-ratio stay here in
+    # Python). Containers are byte-identical to the per-block path
+    # below. When block 0's coverage probe fires the native call returns
+    # FALLBACK without writing a byte, and the Python dict path runs.
+    if encode_arrays is None and not opts.lossless and not opts.order1_qual:
+        from ..runtime import bindings
+        from ..utils.inmem import source_view
+
+        if (
+            bindings.available()
+            and bindings.mt_available()
+            and bindings.compress_mt_v3_available()
+        ):
+            view = source_view(r)
+            if view is not None:
+                fd = api._sink_fd(w)
+                if fd >= 0 or len(view) <= api._MT_BUFFER_CAP:
+                    res = bindings.compress_mt(
+                        np.frombuffer(view, np.uint8),
+                        block_size,
+                        container.VERSION_3_NATIVE,
+                        opts.flags,
+                        api._resolve_workers(opts.workers),
+                        fd,
+                        sink=w,
+                    )
+                    if res is not None:
+                        return
+                # source_view advanced r to EOF: the dict path (or the
+                # buffer-cap skip) reruns over the same bytes
+                import io as _io
+
+                r = _io.BytesIO(view)
+
     if encode_arrays is None:
         encode_arrays = api._default_encode_arrays()
 

@@ -1348,10 +1348,13 @@ def compress_mt(
     out_fd: int = -1,
     sink=None,
 ):
-    """Whole-file v1/v2 compress: streams to ``out_fd`` when >= 0, else
-    writes the container into ``sink`` as one zero-copy view. Returns the
-    byte count. Output is byte-identical to the per-block pipeline (same
-    scan, same fq_encode_block_v2 policy)."""
+    """Whole-file v1/v2/v3 compress: streams to ``out_fd`` when >= 0,
+    else writes the container into ``sink`` as one zero-copy view.
+    Returns the byte count. Output is byte-identical to the per-block
+    pipeline (same scan, same fq_encode_block_v2 / fqv3 pick policy).
+    v3 (E080) returns ``None`` when the input is outside the native
+    envelope (block-0 coverage probe fired — the Python path builds the
+    FLAG_SEQ_DICT container); nothing has been written to the sink."""
     lib = _load()
     if not hasattr(lib, "_mt_bound"):
         _bind_mt(lib)
@@ -1360,8 +1363,19 @@ def compress_mt(
         (block_records, version, extra_flags, workers), out_fd, sink,
     )
     if res < 0:
+        if res == MT_FALLBACK:
+            return None
         _mt_raise_compress(res, info)
     return res
+
+
+def compress_mt_v3_available() -> bool:
+    """The wide-npos fused scan is exported by the same build that
+    taught fq_compress_mt version 3 (E080)."""
+    lib = _load()
+    return lib is not None and hasattr(
+        lib, "fq_encode_block_fused_scan_wide"
+    )
 
 
 def decompress_mt(

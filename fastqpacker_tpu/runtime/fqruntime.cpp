@@ -11,6 +11,7 @@
 //
 // Build: g++ -O3 -shared -fPIC (see build.py). Pure C ABI for ctypes.
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -2281,11 +2282,33 @@ struct RawArena {
 struct ZstdWorker {
   ZSTD_CCtx* cctx = nullptr;   // normal level-1 context
   ZSTD_CCtx* accel = nullptr;  // incompressible-stream context
+  ZSTD_CCtx* ldm = nullptr;    // coverage-redundancy context (ops/sldm.py)
   RawArena scratch;            // raw stream build arena (grow-only, no init)
   std::vector<uint8_t> probe;  // probe compress destination (tiny)
   ~ZstdWorker() {
     if (cctx) ZSTD_freeCCtx(cctx);
     if (accel) ZSTD_freeCCtx(accel);
+    if (ldm) ZSTD_freeCCtx(ldm);
+  }
+  // zstd-LDM profile of entropy/zstd.py ZstdCodec(level=1, ldm=True) —
+  // the TAG_SLDM candidate's coder (window 2^25, min-match 16, LDM hash
+  // 2^24, rate 2^2; journal E039). Byte-identical frames to the Python
+  // codec: same libzstd, same parameters, one-shot ZSTD_compress2.
+  ZSTD_CCtx* ldm_ctx() {
+    if (ldm == nullptr) {
+      ZSTD_CCtx* c = ZSTD_createCCtx();
+      if (!c) return nullptr;
+      ZSTD_CCtx_setParameter(c, ZSTD_c_compressionLevel, 1);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_enableLongDistanceMatching, 1);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_windowLog, 25);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_ldmMinMatch, 16);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_ldmHashLog, 24);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_ldmHashRateLog, 2);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_hashLog, 13);
+      ZSTD_CCtx_setParameter(c, ZSTD_c_checksumFlag, 1);
+      ldm = c;
+    }
+    return ldm;
   }
   ZSTD_CCtx* ctx(bool accelerated) {
     ZSTD_CCtx** slot = accelerated ? &accel : &cctx;
@@ -2576,7 +2599,26 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
                                      FqFusedBlock* fb,
                                      long long* err_detail,
                                      uint8_t* qmin_io,
-                                     long long qmin_cap) {
+                                     long long qmin_cap);
+long long fq_encode_block_fused_scan_wide(const uint8_t* text, long long n,
+                                          FqFusedBlock* fb,
+                                          long long* err_detail,
+                                          uint8_t* qmin_io,
+                                          long long qmin_cap);
+
+}  // extern "C"
+
+// WIDE=0: the v1/v2 layout — u16 npos entries, the reference's 65,536 bp
+// ambiguous-base tracking cap with its long-read fail-fast
+// (compress.go:477-488). WIDE=1: the v3 layout — u32 count + u32
+// positions, uncapped (SURVEY §5 long-read mandate: do not inherit the
+// u16 cap), no ambiguity fail-fast.
+template <int WIDE>
+static long long fq_fused_scan_impl(const uint8_t* text, long long n,
+                                    FqFusedBlock* fb,
+                                    long long* err_detail,
+                                    uint8_t* qmin_io,
+                                    long long qmin_cap) {
   static uint8_t code_lut[256];
   static uint8_t valid_lut[256];
   // one-time fill under a C++11 magic-static guard: compress/decode
@@ -2612,7 +2654,8 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
   const long long qual_cap = n + 64;
   const long long hdr_cap = n + 2 * nrec_bound + 64;
   const long long plus_cap = n + 2 * nrec_bound + 64;
-  const long long npos_cap_b = 2 * n + 2 * nrec_bound + 64;
+  const long long npos_cap_b =
+      WIDE ? 4 * n + 4 * nrec_bound + 64 : 2 * n + 2 * nrec_bound + 64;
   const long long len_cap = 4 * nrec_bound + 64;
   const size_t need = (size_t)(seq_cap + qual_cap + hdr_cap + plus_cap +
                                npos_cap_b + len_cap + 64);
@@ -2624,7 +2667,8 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
   uint8_t* npos_s = plus_s + plus_cap;
   uint8_t* len_s = npos_s + npos_cap_b;
 
-  const long long npos_cap = 65536;  // u16 N-tracking cap (sequence.go:11)
+  // u16 N-tracking cap (sequence.go:11); the wide (v3) layout is uncapped
+  const long long npos_cap = WIDE ? (1LL << 62) : 65536;
   long long so = 0, qo = 0, ho = 0, po = 0, no = 0, lo = 0;
   long long nrec = 0, total_len = 0;
   long long ambig_row = -1, ambig_len = 0;
@@ -2686,20 +2730,23 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
     // Long-read ambiguous-base fail-fast (compress.go:477-488): remember
     // the first offending record but keep PARSING (not encoding) so a
     // later parse error in the slice still wins, like the path where the
-    // whole block is scanned before any encode.
-    if (len > npos_cap && ambig_row < 0) {
-      const uint8_t* s = text + line_start[1];
-      for (long long j2 = npos_cap; j2 < len; j2++) {
-        if (!valid_lut[s[j2]]) {
-          ambig_row = nrec;
-          ambig_len = len;
-          break;
+    // whole block is scanned before any encode. The wide (v3) layout has
+    // no tracking cap, so the guard compiles out.
+    if constexpr (!WIDE) {
+      if (len > npos_cap && ambig_row < 0) {
+        const uint8_t* s = text + line_start[1];
+        for (long long j2 = npos_cap; j2 < len; j2++) {
+          if (!valid_lut[s[j2]]) {
+            ambig_row = nrec;
+            ambig_len = len;
+            break;
+          }
         }
       }
-    }
-    if (ambig_row >= 0) {
-      nrec++;
-      continue;  // validation-only mode
+      if (ambig_row >= 0) {
+        nrec++;
+        continue;  // validation-only mode
+      }
     }
 
     const uint8_t* seq = text + line_start[1];
@@ -2709,8 +2756,19 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
     long long j = 0;
     const long long cap = len < npos_cap ? len : npos_cap;
     const long long npos_cnt_off = no;
-    no += 2;
+    no += WIDE ? 4 : 2;
     uint32_t cnt = 0;
+    auto emit_npos = [&](long long posn) {
+      if constexpr (WIDE) {
+        const uint32_t p32 = (uint32_t)posn;
+        memcpy(npos_s + no, &p32, 4);
+        no += 4;
+      } else {
+        npos_s[no++] = (uint8_t)(posn & 0xFF);
+        npos_s[no++] = (uint8_t)(posn >> 8);
+      }
+      cnt++;
+    };
 #ifdef FQ_AVX2
     for (; j + 32 <= len; j += 32) {
       uint32_t inv = pack32_avx2(seq + j, seq_s + so);
@@ -2718,11 +2776,7 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
       while (inv) {
         const long long posn = j + __builtin_ctz(inv);
         inv &= inv - 1;
-        if (posn < cap) {
-          npos_s[no++] = (uint8_t)(posn & 0xFF);
-          npos_s[no++] = (uint8_t)(posn >> 8);
-          cnt++;
-        }
+        if (posn < cap) emit_npos(posn);
       }
     }
     // Vector tail (E061): pack the remainder down to the last 4-aligned
@@ -2741,11 +2795,7 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
         while (inv) {
           const long long posn = w + __builtin_ctz(inv);
           inv &= inv - 1;
-          if (posn < cap) {
-            npos_s[no++] = (uint8_t)(posn & 0xFF);
-            npos_s[no++] = (uint8_t)(posn >> 8);
-            cnt++;
-          }
+          if (posn < cap) emit_npos(posn);
         }
         j = t;
       }
@@ -2758,11 +2808,7 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
       if (!(valid_lut[b0] & valid_lut[b1] & valid_lut[b2] & valid_lut[b3])) {
         for (int k = 0; k < 4; k++) {
           const long long posn = j + k;
-          if (posn < cap && !valid_lut[seq[posn]]) {
-            npos_s[no++] = (uint8_t)(posn & 0xFF);
-            npos_s[no++] = (uint8_t)(posn >> 8);
-            cnt++;
-          }
+          if (posn < cap && !valid_lut[seq[posn]]) emit_npos(posn);
         }
       }
     }
@@ -2770,16 +2816,16 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
       uint8_t b = 0;
       for (long long k = j; k < len; k++) {
         b = (uint8_t)(b | (code_lut[seq[k]] << ((k - j) << 1)));
-        if (k < cap && !valid_lut[seq[k]]) {
-          npos_s[no++] = (uint8_t)(k & 0xFF);
-          npos_s[no++] = (uint8_t)(k >> 8);
-          cnt++;
-        }
+        if (k < cap && !valid_lut[seq[k]]) emit_npos(k);
       }
       seq_s[so++] = b;
     }
-    npos_s[npos_cnt_off] = (uint8_t)(cnt & 0xFF);
-    npos_s[npos_cnt_off + 1] = (uint8_t)((cnt >> 8) & 0xFF);
+    if constexpr (WIDE) {
+      memcpy(npos_s + npos_cnt_off, &cnt, 4);
+    } else {
+      npos_s[npos_cnt_off] = (uint8_t)(cnt & 0xFF);
+      npos_s[npos_cnt_off + 1] = (uint8_t)((cnt >> 8) & 0xFF);
+    }
 
     // Detection-window quality minimum, folded into the walk while the
     // line is cache-hot (fq_scan_records_ex semantics: complete records
@@ -2875,6 +2921,24 @@ long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
   return 0;
 }
 
+extern "C" {
+
+long long fq_encode_block_fused_scan(const uint8_t* text, long long n,
+                                     FqFusedBlock* fb,
+                                     long long* err_detail,
+                                     uint8_t* qmin_io,
+                                     long long qmin_cap) {
+  return fq_fused_scan_impl<0>(text, n, fb, err_detail, qmin_io, qmin_cap);
+}
+
+long long fq_encode_block_fused_scan_wide(const uint8_t* text, long long n,
+                                          FqFusedBlock* fb,
+                                          long long* err_detail,
+                                          uint8_t* qmin_io,
+                                          long long qmin_cap) {
+  return fq_fused_scan_impl<1>(text, n, fb, err_detail, qmin_io, qmin_cap);
+}
+
 long long fq_encode_block_fused_finish(FqFusedBlock* fb, uint8_t qoffset,
                                        int version, long long hdr_reserve,
                                        uint8_t* out, long long out_cap,
@@ -2921,6 +2985,910 @@ long long fq_encode_block_fused_finish(FqFusedBlock* fb, uint8_t qoffset,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FQZ v3 whole-file native compress: the per-block empirical-pick encoder
+// (E080). Semantics are defined by pipeline/native.py encode_block_native
+// (the numpy/Python reference): per-stream candidates are measured/estimated
+// and the smallest wins — zstd-adaptive vs order-0 rANS vs the order-k
+// sequence context model (TAG_SCTX, ops/seqctx.py) vs coverage-LDM
+// (TAG_SLDM, ops/sldm.py) for the seq slot; zstd vs rANS vs the order-1/2
+// quality context model (TAG_QCTX, ops/qualctx.py) for the qual slot;
+// token-delta (TAG_TOK, ops/tokenize.py) vs plain for headers; plain
+// zstd-adaptive for plus/npos/lengths. Identical pick thresholds, margins
+// (SCTX_WIN_MARGIN), probe memoization (PickMemo) and stream assembly, so
+// containers are byte-identical to the Python per-block path (given equal
+// framing; FQZ_MT_SEQ_FRAMING=1 pins framing for the identity tests).
+// ---------------------------------------------------------------------------
+
+namespace fqv3 {
+
+constexpr long long kRansMin = 16384;  // native.py RANS_MIN_BYTES
+constexpr double kCtxMargin = 0.98;    // native.py SCTX_WIN_MARGIN
+// wire tag values: format/container.py:51-56
+constexpr uint8_t TAG_RANS = 0, TAG_ZSTD = 1, TAG_TOK = 2, TAG_QCTX = 3,
+                  TAG_SCTX = 4, TAG_SLDM = 5;
+
+// Cross-block probe memoization — PickMemo (pipeline/native.py, E072).
+// Counter updates are racy across workers exactly like the Python
+// GIL-atomic increments: a lost update only shifts WHICH block re-probes.
+struct Memo {
+  static constexpr int kProbeEvery = 4;
+  static constexpr int kStreak = 2;
+  std::atomic<int> sctx_miss{0}, sctx_seen{0}, cov_miss{0}, cov_seen{0};
+  bool sctx_should_probe() {
+    const int s = sctx_seen.fetch_add(1) + 1;
+    if (sctx_miss.load() < kStreak) return true;
+    return s % kProbeEvery == 0;
+  }
+  void sctx_outcome(bool hopeless) {
+    if (hopeless)
+      sctx_miss.fetch_add(1);
+    else
+      sctx_miss.store(0);
+  }
+  bool cov_should_probe() {
+    const int s = cov_seen.fetch_add(1) + 1;
+    if (cov_miss.load() < kStreak) return true;
+    return s % kProbeEvery == 0;
+  }
+  void cov_outcome(bool hit) {
+    if (hit)
+      cov_miss.store(0);
+    else
+      cov_miss.fetch_add(1);
+  }
+};
+
+// Grow-only per-worker scratch for the v3 pick paths (lives in the pooled
+// ZstdWorker's v3 arena; ZstdWorker::scratch holds the six raw streams and
+// must stay untouched through the whole block encode).
+struct Scratch {
+  RawArena lens;   // int64 record lengths
+  RawArena bases;  // sctx unpacked codes / qctx integrated qualities
+  RawArena hist;   // sctx hist6 (int64[16384]) / qctx hist2 (int64[786432])
+  RawArena freq;   // u16 tables
+  RawArena cum;    // u32 cumulative tables
+  RawArena words;  // u16 rANS word scratch
+  std::vector<uint8_t> cand;   // candidate payload A
+  std::vector<uint8_t> cand2;  // candidate payload B
+  std::vector<uint8_t> blob;   // serialized+zstd'd table blob
+};
+
+inline void append_bytes(std::vector<uint8_t>& v, const void* p, size_t n) {
+  const uint8_t* b = (const uint8_t*)p;
+  v.insert(v.end(), b, b + n);
+}
+inline void append_u32(std::vector<uint8_t>& v, uint32_t x) {
+  append_bytes(v, &x, 4);
+}
+inline void put_u32_le(uint8_t* p, uint32_t v) { memcpy(p, &v, 4); }
+
+// ---- order-0 rANS helpers (ops/rans.py semantics) ----
+
+inline int pick_lanes(long long n) {
+  if (n >= (8LL << 20)) return 16384;
+  return n >= (2LL << 20) ? 4096 : 256;
+}
+
+// rans.normalize_freqs: floor-scale, bump present zeros to 1, settle the
+// residual largest-remainder style over a STABLE descending-frequency
+// order (np.argsort(-freq, kind="stable") — ties by symbol index).
+inline bool normalize_freqs256(const long long* hist, uint16_t* freq_out) {
+  long long total = 0;
+  for (int s = 0; s < 256; s++) total += hist[s];
+  if (total == 0) return false;
+  long long freq[256];
+  long long fsum = 0;
+  for (int s = 0; s < 256; s++) {
+    freq[s] = hist[s] * 4096 / total;
+    if (hist[s] > 0 && freq[s] == 0) freq[s] = 1;
+    fsum += freq[s];
+  }
+  long long diff = 4096 - fsum;
+  if (diff != 0) {
+    int order[256];
+    for (int s = 0; s < 256; s++) order[s] = s;
+    std::stable_sort(order, order + 256,
+                     [&](int a, int b) { return freq[a] > freq[b]; });
+    int i = 0;
+    long long remaining = diff > 0 ? diff : -diff;
+    const int step = diff > 0 ? 1 : -1;
+    while (remaining > 0) {
+      const int s = order[i & 255];
+      if (step > 0 && freq[s] > 0) {
+        freq[s]++;
+        remaining--;
+      } else if (step < 0 && freq[s] > 1) {
+        freq[s]--;
+        remaining--;
+      }
+      i++;
+      if (i > 100000) return false;  // mirrors the Python safety net
+    }
+  }
+  for (int s = 0; s < 256; s++) freq_out[s] = (uint16_t)freq[s];
+  return true;
+}
+
+// native.py _rans_size_estimate: exact order-0 coded bits from the
+// histogram plus the lane-state wire overhead.
+inline long long rans_size_estimate(const long long* hist, long long n) {
+  uint16_t freq[256];
+  if (!normalize_freqs256(hist, freq)) return 1LL << 60;
+  double bits = 0.0;
+  for (int s = 0; s < 256; s++) {
+    if (hist[s] > 0)
+      bits += (double)hist[s] * (12.0 - log2((double)freq[s]));
+  }
+  const int lanes = pick_lanes(n);
+  const long long overhead = 8 + 512 + 4LL * lanes + 4;
+  return (long long)(bits / 8.0) + overhead;
+}
+
+// rans.encode_stream (host backend): pad-adjusted tables + fq_rans_encode,
+// assembled to the ops/rans.py wire layout.
+inline bool rans_encode_stream(const uint8_t* s, long long n,
+                               const long long* hist_in, Scratch& sc,
+                               std::vector<uint8_t>& out) {
+  out.clear();
+  if (n == 0) {
+    const uint8_t hdr[8] = {0};
+    append_bytes(out, hdr, 8);
+    return true;
+  }
+  const int N = pick_lanes(n);
+  const long long steps = (n + N - 1) / N;
+  long long hist[256];
+  memcpy(hist, hist_in, sizeof(hist));
+  int pad_sym = 0;
+  for (int k = 1; k < 256; k++)
+    if (hist[k] > hist[pad_sym]) pad_sym = k;  // np.argmax: first max
+  hist[pad_sym] += steps * (long long)N - n;
+  uint16_t freq[256];
+  if (!normalize_freqs256(hist, freq)) return false;
+  uint32_t cum[256];
+  uint32_t acc = 0;
+  for (int k = 0; k < 256; k++) {
+    cum[k] = acc;
+    acc += freq[k];
+  }
+  const long long wcap = steps * (long long)N;
+  if (!sc.words.ensure((size_t)wcap * 2)) return false;
+  uint16_t* words = (uint16_t*)sc.words.data();
+  std::vector<uint32_t> states((size_t)N);
+  const long long total =
+      fq_rans_encode(s, n, N, pad_sym, freq, cum, words, states.data());
+  if (total < 0) return false;
+  out.reserve((size_t)(8 + 512 + 4 * N + 4 + 2 * total));
+  uint32_t n32 = (uint32_t)n;
+  append_u32(out, n32);
+  int lanes_log2 = 0;
+  while ((1 << (lanes_log2 + 1)) <= N) lanes_log2++;
+  const uint8_t lb[4] = {(uint8_t)lanes_log2, 0, 0, 0};
+  append_bytes(out, lb, 4);
+  append_bytes(out, freq, 512);
+  append_bytes(out, states.data(), (size_t)N * 4);
+  append_u32(out, (uint32_t)total);
+  append_bytes(out, words, (size_t)total * 2);
+  return true;
+}
+
+// Plain zstd frame on the worker's normal context — the twin of
+// entropy/zstd.py ZstdCodec.compress (level 1, hashLog 13, checksum on).
+inline bool zstd_plain(ZstdWorker& w, const uint8_t* src, size_t n,
+                       std::vector<uint8_t>& out) {
+  ZSTD_CCtx* c = w.ctx(false);
+  if (!c) return false;
+  const size_t bound = ZSTD_compressBound(n);
+  out.resize(bound);
+  const size_t cn =
+      ZSTD_compress2(c, out.data(), bound, n ? src : nullptr, n);
+  if (ZSTD_isError(cn)) return false;
+  out.resize(cn);
+  return true;
+}
+
+// ---- order-k sequence context model (ops/seqctx.py semantics) ----
+
+constexpr int kSctxOrders[3] = {2, 4, 6};
+
+// seqctx.normalize_tables: vectorized per-context normalization over the
+// 4-symbol alphabet — floor-scale, bump present zeros, residual onto the
+// (first) largest bucket.
+inline void sctx_normalize(const long long* hist, int nctx, uint16_t* freq) {
+  for (int c = 0; c < nctx; c++) {
+    const long long* h = hist + (size_t)c * 4;
+    uint16_t* f = freq + (size_t)c * 4;
+    const long long total = h[0] + h[1] + h[2] + h[3];
+    if (total <= 0) {
+      f[0] = f[1] = f[2] = f[3] = 0;
+      continue;
+    }
+    long long fr[4];
+    long long fsum = 0;
+    for (int s = 0; s < 4; s++) {
+      fr[s] = h[s] * 4096 / total;
+      if (h[s] > 0 && fr[s] == 0) fr[s] = 1;
+      fsum += fr[s];
+    }
+    int top = 0;
+    for (int s = 1; s < 4; s++)
+      if (fr[s] > fr[top]) top = s;
+    fr[top] += 4096 - fsum;
+    for (int s = 0; s < 4; s++) f[s] = (uint16_t)fr[s];
+  }
+}
+
+// seqctx.marginalize: sum the max-order histogram over the oldest
+// (high) context bits down to 4^order contexts.
+inline void sctx_marginalize(const long long* h6, int order, long long* hk) {
+  const int nctx6 = 1 << (2 * SCTX_MAX_ORDER);
+  const int nctx = 1 << (2 * order);
+  memset(hk, 0, sizeof(long long) * (size_t)nctx * 4);
+  for (int c = 0; c < nctx6; c++) {
+    const int lo = c & (nctx - 1);
+    for (int s = 0; s < 4; s++) hk[(size_t)lo * 4 + s] += h6[(size_t)c * 4 + s];
+  }
+}
+
+inline long long sctx_table_overhead(int order, const uint16_t* freq) {
+  const int nctx = 1 << (2 * order);
+  long long used = 0;
+  for (int c = 0; c < nctx; c++) {
+    const uint16_t* f = freq + (size_t)c * 4;
+    if ((int)f[0] + f[1] + f[2] + f[3] > 0) used++;
+  }
+  return 12 + 4 + (long long)((double)(used * 8 + nctx / 8) * 0.5) +
+         SCTX_CHUNKS * (4 * 4 + 4);
+}
+
+inline double sctx_bits(const long long* hist, const uint16_t* freq,
+                        int nctx) {
+  double bits = 0.0;
+  for (size_t i = 0; i < (size_t)nctx * 4; i++) {
+    if (hist[i] > 0) {
+      const double f = freq[i] >= 1 ? (double)freq[i] : 1.0;
+      bits += (double)hist[i] * (12.0 - log2(f));
+    }
+  }
+  return bits;
+}
+
+// seqctx.estimate_size at one order from the max-order histogram;
+// scratch arenas hold the marginalized histogram and tables.
+inline long long sctx_estimate(const long long* h6, int order, Scratch& sc) {
+  const int nctx = 1 << (2 * order);
+  if (!sc.freq.ensure((size_t)nctx * 4 * 2) ||
+      !sc.cum.ensure((size_t)nctx * 4 * 8))
+    return -1;
+  long long* hk = (long long*)sc.cum.data();  // reuse as hist scratch
+  const long long* hist = h6;
+  if (order < SCTX_MAX_ORDER) {
+    sctx_marginalize(h6, order, hk);
+    hist = hk;
+  }
+  uint16_t* freq = (uint16_t*)sc.freq.data();
+  sctx_normalize(hist, nctx, freq);
+  const double bits = sctx_bits(hist, freq, nctx);
+  return (long long)(bits / 8.0) + sctx_table_overhead(order, freq);
+}
+
+// seqctx.pick_order: smallest estimate wins, first order on ties.
+inline int sctx_pick_order(const long long* h6, Scratch& sc,
+                           long long* est_out) {
+  int best = kSctxOrders[0];
+  long long best_sz = -1;
+  for (int oi = 0; oi < 3; oi++) {
+    const long long sz = sctx_estimate(h6, kSctxOrders[oi], sc);
+    if (sz < 0) return -1;
+    if (best_sz < 0 || sz < best_sz) {
+      best = kSctxOrders[oi];
+      best_sz = sz;
+    }
+  }
+  *est_out = best_sz;
+  return best;
+}
+
+// seqctx.sample_estimate: optimistic projection from a <=1 Mbase
+// record-aligned prefix. Returns -1 for "no verdict" (stream within 2x
+// of the sample budget — run the real estimate).
+inline long long sctx_sample_estimate(const uint8_t* packed, long long plen,
+                                      const long long* lens, long long nrec,
+                                      long long total, Scratch& sc) {
+  const long long max_bases = 1LL << 20;
+  if (total <= 2 * max_bases) return -1;
+  long long nrec_s = 0, nb = 0;
+  while (nrec_s < nrec && nb + lens[nrec_s] <= max_bases) {
+    // np.searchsorted(csum, max_bases, "right"): count records whose
+    // cumulative sum stays <= the budget
+    nb += lens[nrec_s];
+    nrec_s++;
+  }
+  if (nrec_s < 1) {
+    nrec_s = 1;
+    nb = lens[0];
+  }
+  if (nb == 0) return -1;
+  long long plen_s = 0;
+  for (long long r = 0; r < nrec_s; r++) plen_s += (lens[r] + 3) >> 2;
+  if (plen_s > plen) return -1;
+  const int nctx6 = 1 << (2 * SCTX_MAX_ORDER);
+  if (!sc.bases.ensure((size_t)(nb > 0 ? nb : 1)) ||
+      !sc.hist.ensure((size_t)nctx6 * 4 * 8))
+    return -1;
+  long long* h6 = (long long*)sc.hist.data();
+  if (fq_sctx_prepare(packed, plen_s, lens, nrec_s, sc.bases.data(), h6) != 0)
+    return -1;
+  long long best = -1;
+  for (int oi = 0; oi < 3; oi++) {
+    const int k = kSctxOrders[oi];
+    const int nctx = 1 << (2 * k);
+    if (!sc.freq.ensure((size_t)nctx * 4 * 2) ||
+        !sc.cum.ensure((size_t)nctx * 4 * 8))
+      return -1;
+    long long* hk = (long long*)sc.cum.data();
+    const long long* hist = h6;
+    if (k < SCTX_MAX_ORDER) {
+      sctx_marginalize(h6, k, hk);
+      hist = hk;
+    }
+    uint16_t* freq = (uint16_t*)sc.freq.data();
+    sctx_normalize(hist, nctx, freq);
+    const double bits = sctx_bits(hist, freq, nctx);
+    const long long proj =
+        (long long)(bits / (double)nb * (double)total / 8.0) +
+        sctx_table_overhead(k, freq);
+    if (best < 0 || proj < best) best = proj;
+  }
+  return best;
+}
+
+// seqctx.encode_prepared: pick the order, build tables, run the chunk
+// coder (fq_sctx_encode), assemble the TAG_SCTX payload.
+inline bool sctx_encode_stream(const uint8_t* bases, long long n,
+                               const long long* lens, long long nrec,
+                               const long long* h6, ZstdWorker& w,
+                               Scratch& sc, std::vector<uint8_t>& out) {
+  long long est = 0;
+  const int order = sctx_pick_order(h6, sc, &est);
+  if (order < 0) return false;
+  const int nctx = 1 << (2 * order);
+  if (!sc.freq.ensure((size_t)nctx * 4 * 2) ||
+      !sc.cum.ensure((size_t)nctx * 4 * (8 + 4)))
+    return false;
+  long long* hk = (long long*)sc.cum.data();  // transient hist scratch
+  const long long* hist = h6;
+  if (order < SCTX_MAX_ORDER) {
+    sctx_marginalize(h6, order, hk);
+    hist = hk;
+  }
+  uint16_t* freq = (uint16_t*)sc.freq.data();
+  sctx_normalize(hist, nctx, freq);
+  // exclusive per-row cumulative sums (u32), AFTER the hist scratch use
+  uint32_t* cum = (uint32_t*)sc.cum.data();
+  for (int c = 0; c < nctx; c++) {
+    uint32_t acc = 0;
+    for (int s = 0; s < 4; s++) {
+      cum[(size_t)c * 4 + s] = acc;
+      acc += freq[(size_t)c * 4 + s];
+    }
+  }
+  if (!sc.words.ensure((size_t)(n > 0 ? n : 1) * 2)) return false;
+  uint16_t* words = (uint16_t*)sc.words.data();
+  uint32_t states[SCTX_CHUNKS * 4];
+  long long nwords[SCTX_CHUNKS];
+  if (fq_sctx_encode(bases, n, lens, nrec, order, freq, cum, words, states,
+                     nwords) != 0)
+    return false;
+  // dense little-endian u16 table blob, plain-zstd compressed
+  if (!zstd_plain(w, (const uint8_t*)freq, (size_t)nctx * 4 * 2, sc.blob))
+    return false;
+  long long sb[SCTX_CHUNKS + 1], rb[SCTX_CHUNKS + 1];
+  qctx_chunks(lens, nrec, rb, sb);
+  long long total_words = 0;
+  for (int k = 0; k < SCTX_CHUNKS; k++) total_words += nwords[k];
+  out.clear();
+  out.reserve((size_t)(12 + sc.blob.size() + SCTX_CHUNKS * 20 +
+                       2 * total_words));
+  append_u32(out, (uint32_t)n);
+  const uint8_t ob[4] = {(uint8_t)order, (uint8_t)SCTX_CHUNKS, 0, 0};
+  append_bytes(out, ob, 4);
+  append_u32(out, (uint32_t)sc.blob.size());
+  append_bytes(out, sc.blob.data(), sc.blob.size());
+  for (int k = 0; k < SCTX_CHUNKS; k++) {
+    append_bytes(out, states + k * 4, 16);
+    append_u32(out, (uint32_t)nwords[k]);
+  }
+  for (int k = 0; k < SCTX_CHUNKS; k++)
+    append_bytes(out, words + (sb[k + 1] - nwords[k]), (size_t)nwords[k] * 2);
+  return true;
+}
+
+// ---- coverage-redundancy candidate (ops/sldm.py semantics) ----
+
+// sldm.coverage_probe: duplicate fraction among sampled u32 (16-base)
+// windows of the packed stream.
+inline double coverage_probe(const uint8_t* packed, long long plen) {
+  const long long n = plen - 4;
+  if (n < 4 * 4096) return 0.0;
+  long long stride = n / 65536;
+  if (stride < 4) stride = 4;
+  std::vector<uint32_t> words;
+  words.reserve((size_t)(n / stride + 1));
+  for (long long off = 0; off < n; off += stride) {
+    uint32_t v;
+    memcpy(&v, packed + off, 4);
+    words.push_back(v);
+  }
+  std::sort(words.begin(), words.end());
+  size_t distinct = 0;
+  for (size_t i = 0; i < words.size(); i++)
+    if (i == 0 || words[i] != words[i - 1]) distinct++;
+  return 1.0 - (double)distinct / (double)words.size();
+}
+
+// sldm.encode / encode_bases: one zstd-LDM frame over the unpacked codes.
+inline bool sldm_encode(const uint8_t* bases, long long n, ZstdWorker& w,
+                        std::vector<uint8_t>& out) {
+  ZSTD_CCtx* c = w.ldm_ctx();
+  if (!c) return false;
+  const size_t bound = ZSTD_compressBound((size_t)n);
+  out.resize(bound);
+  const size_t cn =
+      ZSTD_compress2(c, out.data(), bound, n ? bases : nullptr, (size_t)n);
+  if (ZSTD_isError(cn)) return false;
+  out.resize(cn);
+  return true;
+}
+
+// ---- order-1/2 quality context model (ops/qualctx.py semantics) ----
+
+// qualctx.normalize_tables: per-used-context rans.normalize_freqs over
+// the 256-symbol alphabet.
+inline void qctx_normalize(const long long* hist, int nctx, uint16_t* freq) {
+  for (int c = 0; c < nctx; c++) {
+    const long long* h = hist + (size_t)c * 256;
+    uint16_t* f = freq + (size_t)c * 256;
+    long long total = 0;
+    for (int s = 0; s < 256; s++) total += h[s];
+    if (total == 0) {
+      memset(f, 0, 512);
+      continue;
+    }
+    normalize_freqs256(h, f);
+  }
+}
+
+inline double qctx_bits(const long long* hist, const uint16_t* freq,
+                        int nctx) {
+  double bits = 0.0;
+  for (size_t i = 0; i < (size_t)nctx * 256; i++) {
+    if (hist[i] > 0) {
+      const double f = freq[i] >= 1 ? (double)freq[i] : 1.0;
+      bits += (double)hist[i] * (12.0 - log2(f));
+    }
+  }
+  return bits;
+}
+
+// qualctx.estimate_size for one model's own histogram+tables.
+inline long long qctx_estimate(const long long* hist, const uint16_t* freq,
+                               int nctx) {
+  const double bits = qctx_bits(hist, freq, nctx);
+  long long table_syms = 0;
+  for (size_t i = 0; i < (size_t)nctx * 256; i++)
+    if (hist[i] > 0) table_syms++;
+  const long long table_bytes =
+      (long long)((double)(nctx * 2 + table_syms * 3) * 0.6);
+  const long long overhead =
+      8 + 4 + table_bytes + QCTX_CHUNKS * (4 * 4 + 4);
+  return (long long)(bits / 8.0) + overhead;
+}
+
+// qualctx.sample_estimate via the native sampling probe
+// (fq_qctx_sample_bits). Returns -1 for "no verdict".
+inline long long qctx_sample_estimate(const uint8_t* delta,
+                                      const long long* lens, long long nrec,
+                                      long long total) {
+  const long long max_syms = 1LL << 17;
+  if (total <= 2 * max_syms) return -1;
+  long long nrec_s = 0, nb = 0;
+  while (nrec_s < nrec && nb + lens[nrec_s] <= max_syms) {
+    nb += lens[nrec_s];
+    nrec_s++;
+  }
+  if (nrec_s < 1) {
+    nrec_s = 1;
+    nb = lens[0];
+  }
+  if (nb == 0) return -1;
+  long long cells = 0;
+  const double bits = fq_qctx_sample_bits(delta, lens, nrec_s, &cells);
+  const long long table_bytes =
+      (long long)((double)(QCTX_NCTX * 2 + cells * 3) * 0.6);
+  return (long long)(bits / (double)nb * (double)total / 8.0 * 0.93) + 12 +
+         table_bytes;
+}
+
+// qualctx.pick_model from the max-model histogram; fills the chosen
+// model's tables into sc.freq. Returns the model, with its estimate in
+// *est_out, or -1 on alloc failure.
+inline int qctx_pick_model(const long long* hist2, Scratch& sc,
+                           long long* est_out, const long long** hist_out) {
+  // model-0 histogram = marginalization over the inner q2b axis
+  if (!sc.cum.ensure((size_t)QCTX_NCTX * 256 * 8) ||
+      !sc.freq.ensure((size_t)QCTX_NCTX2 * 256 * 2))
+    return -1;
+  long long* h0 = (long long*)sc.cum.data();
+  memset(h0, 0, (size_t)QCTX_NCTX * 256 * 8);
+  for (int c = 0; c < QCTX_NCTX2; c++) {
+    const long long* src = hist2 + (size_t)c * 256;
+    long long* dst = h0 + (size_t)(c / QCTX_Q2B) * 256;
+    for (int s = 0; s < 256; s++) dst[s] += src[s];
+  }
+  uint16_t* freq = (uint16_t*)sc.freq.data();
+  qctx_normalize(h0, QCTX_NCTX, freq);
+  const long long est0 = qctx_estimate(h0, freq, QCTX_NCTX);
+  qctx_normalize(hist2, QCTX_NCTX2, freq);
+  const long long est1 = qctx_estimate(hist2, freq, QCTX_NCTX2);
+  // strict <: model 0 wins ties (MODELS iteration order)
+  if (est1 < est0) {
+    *est_out = est1;
+    *hist_out = hist2;
+    return 1;  // sc.freq already holds model-1 tables
+  }
+  *est_out = est0;
+  *hist_out = nullptr;  // caller re-normalizes model 0 into sc.freq
+  return 0;
+}
+
+// qualctx.serialize_tables: sparse per-context blob (u16 nsyms, then
+// (u8 sym, u16 freq) pairs).
+inline void qctx_serialize(const uint16_t* freq, int nctx,
+                           std::vector<uint8_t>& out) {
+  out.clear();
+  for (int c = 0; c < nctx; c++) {
+    const uint16_t* f = freq + (size_t)c * 256;
+    int nsyms = 0;
+    for (int s = 0; s < 256; s++)
+      if (f[s]) nsyms++;
+    const uint16_t n16 = (uint16_t)nsyms;
+    append_bytes(out, &n16, 2);
+    for (int s = 0; s < 256; s++) {
+      if (!f[s]) continue;
+      const uint8_t s8 = (uint8_t)s;
+      append_bytes(out, &s8, 1);
+      append_bytes(out, &f[s], 2);
+    }
+  }
+}
+
+// qualctx.encode_prepared: pick the model, build tables, run the chunk
+// coder (fq_qctx_encode), assemble the TAG_QCTX payload.
+inline bool qctx_encode_stream(const uint8_t* raw, long long n,
+                               const long long* lens, long long nrec,
+                               const long long* hist2, ZstdWorker& w,
+                               Scratch& sc, std::vector<uint8_t>& out) {
+  long long est = 0;
+  const long long* model_hist = nullptr;
+  const int model = qctx_pick_model(hist2, sc, &est, &model_hist);
+  if (model < 0) return false;
+  const int nctx = model ? QCTX_NCTX2 : QCTX_NCTX;
+  uint16_t* freq = (uint16_t*)sc.freq.data();
+  if (model == 0) {
+    // h0 still lives in sc.cum from the pick
+    qctx_normalize((const long long*)sc.cum.data(), QCTX_NCTX, freq);
+  }
+  std::vector<uint8_t> ser;
+  qctx_serialize(freq, nctx, ser);
+  if (!zstd_plain(w, ser.data(), ser.size(), sc.blob)) return false;
+  // cumulative tables (exclusive, u32) for the used entries
+  std::vector<uint32_t> cum((size_t)nctx * 256);
+  for (int c = 0; c < nctx; c++) {
+    uint32_t acc = 0;
+    for (int s = 0; s < 256; s++) {
+      cum[(size_t)c * 256 + s] = acc;
+      acc += freq[(size_t)c * 256 + s];
+    }
+  }
+  if (!sc.words.ensure((size_t)(n > 0 ? n : 1) * 2)) return false;
+  uint16_t* words = (uint16_t*)sc.words.data();
+  uint32_t states[QCTX_CHUNKS * 4];
+  long long nwords[QCTX_CHUNKS];
+  if (fq_qctx_encode(raw, n, lens, nrec, freq, cum.data(), words, states,
+                     nwords, model) != 0)
+    return false;
+  long long sb[QCTX_CHUNKS + 1], rb[QCTX_CHUNKS + 1];
+  qctx_chunks(lens, nrec, rb, sb);
+  long long total_words = 0;
+  for (int k = 0; k < QCTX_CHUNKS; k++) total_words += nwords[k];
+  out.clear();
+  out.reserve((size_t)(12 + sc.blob.size() + QCTX_CHUNKS * 20 +
+                       2 * total_words));
+  append_u32(out, (uint32_t)n);
+  const uint8_t mb[4] = {(uint8_t)QCTX_CHUNKS, (uint8_t)model, 0, 0};
+  append_bytes(out, mb, 4);
+  append_u32(out, (uint32_t)sc.blob.size());
+  append_bytes(out, sc.blob.data(), sc.blob.size());
+  for (int k = 0; k < QCTX_CHUNKS; k++) {
+    append_bytes(out, states + k * 4, 16);
+    append_u32(out, (uint32_t)nwords[k]);
+  }
+  for (int k = 0; k < QCTX_CHUNKS; k++)
+    append_bytes(out, words + (sb[k + 1] - nwords[k]), (size_t)nwords[k] * 2);
+  return true;
+}
+
+// Pooled per-worker scratch (same lifecycle reasoning as zw_acquire: MT
+// worker threads live for one call, so thread_locals would re-fault every
+// run).
+inline std::mutex g_v3_mu;
+inline std::vector<Scratch*> g_v3_pool;
+inline Scratch* scratch_acquire() {
+  {
+    std::lock_guard<std::mutex> lk(g_v3_mu);
+    if (!g_v3_pool.empty()) {
+      Scratch* s = g_v3_pool.back();
+      g_v3_pool.pop_back();
+      return s;
+    }
+  }
+  return new (std::nothrow) Scratch();
+}
+inline void scratch_release(Scratch* s) {
+  if (!s) return;
+  std::lock_guard<std::mutex> lk(g_v3_mu);
+  g_v3_pool.push_back(s);
+}
+
+// native.py _encode_tagged_seq: the sequence-slot pick. Writes the tagged
+// winner at `out` (cap bytes available); returns its size or a negative
+// error (-4 zstd, -12 alloc).
+inline long long encode_seq_stream(const uint8_t* s, long long n,
+                                   const long long* lens, long long nrec,
+                                   long long total_len, Memo* memo,
+                                   ZstdWorker& w, Scratch& sc, uint8_t* out,
+                                   long long cap) {
+  out[0] = TAG_ZSTD;
+  const size_t zn =
+      fq_zstd_adaptive(w, s, (size_t)n, out + 1, (size_t)(cap - 1));
+  if (ZSTD_isError(zn)) return -4;
+  if (n < kRansMin) return 1 + (long long)zn;
+  long long hist[256];
+  fq_hist256(s, n, hist);
+  const long long r0 = rans_size_estimate(hist, n);
+  long long bar = std::min((long long)zn, r0);
+  // sctx candidate: sampled pre-gate (memoized) -> full estimate -> coder
+  bool hopeless = false;
+  if (memo != nullptr && !memo->sctx_should_probe()) {
+    hopeless = true;
+  } else {
+    const long long proj =
+        sctx_sample_estimate(s, n, lens, nrec, total_len, sc);
+    hopeless = proj >= 0 && (double)proj >= (double)bar * kCtxMargin;
+    if (memo != nullptr) memo->sctx_outcome(hopeless);
+  }
+  bool have_bases = false;
+  long long est_s = -1;
+  const int nctx6 = 1 << (2 * SCTX_MAX_ORDER);
+  if (!hopeless) {
+    if (!sc.bases.ensure((size_t)(total_len > 0 ? total_len : 1)) ||
+        !sc.hist.ensure((size_t)nctx6 * 4 * 8))
+      return -12;
+    if (fq_sctx_prepare(s, n, lens, nrec, sc.bases.data(),
+                        (long long*)sc.hist.data()) == 0) {
+      have_bases = true;
+      if (sctx_pick_order((const long long*)sc.hist.data(), sc, &est_s) < 0)
+        return -12;
+    }
+  }
+  const std::vector<uint8_t>* best = nullptr;
+  uint8_t best_tag = 0;
+  if (est_s >= 0 && (double)est_s < (double)bar * kCtxMargin) {
+    if (!sctx_encode_stream(sc.bases.data(), total_len, lens, nrec,
+                            (const long long*)sc.hist.data(), w, sc,
+                            sc.cand))
+      return -12;
+    if ((long long)sc.cand.size() < bar) {
+      best = &sc.cand;
+      best_tag = TAG_SCTX;
+      bar = (long long)sc.cand.size();
+    }
+  }
+  // coverage-redundancy candidate, gated on the sampled 16-mer probe
+  bool run_cov = false;
+  if (memo == nullptr || memo->cov_should_probe()) {
+    run_cov = coverage_probe(s, n) >= 0.002;
+    if (memo != nullptr) memo->cov_outcome(run_cov);
+  }
+  if (run_cov) {
+    const uint8_t* bases = sc.bases.data();
+    bool ok = have_bases;
+    if (!ok) {
+      if (!sc.bases.ensure((size_t)(total_len > 0 ? total_len : 1)))
+        return -12;
+      ok = fq_sldm_unpack(s, n, lens, nrec,
+                          (uint8_t*)sc.bases.data()) == 0;
+      bases = sc.bases.data();
+    }
+    if (ok) {
+      if (!sldm_encode(bases, total_len, w, sc.cand2)) return -4;
+      if ((long long)sc.cand2.size() < bar) {
+        best = &sc.cand2;
+        best_tag = TAG_SLDM;
+        bar = (long long)sc.cand2.size();
+      }
+    }
+  }
+  if (best != nullptr) {
+    out[0] = best_tag;
+    memcpy(out + 1, best->data(), best->size());
+    return 1 + (long long)best->size();
+  }
+  if (r0 < (long long)zn) {
+    if (!rans_encode_stream(s, n, hist, sc, sc.cand)) return -12;
+    if (sc.cand.size() < zn) {
+      out[0] = TAG_RANS;
+      memcpy(out + 1, sc.cand.data(), sc.cand.size());
+      return 1 + (long long)sc.cand.size();
+    }
+  }
+  return 1 + (long long)zn;
+}
+
+// native.py _encode_tagged_qual: the quality-slot pick (default pipeline;
+// --max-ratio stays on the Python path).
+inline long long encode_qual_stream(const uint8_t* s, long long n,
+                                    const long long* lens, long long nrec,
+                                    ZstdWorker& w, Scratch& sc, uint8_t* out,
+                                    long long cap) {
+  out[0] = TAG_ZSTD;
+  const size_t zn =
+      fq_zstd_adaptive(w, s, (size_t)n, out + 1, (size_t)(cap - 1));
+  if (ZSTD_isError(zn)) return -4;
+  if (n < kRansMin) return 1 + (long long)zn;
+  long long hist[256];
+  fq_hist256(s, n, hist);
+  const long long r0 = rans_size_estimate(hist, n);
+  const long long bar = std::min((long long)zn, r0);
+  bool try_qctx = r0 < (long long)zn;
+  if (!try_qctx) {
+    const long long proj = qctx_sample_estimate(s, lens, nrec, n);
+    try_qctx = proj < 0 || (double)proj < (double)bar * kCtxMargin;
+  }
+  if (try_qctx) {
+    if (!sc.bases.ensure((size_t)(n > 0 ? n : 1)) ||
+        !sc.hist.ensure((size_t)QCTX_NCTX2 * 256 * 8))
+      return -12;
+    long long est1 = -1;
+    const long long* hist2 = (const long long*)sc.hist.data();
+    const long long* model_hist = nullptr;
+    if (fq_qctx_prepare(s, n, lens, nrec, (uint8_t*)sc.bases.data(),
+                        (long long*)sc.hist.data()) == 0) {
+      if (qctx_pick_model(hist2, sc, &est1, &model_hist) < 0) return -12;
+    }
+    const double margin = r0 < (long long)zn ? 1.0 : kCtxMargin;
+    if (est1 >= 0 && (double)est1 < (double)bar * margin) {
+      if (!qctx_encode_stream(sc.bases.data(), n, lens, nrec, hist2, w, sc,
+                              sc.cand))
+        return -12;
+      if ((long long)sc.cand.size() < bar) {
+        out[0] = TAG_QCTX;
+        memcpy(out + 1, sc.cand.data(), sc.cand.size());
+        return 1 + (long long)sc.cand.size();
+      }
+    }
+  }
+  if (r0 < (long long)zn) {
+    if (!rans_encode_stream(s, n, hist, sc, sc.cand)) return -12;
+    if (sc.cand.size() < zn) {
+      out[0] = TAG_RANS;
+      memcpy(out + 1, sc.cand.data(), sc.cand.size());
+      return 1 + (long long)sc.cand.size();
+    }
+  }
+  return 1 + (long long)zn;
+}
+
+// native.py _encode_tagged_headers: token-delta vs plain, cost-gated.
+inline long long encode_headers_stream(const uint8_t* s, long long n,
+                                       long long nrec, long long cost_gate,
+                                       ZstdWorker& w, Scratch& sc,
+                                       uint8_t* out, long long cap) {
+  out[0] = TAG_ZSTD;
+  const size_t zn =
+      fq_zstd_adaptive(w, s, (size_t)n, out + 1, (size_t)(cap - 1));
+  if (ZSTD_isError(zn)) return -4;
+  if (cost_gate > 0 && (long long)zn <= cost_gate && n > (256LL << 10))
+    return 1 + (long long)zn;
+  // grow-only arenas, no zero-fill (streams 0/1 are done with them)
+  const long long tok_cap = 10 + 3 * n + nrec + 16;  // tokenize.encode_bound
+  if (!sc.words.ensure((size_t)tok_cap)) return -12;
+  uint8_t* tokbuf = sc.words.data();
+  const long long tn = fq_tok_encode(s, n, nrec, tokbuf, tok_cap);
+  if (tn < 0) return 1 + (long long)zn;
+  const size_t bound = ZSTD_compressBound((size_t)tn);
+  if (!sc.bases.ensure(bound)) return -12;
+  const size_t ztn =
+      fq_zstd_adaptive(w, tokbuf, (size_t)tn, sc.bases.data(), bound);
+  if (ZSTD_isError(ztn)) return -4;
+  if (ztn < zn) {
+    out[0] = TAG_TOK;
+    memcpy(out + 1, sc.bases.data(), ztn);
+    return 1 + (long long)ztn;
+  }
+  return 1 + (long long)zn;
+}
+
+// One v3 block: streams are the wide-layout raw streams of the fused
+// scan AFTER the quality offset patch. Writes the 40-byte v3 block
+// header + tagged streams to out; returns total bytes or a negative
+// error (-3 cap, -4 zstd, -12 alloc/internal).
+inline long long encode_block(const uint8_t* const st[6],
+                              const long long sizes[6], long long nrec,
+                              long long total_len, Memo* memo, ZstdWorker& w,
+                              Scratch& sc, uint8_t* out, long long out_cap) {
+  // CRC32 over the uncompressed streams in wire order (native.py
+  // _crc_streams; an explicit integrity field replacing v1/v2's zstd
+  // frame checksums, PERFORMANCE.md E033)
+  uint32_t crc = 0;
+  for (int i = 0; i < 6; i++) crc = fq_crc32(crc, st[i], sizes[i]);
+  // record lengths as int64 for the context coders
+  if (!sc.lens.ensure((size_t)(nrec > 0 ? nrec : 1) * 8)) return -12;
+  long long* lens = (long long*)sc.lens.data();
+  for (long long i = 0; i < nrec; i++) {
+    uint32_t l;
+    memcpy(&l, st[5] + 4 * i, 4);
+    lens[i] = (long long)l;
+  }
+  long long pos = 40;
+  long long comp[6];
+  for (int i = 0; i < 6; i++) {
+    const long long bound =
+        (long long)ZSTD_compressBound((size_t)sizes[i]) + 1;
+    if (pos + bound > out_cap) return -3;
+    long long cn;
+    switch (i) {
+      case 0:
+        cn = encode_seq_stream(st[0], sizes[0], lens, nrec, total_len, memo,
+                               w, sc, out + pos, out_cap - pos);
+        break;
+      case 1:
+        cn = encode_qual_stream(st[1], sizes[1], lens, nrec, w, sc,
+                                out + pos, out_cap - pos);
+        break;
+      case 2: {
+        // tokenizing is only worth its CPU when the plain-zstd header
+        // stream is a visible fraction of the block's output (E042)
+        long long gate = (comp[0] + comp[1]) >> 7;
+        if (gate < 4096) gate = 4096;
+        cn = encode_headers_stream(st[2], sizes[2], nrec, gate, w, sc,
+                                   out + pos, out_cap - pos);
+        break;
+      }
+      default: {
+        const size_t zn = fq_zstd_adaptive(w, st[i], (size_t)sizes[i],
+                                           out + pos, (size_t)(out_cap - pos));
+        cn = ZSTD_isError(zn) ? -4 : (long long)zn;
+        break;
+      }
+    }
+    if (cn < 0) return cn;
+    comp[i] = cn;
+    pos += cn;
+  }
+  // v3 block header (format/container.py BlockHeader.to_bytes)
+  put_u32_le(out + 0, (uint32_t)nrec);
+  for (int i = 0; i < 6; i++) put_u32_le(out + 4 + 4 * i, (uint32_t)comp[i]);
+  put_u32_le(out + 28, (uint32_t)total_len);
+  put_u32_le(out + 32, (uint32_t)total_len);
+  put_u32_le(out + 36, crc);
+  return pos;
+}
+
+}  // namespace fqv3
 
 // ---------------------------------------------------------------------------
 // Fused v1/v2 block decode: entropy-coded block payload -> FASTQ text in one
@@ -3180,6 +4148,9 @@ struct Res {
   long long start = 0;     // compress: slice offset (repair anchor)
   long long consumed = 0;  // compress: bytes of complete records in slice
   long long slice = 0;     // compress: the slice the job covered
+  bool fallback = false;   // v3 compress: block-0 dict probe fired -> the
+                           // caller reruns the Python path (FLAG_SEQ_DICT
+                           // containers stay outside the native envelope)
 };
 
 // Ordered result collection: workers deposit by block index, the calling
@@ -3380,9 +4351,13 @@ long long fq_compress_mt(const uint8_t* text, long long n,
                          long long* err_info) {
   using namespace fqmt;
   err_info[0] = err_info[1] = 0;
-  if (block_records <= 0 || (version != 1 && version != 2)) return -12;
+  if (block_records <= 0 || (version != 1 && version != 2 && version != 3))
+    return -12;
   if (workers < 1) workers = 1;
-  const long long hdr_size = version == 1 ? 32 : 36;
+  const long long hdr_size = version == 1 ? 32 : 36;  // v1/v2 finish only
+  // v3 (E080): cross-block probe memoization shared by the worker pool
+  // (PickMemo twin; racy counters only shift WHICH block re-probes).
+  fqv3::Memo v3memo;
 
   OwnedBuf* owned = nullptr;
   Sink sink;
@@ -3767,20 +4742,26 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       stats.prelude_us.fetch_add((long long)((mt_now() - t0p) * 1e6));
   });
 
-  auto encode_one = [&](const CJob& j, Res& r) {
+  auto encode_one = [&](const CJob& j, Res& r, fqv3::Scratch* v3sc) {
     r.out.len = 0;
     r.consumed = 0;
     r.slice = j.slice;
     r.start = j.start;
     // Phase 1: fused parse+validate+transform (no entropy coding yet).
+    // v3 uses the wide (u32, uncapped) npos layout.
     FqFusedBlock fb;
     long long detail[2] = {0, 0};
     uint8_t qmin_io[2] = {0xFF, 0};
     const bool in_window = contribution_mode && j.idx == 0;
     const long long qmin_cap = in_window ? kDetectRecords : 0;
-    const long long rc = fq_encode_block_fused_scan(
-        j.data, j.slice, &fb, detail, in_window ? qmin_io : nullptr,
-        qmin_cap);
+    const long long rc =
+        version == 3
+            ? fq_encode_block_fused_scan_wide(j.data, j.slice, &fb, detail,
+                                              in_window ? qmin_io : nullptr,
+                                              qmin_cap)
+            : fq_encode_block_fused_scan(j.data, j.slice, &fb, detail,
+                                         in_window ? qmin_io : nullptr,
+                                         qmin_cap);
     r.consumed = fb.consumed;
     if (rc < 0) {
       switch (rc) {
@@ -3819,6 +4800,53 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       qoffset = det_qoffset;
     }
     if (fb.nrec == 0) return;  // validated partial tail at EOF: no block
+    if (version == 3) {
+      if (v3sc == nullptr) {  // scratch allocation failed at spawn
+        r.err = -12;
+        return;
+      }
+      // Cross-block dictionary envelope gate: when block 0's coverage
+      // probe fires, the Python path would build a FLAG_SEQ_DICT
+      // container (native.py compress_native) — outside this envelope.
+      // Signal fallback before writing anything.
+      if (j.idx == 0 &&
+          fqv3::coverage_probe(fb.streams[0], fb.sizes[0]) >= 0.002) {
+        r.fallback = true;
+        return;
+      }
+      // offset patch (fused_finish semantics): record starts in the
+      // quality stream are the prefix sums of the lengths stream
+      if (qoffset != 0) {
+        uint8_t* q = fb.qual_mut;
+        const uint8_t* lens = fb.streams[5];
+        long long off = 0;
+        for (long long i = 0; i < fb.nrec; i++) {
+          uint32_t l;
+          memcpy(&l, lens + 4 * i, 4);
+          if (l > 0) {
+            q[off] = (uint8_t)(q[off] - qoffset);
+            off += l;
+          }
+        }
+      }
+      long long cap = 40 + 64;
+      for (int i = 0; i < 6; i++)
+        cap += (long long)ZSTD_compressBound((size_t)fb.sizes[i]) + 1;
+      if (!r.out.ensure((size_t)cap)) {
+        r.err = -12;
+        return;
+      }
+      const long long total = fqv3::encode_block(
+          fb.streams, fb.sizes, fb.nrec, fb.total_len, &v3memo,
+          current_zstd_worker(), *v3sc, r.out.p, cap);
+      if (total < 0) {
+        r.out.len = 0;
+        r.err = total == -4 ? MT_ERR_ZSTD : -12;
+        return;
+      }
+      r.out.len = (size_t)total;
+      return;
+    }
     // Phase 2: offset patch + per-stream entropy coding, exact capacity.
     long long cap = hdr_size + 8192;
     for (int i = 0; i < 6; i++)
@@ -3846,9 +4874,11 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       ws.emplace_back([&] {
         // Borrow a pooled zstd worker: these threads live for one call,
         // so a thread_local would re-fault its contexts and arena every
-        // run.
+        // run. v3 additionally borrows a pick-path scratch.
         ZstdWorker* zw = zw_acquire();
         g_zw_override = zw;
+        fqv3::Scratch* v3sc =
+            version == 3 ? fqv3::scratch_acquire() : nullptr;
         for (;;) {
           CJob j;
           bool got = false;
@@ -3861,13 +4891,14 @@ long long fq_compress_mt(const uint8_t* text, long long n,
           r.slice = j.slice;
           if (!col.failed.load()) {
             rpool.get(r.out);
-            FQ_MT_TIME(stats.encode_us, encode_one(j, r));
-            if (r.err) stop.store(true);
+            FQ_MT_TIME(stats.encode_us, encode_one(j, r, v3sc));
+            if (r.err || r.fallback) stop.store(true);
           }
           col.deposit(j.idx, std::move(r));
         }
         g_zw_override = nullptr;
         zw_release(zw);
+        fqv3::scratch_release(v3sc);
       });
     }
   };
@@ -3981,8 +5012,11 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         continue;
       }
     }
-    if (r.err) {
-      ret = r.err;
+    if (r.err || r.fallback) {
+      // fallback (v3 block-0 dict probe): nothing was written — the
+      // header is deferred until the first block result — so the caller
+      // can rerun the Python dict path on a clean sink.
+      ret = r.fallback ? MT_ERR_FALLBACK : r.err;
       err_info[0] = r.e0;
       err_info[1] = r.e1;
       {

@@ -261,7 +261,17 @@ def test_pick_memo_output_identical_on_homogeneous_corpus():
             % (i, seq[i].tobytes(), qual[i].tobytes())
         )
     data = b"".join(recs)
-    comp_memo = compress_native_bytes(data, block_size=5000)
+    # exact framing: the MT path's resync framing legitimately re-frames
+    # blocks (the wire is indifferent), but this test compares per-block
+    # bytes, so block extents must match the parser's. The memoized path
+    # under test is then the C++ MT one (E080).
+    import os as _os
+
+    _os.environ["FQZ_MT_SEQ_FRAMING"] = "1"
+    try:
+        comp_memo = compress_native_bytes(data, block_size=5000)
+    finally:
+        _os.environ.pop("FQZ_MT_SEQ_FRAMING", None)
     # per-block path with memo disabled: parse into the same blocks and
     # encode each with memo=None, then compare payload bytes block-wise
     from fastqpacker_tpu.parser.fastq import FastqStreamParser
