@@ -243,18 +243,26 @@ def phase_robust_best(
     return best
 
 
-def bench_compress(data: bytes, device: bool, repeats: int = 3):
+def bench_compress(
+    data: bytes, device: bool, repeats: int = 3, v3: bool = False
+):
     """Times compress from a real file, like the reference's 9 GB
     benchmark (scripts/benchmark_fqpack_9gb.sh): the file path engages
     the zero-copy mmap producer, where a bytes-built BytesIO would pay a
-    full-buffer unshare copy inside getbuffer() (E034)."""
+    full-buffer unshare copy inside getbuffer() (E034). ``v3=True``
+    measures the native container (default picks — the E080 whole-file
+    MT compress)."""
     import os
     import tempfile
 
     import fastqpacker_tpu as fq
     from fastqpacker_tpu.pipeline import device as devpipe
 
-    opts = fq.Options()
+    opts = (
+        fq.Options(version=fq.container.VERSION_3_NATIVE)
+        if v3
+        else fq.Options()
+    )
     # compress_device self-routes through the transfer-bandwidth probe
     run = lambda r, w: devpipe.compress_device(r, w, opts)  # noqa: E731
     if not device:
@@ -798,7 +806,8 @@ def main() -> int:
     ap.add_argument(
         "--metric",
         choices=[
-            "compress", "decompress", "decompress-v3", "kernel",
+            "compress", "compress-v3", "decompress", "decompress-v3",
+            "kernel",
             "decode-kernel",
             "mesh-entropy", "mesh-entropy-decode", "mesh-e2e",
             "wctx-entropy", "wctx-entropy-decode", "micro", "ratio",
@@ -1020,10 +1029,11 @@ def _run_metric(args, data, device) -> int:
             "vs_baseline": round(ratio / 3.25, 3),
         }
     else:
-        mbps, ratio, best = bench_compress(data, device, args.repeats)
+        v3 = args.metric == "compress-v3"
+        mbps, ratio, best = bench_compress(data, device, args.repeats, v3=v3)
         log(f"compress best={best:.3f}s ratio={ratio:.2f}x")
         result = {
-            "metric": "compress_throughput",
+            "metric": "compress_v3_throughput" if v3 else "compress_throughput",
             "value": round(mbps, 1),
             "unit": "MB/s",
             "vs_baseline": round(mbps / BASELINE_COMPRESS_MBPS, 3),

@@ -829,24 +829,23 @@ def decompress_native(
         except ValueError as e:
             raise container.FormatError(str(e)) from None
 
-    # Whole-file native MT decode (E078): one GIL-released call for the
-    # common envelope (no dict/lossless sections, zstd/rANS/tok streams,
-    # addressable source). Context-coded containers and foreign frames
-    # return None and take the per-block path below unchanged.
-    if not (
-        fh.flags & (container.FLAG_SEQ_DICT | container.FLAG_LOSSLESS)
-    ):
+    # Whole-file native MT decode (E078/E081): one GIL-released call for
+    # the native envelope (zstd/rANS/tok/qctx/sctx/sldm streams,
+    # seq-dict containers, addressable source). Lossless sections,
+    # wctx-coded containers, and foreign frames return None and take the
+    # per-block path below unchanged.
+    if not (fh.flags & container.FLAG_LOSSLESS):
         from ..runtime import bindings
         from ..utils.inmem import source_view
 
-        if bindings.available() and bindings.decompress_mt_v3_available():
+        if bindings.available() and bindings.decompress_mt_v3_ex_available():
             view = source_view(r)
             if view is not None:
                 fd = api._sink_fd(w)
                 if fd >= 0 or len(view) <= api._MT_BUFFER_CAP_DECODE:
-                    res = bindings.decompress_mt_v3(
+                    res = bindings.decompress_mt_v3_ex(
                         np.frombuffer(view, np.uint8), qual_offset,
-                        workers, fd, sink=w,
+                        workers, seq_dict, fd, sink=w,
                     )
                     if res is not None:
                         return

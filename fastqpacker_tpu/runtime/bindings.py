@@ -1133,6 +1133,13 @@ def _bind_mt(lib):
             ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i64p,
         ]
+    if hasattr(lib, "fq_decompress_mt_v3_ex"):
+        lib.fq_decompress_mt_v3_ex.restype = _ll
+        lib.fq_decompress_mt_v3_ex.argtypes = [
+            _u8p, _ll, ctypes.c_uint8, ctypes.c_int, _u8p, _ll,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i64p,
+        ]
     lib._mt_bound = True
 
 
@@ -1306,6 +1313,14 @@ def _mt_raise_decompress(code: int, info) -> None:
         raise FormatError("block CRC32 mismatch: corrupted data")
     if code == -14:
         raise FormatError("corrupted qctx quality data")
+    if code == -15:
+        raise FormatError("corrupted sctx sequence data")
+    if code == -16:
+        raise FormatError("corrupted sldm sequence data")
+    if code == -17:
+        raise FormatError("corrupted sequence dictionary")
+    if code == -18:
+        raise FormatError("corrupted wctx stream")
     if -6 <= code <= -1:
         raise FormatError(
             _DECODE_STREAM_ERRORS.get(code, "corrupted block data")
@@ -1427,6 +1442,43 @@ def decompress_mt_v3(
         _bind_mt(lib)
     res, info = _mt_call(
         lib.fq_decompress_mt_v3, src, (qual_offset, workers), out_fd, sink
+    )
+    if res < 0:
+        if res == MT_FALLBACK:
+            return None
+        _mt_raise_decompress(res, info)
+    return res
+
+
+def decompress_mt_v3_ex_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fq_decompress_mt_v3_ex")
+
+
+def decompress_mt_v3_ex(
+    src: np.ndarray,
+    qual_offset: int,
+    workers: int,
+    seq_dict: "np.ndarray | None" = None,
+    out_fd: int = -1,
+    sink=None,
+):
+    """As :func:`decompress_mt_v3` with the container sequence
+    dictionary (decoded unpacked codes, FLAG_SEQ_DICT) referenced as
+    the TAG_SLDM match prefix (E081). ``src`` starts at the first block
+    header — the caller already consumed the dict section."""
+    lib = _load()
+    if not hasattr(lib, "_mt_bound"):
+        _bind_mt(lib)
+    if seq_dict is None:
+        # dict_len 0 -> the native side never dereferences the pointer
+        dict_ptr, dict_len = _EMPTY_U8, 0
+    else:
+        seq_dict = np.ascontiguousarray(seq_dict, np.uint8)
+        dict_ptr, dict_len = _nz_u8(seq_dict), len(seq_dict)
+    res, info = _mt_call(
+        lib.fq_decompress_mt_v3_ex, src,
+        (qual_offset, 0, dict_ptr, dict_len, workers), out_fd, sink,
     )
     if res < 0:
         if res == MT_FALLBACK:

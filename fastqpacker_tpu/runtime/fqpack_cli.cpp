@@ -6,12 +6,14 @@
 // any user code runs — python -X importtime shows site: ~2.0 s), which
 // dominates file-to-file benchmark rows the way the Go reference's
 // instant binary never does. The whole-file MT pipeline already lives
-// in libfqruntime.so (fq_compress_mt / fq_decompress_mt, byte-identical
-// to the Python path by the test suite); this thin binary drives it
-// directly for the reference CLI surface (cmd/fqpack/main.go:37-203:
-// -d -i -o -c -b -w -version -h + positionals) and EXECS the Python CLI
-// for everything else (v3/native format, --mesh, --max-ratio,
-// --lossless, --pair, gzip inputs, info/check/cat/bench, stdin).
+// in libfqruntime.so (fq_compress_mt / fq_decompress_mt[_v3],
+// byte-identical to the Python path by the test suite); this thin
+// binary drives it directly for the reference CLI surface
+// (cmd/fqpack/main.go:37-203: -d -i -o -c -b -w -version -h +
+// positionals) plus `--format native` (v3 default picks, E080), and
+// EXECS the Python CLI for everything else (--mesh, --max-ratio,
+// --lossless, --pair, gzip inputs, info/check/cat/bench, stdin, and
+// v3 dict/lossless/context envelopes via FALLBACK).
 //
 // Error strings match the Python CLI verbatim (runtime/bindings.py
 // _mt_raise_* and format/container.py read_file_header), which in turn
@@ -42,16 +44,20 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
                            uint8_t qoffset, int workers, int out_fd,
                            void** out_handle, uint8_t** out_ptr,
                            long long* err_info);
-long long fq_decompress_mt_v3(const uint8_t* data, long long n,
-                              uint8_t qoffset, int workers, int out_fd,
-                              void** out_handle, uint8_t** out_ptr,
-                              long long* err_info);
+long long fq_decompress_mt_v3_ex(const uint8_t* data, long long n,
+                                 uint8_t qoffset, int has_dict_section,
+                                 const uint8_t* dict_codes,
+                                 long long dict_len, int workers,
+                                 int out_fd, void** out_handle,
+                                 uint8_t** out_ptr, long long* err_info);
 }
 
 namespace {
 
-constexpr long long kSpeedBlockRecords = 37500;  // pipeline/api.py
-constexpr long long kMaxSeqLen = 65536;          // sequence.go:11
+constexpr long long kSpeedBlockRecords = 37500;    // pipeline/api.py
+constexpr long long kNativeBlockRecords = 100000;  // compress.go:71 (v3)
+constexpr long long kMaxSeqLen = 65536;            // sequence.go:11
+constexpr long long kMtErrFallback = -20;          // fqruntime MT_ERR_FALLBACK
 
 int g_argc;
 char** g_argv;
@@ -173,6 +179,10 @@ int decompress_errmsg(long long rc, const long long* info) {
     case -9: return fail("corrupted tokenized header stream");
     case -13: return fail("block CRC32 mismatch: corrupted data");
     case -14: return fail("corrupted qctx quality data");
+    case -15: return fail("corrupted sctx sequence data");
+    case -16: return fail("corrupted sldm sequence data");
+    case -17: return fail("corrupted sequence dictionary");
+    case -18: return fail("corrupted wctx stream");
     case -1: return fail("truncated sequence data");
     case -2: return fail("truncated quality data");
     case -3: return fail("truncated header data");
@@ -194,7 +204,7 @@ int main(int argc, char** argv) {
   g_argv = argv;
 
   bool decompress = false, to_stdout = false;
-  std::string input, output;
+  std::string input, output, wire_format = "zstd";
   long long block_records = 0;
   int workers = 0;
   std::vector<std::string> positional;
@@ -214,10 +224,15 @@ int main(int argc, char** argv) {
     else if (a == "-o") output = need_val("-o");
     else if (a == "-b") block_records = atoll(need_val("-b"));
     else if (a == "-w") workers = atoi(need_val("-w"));
+    else if (a == "--format") wire_format = need_val("--format");
+    else if (a.rfind("--format=", 0) == 0) wire_format = a.substr(9);
     else if (!a.empty() && a[0] != '-') positional.push_back(a);
-    else exec_python_cli();  // -version, -h, --format, --mesh, ... :
+    else exec_python_cli();  // -version, -h, --mesh, --max-ratio, ... :
                              // full-featured surface lives in Python
   }
+  // invalid --format values get argparse's exact diagnostics
+  if (wire_format != "zstd" && wire_format != "native") exec_python_cli();
+  const int version = wire_format == "native" ? 3 : 2;
   // subcommands (info/check/cat/bench appear as positionals)
   if (!positional.empty() &&
       (positional[0] == "info" || positional[0] == "check" ||
@@ -240,8 +255,8 @@ int main(int argc, char** argv) {
     const bool gz_magic = in.n >= 2 && in.p[0] == 0x1f && in.p[1] == 0x8b;
     if (gz_suffix || gz_magic) exec_python_cli();
   } else if (in.n >= 10 && memcmp(in.p, "FQZ\0", 4) == 0 &&
-             in.p[4] == 3 && (in.p[9] & ((1 << 2) | (1 << 4)))) {
-    // v3 with seq-dict/lossless sections: Python owns those envelopes
+             in.p[4] == 3 && (in.p[9] & (1 << 4))) {
+    // v3 with lossless sections: Python owns that envelope
     exec_python_cli();
   }
 
@@ -261,10 +276,18 @@ int main(int argc, char** argv) {
   long long info[2] = {0, 0};
   int rc_main = 0;
   if (!decompress) {
-    if (block_records <= 0) block_records = kSpeedBlockRecords;
+    if (block_records <= 0)
+      block_records =
+          version == 3 ? kNativeBlockRecords : kSpeedBlockRecords;
     const long long rc =
-        fq_compress_mt(in.p, in.n, block_records, 2, 0, workers, out_fd,
-                       nullptr, nullptr, info);
+        fq_compress_mt(in.p, in.n, block_records, version, 0, workers,
+                       out_fd, nullptr, nullptr, info);
+    if (rc == kMtErrFallback) {
+      // v3 block-0 coverage probe fired before any byte was written:
+      // the Python dict path owns FLAG_SEQ_DICT containers
+      if (out_fd != 1) close(out_fd);
+      exec_python_cli();
+    }
     if (rc < 0) rc_main = compress_errmsg(rc, info);
   } else {
     // 10-byte file header (container.go:48-67 layout)
@@ -284,9 +307,10 @@ int main(int argc, char** argv) {
         const uint8_t qoffset = (flags & 2) ? 64 : 33;
         const long long rc =
             version == 3
-                ? fq_decompress_mt_v3(in.p + 10, in.n - 10, qoffset,
-                                      workers, out_fd, nullptr, nullptr,
-                                      info)
+                ? fq_decompress_mt_v3_ex(in.p + 10, in.n - 10, qoffset,
+                                         (flags >> 2) & 1, nullptr, 0,
+                                         workers, out_fd, nullptr, nullptr,
+                                         info)
                 : fq_decompress_mt(in.p + 10, in.n - 10, version, qoffset,
                                    workers, out_fd, nullptr, nullptr,
                                    info);

@@ -2001,72 +2001,142 @@ int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
   for (long long r = 0; r < nrec; r++) total += lengths[r];
   if (total != n) return -1;
 
-  // Interleaved per-context row: {cum1, cum2, cum3, f0, f1, f2, f3, 0}
-  // (u16 x8 = 16 B) — the ctx -> symbol critical path becomes one load
-  // plus three compares instead of a freq-row load and an add chain.
+  // Interleaved per-context row: {0, cum1, cum2, cum3, f0, f1, f2, f3}
+  // (u16 x8 = 16 B) — slot -> symbol is three compares off one cache
+  // line, and the leading 0 makes the cum subtraction an unconditional
+  // row[s] load (E082: the old `s ? row[s-1] : 0` cmov sat on the
+  // critical path).
   std::vector<uint16_t> rows((size_t)nctx * 8);
   for (int c = 0; c < nctx; c++) {
     const uint16_t* fr = freq + (size_t)c * 4;
     uint16_t* row = rows.data() + (size_t)c * 8;
-    row[0] = fr[0];
-    row[1] = (uint16_t)(fr[0] + fr[1]);
-    row[2] = (uint16_t)(fr[0] + fr[1] + fr[2]);
-    row[3] = fr[0];
-    row[4] = fr[1];
-    row[5] = fr[2];
-    row[6] = fr[3];
-    row[7] = 0;
+    row[0] = 0;
+    row[1] = fr[0];
+    row[2] = (uint16_t)(fr[0] + fr[1]);
+    row[3] = (uint16_t)(fr[0] + fr[1] + fr[2]);
+    row[4] = fr[0];
+    row[5] = fr[1];
+    row[6] = fr[2];
+    row[7] = fr[3];
   }
+  const uint16_t* rowbase = rows.data();
 
   long long rb[SCTX_CHUNKS + 1], sb[SCTX_CHUNKS + 1];
   qctx_chunks(lengths, nrec, rb, sb);
+
+  // One decode step: symbol from state X under ctx, renorm deferred to
+  // the caller (fast path reads the word stream unconditionally — the
+  // per-record word budget was checked up front; checked path guards).
+#define FQ_SCTX_STEP(X, SVAR)                                       \
+  {                                                                 \
+    const uint32_t slot_ = (X) & (SCTX_SCALE - 1);                  \
+    const uint16_t* row_ = rowbase + (size_t)ctx * 8;               \
+    SVAR = (uint32_t)((slot_ >= row_[1]) + (slot_ >= row_[2]) +     \
+                      (slot_ >= row_[3]));                          \
+    const uint32_t f_ = row_[4 + SVAR];                             \
+    if (!f_) return -5;                                             \
+    (X) = f_ * ((X) >> 12) + slot_ - row_[SVAR];                    \
+    ctx = ((ctx << 2) | SVAR) & mask;                               \
+  }
+#define FQ_SCTX_RENORM_FAST(X)                                      \
+  {                                                                 \
+    const uint32_t lt_ = (X) < SCTX_L;                              \
+    const uint32_t w_ = words[wi];                                  \
+    (X) = lt_ ? (((X) << 16) | w_) : (X);                           \
+    wi += lt_;                                                      \
+  }
+#define FQ_SCTX_RENORM_CHECKED(X)                                   \
+  if ((X) < SCTX_L) {                                               \
+    if (wi >= wend) return -2;                                      \
+    (X) = ((X) << 16) | words[wi++];                                \
+  }
 
   // packed byte offset of each chunk's first record
   long long pstart = 0, rr = 0;
   for (int k = 0; k < SCTX_CHUNKS; k++) {
     while (rr < rb[k]) pstart += (lengths[rr++] + 3) >> 2;
-    uint32_t xs[4];
-    for (int si = 0; si < 4; si++) xs[si] = states[k * 4 + si];
+    // chunk-interleaved states rotate through registers: symbol t uses
+    // state t%4, and j == sb[k] starts the chunk at lane 0, so a
+    // rotating 4-queue stays aligned across record boundaries
+    uint32_t x0 = states[k * 4], x1 = states[k * 4 + 1];
+    uint32_t x2 = states[k * 4 + 2], x3 = states[k * 4 + 3];
     long long wi = wstarts[k];
-    long long wend = wi + nwords[k];
+    const long long wend = wi + nwords[k];
     long long po = pstart;
-    long long j = sb[k];
+    uint32_t ctx = 0;
     for (long long r = rb[k]; r < rb[k + 1]; r++) {
-      long long L = lengths[r];
-      uint32_t ctx = 0;
-      uint8_t acc = 0;
-      for (long long p = 0; p < L; p++, j++) {
-        int si = (int)((j - sb[k]) & 3);
-        uint32_t x = xs[si];
-        uint32_t slot = x & (SCTX_SCALE - 1);
-        const uint16_t* row = rows.data() + (size_t)ctx * 8;
-        uint32_t c1 = row[0], c2 = row[1], c3 = row[2];
-        uint32_t s = (slot >= c1) + (slot >= c2) + (slot >= c3);
-        uint32_t f = row[3 + s];
-        uint32_t cs = s == 0 ? 0 : row[s - 1];
-        if (!f) return -5;
-        x = f * (x >> 12) + slot - cs;
-        if (x < SCTX_L) {
-          if (wi >= wend) return -2;
-          x = (x << 16) | words[wi++];
+      const long long L = lengths[r];
+      if (po + ((L + 3) >> 2) > packed_cap) return -6;
+      ctx = 0;
+      uint8_t* orow = packed_out + po;
+      po += (L + 3) >> 2;
+      long long p = 0;
+      uint32_t s0, s1, s2, s3;
+      if (wend - wi >= L) {
+        // fast path: each symbol consumes at most one word, so the
+        // whole record's renorms are in bounds — branchless refill
+        for (; p + 4 <= L; p += 4) {
+          FQ_SCTX_STEP(x0, s0)
+          FQ_SCTX_RENORM_FAST(x0)
+          FQ_SCTX_STEP(x1, s1)
+          FQ_SCTX_RENORM_FAST(x1)
+          FQ_SCTX_STEP(x2, s2)
+          FQ_SCTX_RENORM_FAST(x2)
+          FQ_SCTX_STEP(x3, s3)
+          FQ_SCTX_RENORM_FAST(x3)
+          orow[p >> 2] =
+              (uint8_t)(s0 | (s1 << 2) | (s2 << 4) | (s3 << 6));
         }
-        xs[si] = x;
-        acc |= (uint8_t)(s << ((p & 3) * 2));
-        if ((p & 3) == 3) {
-          if (po >= packed_cap) return -6;
-          packed_out[po++] = acc;
-          acc = 0;
+        const long long t = L - p;
+        if (t) {
+          uint8_t acc = 0;
+          FQ_SCTX_STEP(x0, s0)
+          FQ_SCTX_RENORM_FAST(x0)
+          acc = (uint8_t)s0;
+          if (t > 1) {
+            FQ_SCTX_STEP(x1, s1)
+            FQ_SCTX_RENORM_FAST(x1)
+            acc |= (uint8_t)(s1 << 2);
+          }
+          if (t > 2) {
+            FQ_SCTX_STEP(x2, s2)
+            FQ_SCTX_RENORM_FAST(x2)
+            acc |= (uint8_t)(s2 << 4);
+          }
+          orow[p >> 2] = acc;
+          // rotate the lane queue left by t so lane 0 is next again
+          uint32_t t0 = x0, t1 = x1, t2 = x2, t3 = x3;
+          x0 = t == 1 ? t1 : t == 2 ? t2 : t3;
+          x1 = t == 1 ? t2 : t == 2 ? t3 : t0;
+          x2 = t == 1 ? t3 : t == 2 ? t0 : t1;
+          x3 = t == 1 ? t0 : t == 2 ? t1 : t2;
         }
-        ctx = ((ctx << 2) | s) & mask;
-      }
-      if (L & 3) {
-        if (po >= packed_cap) return -6;
-        packed_out[po++] = acc;
+      } else {
+        // word-starved tail (or hostile stream): per-symbol guards
+        uint8_t acc = 0;
+        for (; p < L; p++) {
+          FQ_SCTX_STEP(x0, s0)
+          FQ_SCTX_RENORM_CHECKED(x0)
+          const uint32_t t0 = x0;
+          x0 = x1;
+          x1 = x2;
+          x2 = x3;
+          x3 = t0;
+          acc |= (uint8_t)(s0 << ((p & 3) * 2));
+          if ((p & 3) == 3) {
+            orow[p >> 2] = acc;
+            acc = 0;
+          }
+        }
+        if (L & 3) orow[L >> 2] = acc;
       }
     }
     if (wi != wend) return -3;
     while (rr < rb[k + 1]) pstart += (lengths[rr++] + 3) >> 2;
   }
+#undef FQ_SCTX_STEP
+#undef FQ_SCTX_RENORM_FAST
+#undef FQ_SCTX_RENORM_CHECKED
   return 0;
 }
 
@@ -5346,24 +5416,35 @@ long long fq_decompress_mt(const uint8_t* data, long long n, int version,
 // (entropy decode + CRC32 verify + fused assembly) -> ordered collector.
 // Containers outside the supported envelope — FLAG_SEQ_DICT/LOSSLESS
 // (checked by the caller from the file header), context-coded streams
-// (TAG_SCTX/QCTX/SLDM/WCTX), or foreign zstd frames without declared
-// content sizes — return MT_ERR_FALLBACK and the Python per-block path
-// handles them (pipeline/native.py decode_block_payload defines the
-// semantics; equivalence pinned by tests/test_native_format.py).
+// Foreign zstd frames without declared content sizes return
+// MT_ERR_FALLBACK and the Python per-block path handles them
+// (pipeline/native.py decode_block_payload defines the semantics;
+// equivalence pinned by tests/test_native_format.py). All seven v3
+// stream codecs decode natively (E078: zstd/rANS/tok/qctx; E081:
+// sctx/sldm/wctx + the FLAG_SEQ_DICT prefix).
 // Error codes extend the v2 set: -8 corrupt rANS stream, -9 corrupt
-// tokenized header stream, -13 block CRC32 mismatch.
+// tokenized header stream, -13 block CRC32 mismatch, -14..-18 corrupt
+// qctx/sctx/sldm/dict/wctx data.
 // ---------------------------------------------------------------------------
 
-long long fq_decompress_mt_v3(const uint8_t* data, long long n,
-                              uint8_t qoffset, int workers, int out_fd,
-                              void** out_handle, uint8_t** out_ptr,
-                              long long* err_info) {
+int fq_wctx_decode(const uint16_t* words, long long nwords,
+                   const uint32_t* states, long long n_lanes,
+                   const long long* lengths, long long nrec, int model,
+                   int order, const uint8_t* present, int npres,
+                   const uint16_t* freq, long long C, uint8_t* out,
+                   long long total);
+
+static long long fq_decompress_mt_v3_impl(
+    const uint8_t* data, long long n, uint8_t qoffset,
+    const uint8_t* dict_codes, long long dict_len, int workers, int out_fd,
+    void** out_handle, uint8_t** out_ptr, long long* err_info) {
   using namespace fqmt;
   err_info[0] = err_info[1] = 0;
   if (workers < 1) workers = 1;
   constexpr long long kHdr = 40;  // v3: 9 u32 (v2 fields) + u32 crc32
   constexpr long long kMaxStreamRaw = 1LL << 34;
-  constexpr uint8_t kTagRans = 0, kTagZstd = 1, kTagTok = 2, kTagQctx = 3;
+  constexpr uint8_t kTagRans = 0, kTagZstd = 1, kTagTok = 2, kTagQctx = 3,
+                    kTagSctx = 4, kTagSldm = 5, kTagWctx = 6;
 
   struct VJob {
     const uint8_t* payload;
@@ -5410,9 +5491,11 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
           const bool ok =
               i == 2 ? (d.tag[i] == kTagZstd || d.tag[i] == kTagTok)
               : i == 1 ? (d.tag[i] == kTagZstd || d.tag[i] == kTagRans ||
-                          d.tag[i] == kTagQctx)
-                       : (d.tag[i] == kTagZstd || d.tag[i] == kTagRans);
-          if (!ok) return MT_ERR_FALLBACK;  // other context coders: Python
+                          d.tag[i] == kTagQctx || d.tag[i] == kTagWctx)
+                       : (d.tag[i] == kTagZstd || d.tag[i] == kTagRans ||
+                          d.tag[i] == kTagSctx || d.tag[i] == kTagSldm ||
+                          d.tag[i] == kTagWctx);
+          if (!ok) return MT_ERR_FALLBACK;
         }
         if (d.tag[i] == kTagQctx) {
           // ops/qualctx.py wire: u32 total, u8 nchunks, u8 model, 2 pad
@@ -5421,6 +5504,31 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
           memcpy(&total32, s, 4);
           if (s[4] != QCTX_CHUNKS || s[5] > 1) return -14;
           d.raw[i] = (long long)total32;  // decoded = raw qual bytes
+        } else if (d.tag[i] == kTagSctx) {
+          // ops/seqctx.py wire: u32 total_bases, u8 order, u8 nchunks
+          // — raw here is only an arena bound; the exact packed size
+          // needs the record lengths, known in-worker
+          if (sn < 12) return -15;
+          uint32_t total32;
+          memcpy(&total32, s, 4);
+          d.raw[i] = (long long)(total32 / 4) + d.nrec;
+        } else if (d.tag[i] == kTagSldm) {
+          // ops/sldm.py wire: one zstd-LDM frame over the unpacked base
+          // codes; arena holds codes (content size) + the packed rows
+          const unsigned long long z = ZSTD_getFrameContentSize(s, (size_t)sn);
+          if (z == ZSTD_CONTENTSIZE_UNKNOWN || z == ZSTD_CONTENTSIZE_ERROR)
+            return MT_ERR_FALLBACK;
+          d.raw[i] = (long long)z + (long long)(z / 4) + d.nrec;
+        } else if (d.tag[i] == kTagWctx) {
+          // ops/wctx.py wire: u8 model | u8 order | u8 lanes_log2 | pad
+          // | u32 total_syms ... — arena holds the flat symbols plus
+          // the converted wire stream (packed rows / delta bytes)
+          if (sn < 8) return -18;
+          uint32_t total32;
+          memcpy(&total32, s + 4, 4);
+          d.raw[i] = i == 0 ? (long long)total32 + (long long)(total32 / 4) +
+                                  d.nrec
+                            : 2LL * total32;
         } else if (d.tag[i] == kTagRans) {
           // ops/rans.py wire: u32 raw_len, u8 lanes_log2, 3 pad
           if (sn < 8) return -8;
@@ -5496,6 +5604,24 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
       tok_extra += (1LL << 23) + (long long)QCTX_NCTX2 * 512 +
                    2 * d.comp[1] + 8 * d.nrec + 64;
     }
+    if (d.tag[0] == kTagSctx) {
+      // dense freq tables (order <= 6: 4096 ctx x 4 x u16) + aligned
+      // word copy
+      tok_extra += (1LL << 16) + 2 * d.comp[0] + 64;
+    }
+    for (int i = 0; i < 2; i++) {
+      if (d.tag[i] == kTagWctx) {
+        // aligned words + states copies, dense freq tables (<= 3072 ctx
+        // x 256 syms x u16 = 1.5 MB), per-lane state array (lanes_log2
+        // capped at 20 in-branch)
+        tok_extra += 2 * d.comp[i] + (1LL << 21) + (4LL << 20) + 64;
+      }
+    }
+    // the sctx/sldm/qctx/wctx coders all need i64 record lengths
+    const bool need_lens = d.tag[1] == kTagQctx || d.tag[0] == kTagSctx ||
+                           d.tag[0] == kTagSldm || d.tag[0] == kTagWctx ||
+                           d.tag[1] == kTagWctx;
+    if (need_lens) tok_extra += 8 * d.nrec + 64;
     try {
       zw.scratch.clear();
       zw.scratch.reserve((size_t)(need + tok_extra));
@@ -5667,6 +5793,337 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
         psz[i] = (long long)total32;
         continue;
       }
+      if (d.tag[i] == kTagSctx) {
+        // ops/seqctx.py wire: u32 total | u8 order | u8 nchunks | 2 pad
+        // | u32 blob_size | zstd blob (dense <u2 freq tables, nctx x 4)
+        // | nchunks x (4 u32 states + u32 nwords) | words (<u2).
+        // fq_sctx_decode emits the packed-row seq stream (wire layout,
+        // what the CRC covers).
+        if (lens64 == nullptr || sn < 12) {
+          r.err = -15;
+          return;
+        }
+        uint32_t total32, blob_size;
+        memcpy(&total32, s, 4);
+        const int order = s[4];
+        const int nchunks = s[5];
+        memcpy(&blob_size, s + 8, 4);
+        if ((order != 2 && order != 4 && order != 6) ||
+            nchunks != SCTX_CHUNKS) {
+          r.err = -15;
+          return;
+        }
+        long long lens_sum = 0, packed_sz = 0;
+        for (long long k = 0; k < d.nrec; k++) {
+          lens_sum += lens64[k];
+          packed_sz += (lens64[k] + 3) >> 2;
+        }
+        if (lens_sum != (long long)total32) {
+          r.err = -15;
+          return;
+        }
+        long long p2 = 12;
+        if (sn < p2 + (long long)blob_size) {
+          r.err = -15;
+          return;
+        }
+        const int nctx = 1 << (2 * order);
+        const long long blob_raw = (long long)nctx * 4 * 2;
+        const unsigned long long braw =
+            ZSTD_getFrameContentSize(s + p2, (size_t)blob_size);
+        if (braw == ZSTD_CONTENTSIZE_UNKNOWN ||
+            braw == ZSTD_CONTENTSIZE_ERROR ||
+            (long long)braw != blob_raw) {
+          r.err = -15;
+          return;
+        }
+        uint8_t* blob = arena_take(blob_raw);
+        if (!blob) {
+          r.err = -12;
+          return;
+        }
+        ZSTD_DCtx* bctx = zw.ctx();
+        if (!bctx) {
+          r.err = -12;
+          return;
+        }
+        const size_t br = ZSTD_decompressDCtx(
+            bctx, blob, (size_t)blob_raw, s + p2, (size_t)blob_size);
+        if (ZSTD_isError(br) || (long long)br != blob_raw) {
+          r.err = -15;
+          return;
+        }
+        // deserialize_tables parity: each context row sums to 0 or
+        // PROB_SCALE (a corrupt table must fail typed, not via CRC)
+        {
+          const uint16_t* fr = (const uint16_t*)blob;
+          for (int c = 0; c < nctx; c++) {
+            const uint32_t ssum = (uint32_t)fr[4 * c] + fr[4 * c + 1] +
+                                  fr[4 * c + 2] + fr[4 * c + 3];
+            if (ssum != 0 && ssum != SCTX_SCALE) {
+              r.err = -15;
+              return;
+            }
+          }
+        }
+        p2 += blob_size;
+        const long long step = 4LL * 4 + 4;
+        if (sn < p2 + SCTX_CHUNKS * step) {
+          r.err = -15;
+          return;
+        }
+        alignas(8) uint32_t states[SCTX_CHUNKS * 4];
+        long long wcounts[SCTX_CHUNKS];
+        long long wstarts[SCTX_CHUNKS];
+        long long total_words = 0;
+        for (int k = 0; k < SCTX_CHUNKS; k++) {
+          memcpy(states + k * 4, s + p2, 16);
+          uint32_t nw;
+          memcpy(&nw, s + p2 + 16, 4);
+          wstarts[k] = total_words;
+          wcounts[k] = (long long)nw;
+          total_words += (long long)nw;
+          p2 += step;
+        }
+        if (sn < p2 + 2 * total_words) {
+          r.err = -15;
+          return;
+        }
+        uint16_t* words = (uint16_t*)arena_take(2 * total_words + 2);
+        if (!words) {
+          r.err = -12;
+          return;
+        }
+        memcpy(words, s + p2, (size_t)(2 * total_words));
+        uint8_t* dst = arena_take(packed_sz);
+        if (!dst) {
+          r.err = -12;
+          return;
+        }
+        const int rc = fq_sctx_decode(
+            words, wstarts, wcounts, states, (long long)total32, lens64,
+            d.nrec, order, (const uint16_t*)blob, dst, packed_sz);
+        if (rc != 0) {
+          r.err = -15;
+          return;
+        }
+        parts[i] = dst;
+        psz[i] = packed_sz;
+        continue;
+      }
+      if (d.tag[i] == kTagSldm) {
+        // ops/sldm.py wire: one zstd-LDM frame over the unpacked base
+        // codes, optionally matched against the container dictionary
+        // (ZSTD_DCtx_refPrefix, one-shot); re-pack to the wire's
+        // packed-row layout
+        if (lens64 == nullptr) {
+          r.err = -16;
+          return;
+        }
+        long long lens_sum = 0, packed_sz = 0;
+        for (long long k = 0; k < d.nrec; k++) {
+          lens_sum += lens64[k];
+          packed_sz += (lens64[k] + 3) >> 2;
+        }
+        const unsigned long long z =
+            ZSTD_getFrameContentSize(s, (size_t)sn);
+        if (z == ZSTD_CONTENTSIZE_UNKNOWN || z == ZSTD_CONTENTSIZE_ERROR ||
+            (long long)z != lens_sum) {
+          r.err = -16;
+          return;
+        }
+        uint8_t* codes = arena_take(lens_sum);
+        if (!codes) {
+          r.err = -12;
+          return;
+        }
+        ZSTD_DCtx* ctx = zw.ctx();
+        if (!ctx) {
+          r.err = -12;
+          return;
+        }
+        if (dict_len > 0 &&
+            ZSTD_isError(ZSTD_DCtx_refPrefix(ctx, dict_codes,
+                                             (size_t)dict_len))) {
+          r.err = -12;
+          return;
+        }
+        const size_t zr = ZSTD_decompressDCtx(ctx, codes, (size_t)lens_sum,
+                                              s, (size_t)sn);
+        if (ZSTD_isError(zr) || (long long)zr != lens_sum) {
+          r.err = -16;
+          return;
+        }
+        uint8_t* dst = arena_take(packed_sz);
+        if (!dst) {
+          r.err = -12;
+          return;
+        }
+        if (fq_sldm_pack(codes, lens_sum, lens64, d.nrec, dst) != 0) {
+          r.err = -16;
+          return;
+        }
+        parts[i] = dst;
+        psz[i] = packed_sz;
+        continue;
+      }
+      if (d.tag[i] == kTagWctx) {
+        // ops/wctx.py wire: u8 model | u8 order | u8 lanes_log2 | pad |
+        // u32 total | u16 npres | present[npres] | u32 blob_len |
+        // zstd blob (dense (C, npres) u16 freq) | u32 nwords |
+        // u32 states[N] | u16 words[nwords]. fq_wctx_decode emits flat
+        // unpacked symbols; convert to the wire stream (packed rows for
+        // the seq slot, per-record deltas for the qual slot) — what the
+        // CRC covers.
+        if (lens64 == nullptr || sn < 16) {
+          r.err = -18;
+          return;
+        }
+        const int model = s[0];
+        const int worder = s[1];
+        const int lanes_log2 = s[2];
+        uint32_t total32;
+        memcpy(&total32, s + 4, 4);
+        uint16_t npres;
+        memcpy(&npres, s + 8, 2);
+        long long C;
+        if (model == 0 && (worder == 2 || worder == 4 || worder == 6))
+          C = 1LL << (2 * worder);
+        else if (model == 1 && (worder == 0 || worder == 1))
+          C = worder ? 3072 : 384;
+        else {
+          r.err = -18;
+          return;
+        }
+        if (lanes_log2 > 20 || npres == 0 || npres > 256) {
+          r.err = -18;
+          return;
+        }
+        const long long N = 1LL << lanes_log2;
+        long long lens_sum = 0, packed_sz = 0;
+        for (long long k = 0; k < d.nrec; k++) {
+          lens_sum += lens64[k];
+          packed_sz += (lens64[k] + 3) >> 2;
+        }
+        if (lens_sum != (long long)total32) {
+          r.err = -18;
+          return;
+        }
+        long long p2 = 10;
+        if (sn < p2 + npres + 4) {
+          r.err = -18;
+          return;
+        }
+        const uint8_t* present = s + p2;
+        p2 += npres;
+        uint32_t blob_size;
+        memcpy(&blob_size, s + p2, 4);
+        p2 += 4;
+        if (sn < p2 + (long long)blob_size) {
+          r.err = -18;
+          return;
+        }
+        const long long blob_raw = C * npres * 2;
+        const unsigned long long braw =
+            ZSTD_getFrameContentSize(s + p2, (size_t)blob_size);
+        if (braw == ZSTD_CONTENTSIZE_UNKNOWN ||
+            braw == ZSTD_CONTENTSIZE_ERROR ||
+            (long long)braw != blob_raw) {
+          r.err = -18;
+          return;
+        }
+        uint8_t* blob = arena_take(blob_raw);
+        if (!blob) {
+          r.err = -12;
+          return;
+        }
+        ZSTD_DCtx* bctx = zw.ctx();
+        if (!bctx) {
+          r.err = -12;
+          return;
+        }
+        const size_t br = ZSTD_decompressDCtx(
+            bctx, blob, (size_t)blob_raw, s + p2, (size_t)blob_size);
+        if (ZSTD_isError(br) || (long long)br != blob_raw) {
+          r.err = -18;
+          return;
+        }
+        p2 += blob_size;
+        if (sn < p2 + 4 + 4 * N) {
+          r.err = -18;
+          return;
+        }
+        uint32_t nwords;
+        memcpy(&nwords, s + p2, 4);
+        p2 += 4;
+        uint32_t* wstates = (uint32_t*)arena_take(4 * N);
+        if (!wstates) {
+          r.err = -12;
+          return;
+        }
+        memcpy(wstates, s + p2, (size_t)(4 * N));
+        p2 += 4 * N;
+        if (sn < p2 + 2LL * nwords) {
+          r.err = -18;
+          return;
+        }
+        uint16_t* wwords = (uint16_t*)arena_take(2LL * nwords + 2);
+        if (!wwords) {
+          r.err = -12;
+          return;
+        }
+        memcpy(wwords, s + p2, (size_t)(2LL * nwords));
+        uint8_t* flat = arena_take(lens_sum);
+        if (!flat) {
+          r.err = -12;
+          return;
+        }
+        const int rc = fq_wctx_decode(
+            wwords, (long long)nwords, wstates, N, lens64, d.nrec, model,
+            worder, present, (int)npres, (const uint16_t*)blob, C, flat,
+            lens_sum);
+        if (rc == -12) {
+          r.err = -12;
+          return;
+        }
+        if (rc != 0) {
+          r.err = -18;
+          return;
+        }
+        if (i == 0) {
+          // seq slot: flat base codes -> packed wire rows
+          uint8_t* dst = arena_take(packed_sz);
+          if (!dst) {
+            r.err = -12;
+            return;
+          }
+          if (fq_sldm_pack(flat, lens_sum, lens64, d.nrec, dst) != 0) {
+            r.err = -18;
+            return;
+          }
+          parts[i] = dst;
+          psz[i] = packed_sz;
+        } else {
+          // qual slot: integrated qualities -> per-record delta stream
+          uint8_t* dst = arena_take(lens_sum);
+          if (!dst) {
+            r.err = -12;
+            return;
+          }
+          long long j = 0;
+          for (long long k = 0; k < d.nrec; k++) {
+            const long long L = lens64[k];
+            if (!L) continue;
+            dst[j] = flat[j];
+            for (long long p = 1; p < L; p++)
+              dst[j + p] = (uint8_t)(flat[j + p] - flat[j + p - 1]);
+            j += L;
+          }
+          parts[i] = dst;
+          psz[i] = lens_sum;
+        }
+        continue;
+      }
       if (d.tag[i] == kTagRans) {
         // ops/rans.py wire: hdr(8: u32 raw_len, u8 lanes_log2, 3 pad) +
         // freq(512) + states(4N) + total_words(4) + words(2W). The
@@ -5770,10 +6227,10 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
         parts[i] = dst;
         psz[i] = d.raw[i];
       }
-      if (i == 5 && d.tag[1] == kTagQctx) {
-        // the qctx qual decode (a later iteration) needs i64 lengths
+      if (i == 5 && need_lens) {
+        // the sctx/sldm/qctx decodes (later iterations) need i64 lengths
         if (psz[5] != 4 * d.nrec) {
-          r.err = -14;
+          r.err = -6;  // truncated length data
           return;
         }
         lens64 = (long long*)arena_take(8 * d.nrec + 8);
@@ -5884,6 +6341,59 @@ long long fq_decompress_mt_v3(const uint8_t* data, long long n,
     *out_ptr = owned->v.data();
   }
   return ret;
+}
+
+long long fq_decompress_mt_v3(const uint8_t* data, long long n,
+                              uint8_t qoffset, int workers, int out_fd,
+                              void** out_handle, uint8_t** out_ptr,
+                              long long* err_info) {
+  return fq_decompress_mt_v3_impl(data, n, qoffset, nullptr, 0, workers,
+                                  out_fd, out_handle, out_ptr, err_info);
+}
+
+// FLAG_SEQ_DICT-aware entry (E081). `has_dict_section`: `data` starts at
+// the v3 sequence-dictionary section (container.py read_seq_dict_section:
+// u32le raw size, u32le comp size, zstd frame of block 0's leading
+// unpacked codes) — parse and decompress it here, then decode the blocks
+// that follow. Otherwise `dict_codes` (already decoded by the caller,
+// may be null) is referenced as the TAG_SLDM match prefix.
+long long fq_decompress_mt_v3_ex(const uint8_t* data, long long n,
+                                 uint8_t qoffset, int has_dict_section,
+                                 const uint8_t* dict_codes,
+                                 long long dict_len, int workers,
+                                 int out_fd, void** out_handle,
+                                 uint8_t** out_ptr, long long* err_info) {
+  std::vector<uint8_t> dict_buf;
+  if (has_dict_section) {
+    constexpr long long kDictMax = 64LL << 20;  // SEQ_DICT_MAX_RAW
+    err_info[0] = err_info[1] = 0;
+    if (n < 8) return -17;
+    uint32_t raw32, comp32;
+    memcpy(&raw32, data, 4);
+    memcpy(&comp32, data + 4, 4);
+    if ((long long)raw32 > kDictMax || (long long)comp32 > kDictMax ||
+        8 + (long long)comp32 > n)
+      return -17;
+    try {
+      dict_buf.resize((size_t)raw32);
+    } catch (...) {
+      return -12;
+    }
+    ZSTD_DCtx* ctx = ZSTD_createDCtx();
+    if (!ctx) return -12;
+    const size_t zr = ZSTD_decompressDCtx(ctx, dict_buf.data(),
+                                          (size_t)raw32, data + 8,
+                                          (size_t)comp32);
+    ZSTD_freeDCtx(ctx);
+    if (ZSTD_isError(zr) || zr != (size_t)raw32) return -17;
+    dict_codes = dict_buf.data();
+    dict_len = (long long)raw32;
+    data += 8 + comp32;
+    n -= 8 + (long long)comp32;
+  }
+  return fq_decompress_mt_v3_impl(data, n, qoffset, dict_codes, dict_len,
+                                  workers, out_fd, out_handle, out_ptr,
+                                  err_info);
 }
 
 }  // extern "C"

@@ -104,20 +104,62 @@ def test_native_cli_error_strings(tmp_path):
     assert b"corrupted zstd frame" in r.stderr
 
 
-def test_native_cli_python_fallbacks(tmp_path):
+def test_native_cli_v3_compress(tmp_path):
     data = _fastq(400, seed=3)
     src = tmp_path / "in.fq"
     src.write_bytes(data)
-    # --format native execs the Python CLI (v3 container comes back)
+    # --format native runs the whole-file MT v3 compress in-process
+    # (E080), byte-identical to the library path
     out3 = tmp_path / "o3.fqz"
     r = _run(["--format", "native", "-i", str(src), "-o", str(out3)])
     assert r.returncode == 0, r.stderr
-    assert out3.read_bytes()[4] == 3  # v3 version byte
-    # native binary -d on a v3 container also execs Python, round-trips
+    blob = out3.read_bytes()
+    assert blob[4] == 3  # v3 version byte
+    assert blob == fq.compress_bytes(
+        data, fq.Options(version=fq.container.VERSION_3_NATIVE)
+    )
+    # --format=VALUE spelling matches argparse's
+    r = _run(["--format=native", "-c", str(src)])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout == blob
+    # native binary -d decodes the v3 container in-process
     dec = tmp_path / "d3.fq"
     r = _run(["-d", "-i", str(out3), "-o", str(dec)])
     assert r.returncode == 0, r.stderr
     assert dec.read_bytes() == data
+
+
+def test_native_cli_v3_dict_probe_fallback(tmp_path):
+    # coverage-redundant reads: block 0's probe fires, the native call
+    # returns FALLBACK without writing a byte, and the exec'd Python CLI
+    # builds the FLAG_SEQ_DICT container
+    g = np.random.default_rng(5)
+    genome = g.integers(0, 4, 40_000).astype(np.uint8)
+    starts = g.integers(0, 40_000 - 151, 4000)
+    rows = np.frombuffer(b"ACGT", np.uint8)[
+        genome[starts[:, None] + np.arange(151)]
+    ]
+    data = b"".join(
+        b"@r%d\n%s\n+\n%s\n" % (i, rows[i].tobytes(), b"I" * 151)
+        for i in range(len(rows))
+    )
+    src = tmp_path / "cov.fq"
+    src.write_bytes(data)
+    out3 = tmp_path / "cov.fqz"
+    r = _run(
+        ["--format", "native", "-b", "1000", "-i", str(src), "-o", str(out3)]
+    )
+    assert r.returncode == 0, r.stderr
+    blob = out3.read_bytes()
+    assert blob[4] == 3
+    assert blob[9] & fq.container.FLAG_SEQ_DICT
+    assert fq.decompress_bytes(blob) == data
+
+
+def test_native_cli_python_fallbacks(tmp_path):
+    data = _fastq(400, seed=3)
+    src = tmp_path / "in.fq"
+    src.write_bytes(data)
     # gzip input: exec fallback handles transparent gunzip
     import gzip as _gzip
 

@@ -292,9 +292,11 @@ def _mt_v3_decode(comp: bytes):
 
     if not (bindings.available() and bindings.decompress_mt_v3_available()):
         pytest.skip("native v3 MT decoder unavailable")
+    fh = container.read_file_header(io.BytesIO(comp))
+    qoffset = 64 if fh.flags & container.FLAG_PHRED64 else 33
     sink = io.BytesIO()
     res = bindings.decompress_mt_v3(
-        np.frombuffer(comp[10:], np.uint8), 33, 2, -1, sink=sink
+        np.frombuffer(comp[10:], np.uint8), qoffset, 2, -1, sink=sink
     )
     return res, sink.getvalue()
 
@@ -321,6 +323,141 @@ def test_mt_v3_decode_engages_and_matches(tmp_path):
     comp = compress_native_bytes(data, block_size=5000)
     res, out = _mt_v3_decode(comp)
     assert res == len(data) and out == data
+    # public API end-to-end (routes through the MT path)
+    assert fq.decompress_bytes(comp) == data
+
+
+def _markov_corpus(nrec=30_000, L=151, sticky=0.65, seed=3) -> bytes:
+    """Correlated DNA: the picks choose TAG_SCTX for the seq stream."""
+    g = np.random.default_rng(seed)
+    sym = np.frombuffer(b"ACGT", np.uint8)
+    steps = g.random((nrec, L))
+    jumps = g.integers(1, 4, (nrec, L))
+    bases = np.zeros((nrec, L), np.uint8)
+    bases[:, 0] = g.integers(0, 4, nrec)
+    for p in range(1, L):
+        stay = steps[:, p] < sticky
+        bases[:, p] = np.where(
+            stay, bases[:, p - 1], (bases[:, p - 1] + jumps[:, p]) % 4
+        )
+    recs = []
+    for i in range(nrec):
+        recs.append(
+            b"@r%d\n%s\n+\n%s\n"
+            % (i, sym[bases[i]].tobytes(), b"I" * L)
+        )
+    return b"".join(recs)
+
+
+def _genome_corpus(nrec=4000, L=151, genome_len=40_000, seed=5) -> bytes:
+    """Coverage-redundant reads: the picks choose TAG_SLDM / the
+    cross-block container dictionary."""
+    g = np.random.default_rng(seed)
+    sym = np.frombuffer(b"ACGT", np.uint8)
+    genome = g.integers(0, 4, genome_len).astype(np.uint8)
+    starts = g.integers(0, genome_len - L, nrec)
+    rows = sym[genome[starts[:, None] + np.arange(L)]]
+    return b"".join(
+        b"@c%d\n%s\n+\n%s\n" % (i, rows[i].tobytes(), b"F" * L)
+        for i in range(nrec)
+    )
+
+
+def _first_seq_tag(comp: bytes) -> int:
+    buf = io.BytesIO(comp)
+    fh = container.read_file_header(buf)
+    if fh.flags & container.FLAG_SEQ_DICT:
+        container.read_seq_dict_section(buf)
+    hdr = container.read_block_header(buf, fh.version)
+    payload = buf.read(sum(hdr.stream_sizes(container.VERSION_2)))
+    return payload[0]
+
+
+def test_mt_v3_decode_sctx_envelope():
+    """E081: TAG_SCTX containers decode through the whole-file native
+    path byte-exactly (no per-block fallback)."""
+    data = _markov_corpus()
+    comp = compress_native_bytes(data)
+    assert _first_seq_tag(comp) == native.TAG_SCTX
+    res, out = _mt_v3_decode(comp)
+    assert res == len(data) and out == data
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_mt_v3_decode_sldm_envelope():
+    """E081: TAG_SLDM containers (single block, no dict section) decode
+    through the whole-file native path byte-exactly."""
+    data = _genome_corpus()
+    comp = compress_native_bytes(data)  # one 100k-record block: no dict
+    fh = container.read_file_header(io.BytesIO(comp))
+    assert not (fh.flags & container.FLAG_SEQ_DICT)
+    assert _first_seq_tag(comp) == native.TAG_SLDM
+    res, out = _mt_v3_decode(comp)
+    assert res == len(data) and out == data
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_mt_v3_decode_wctx_container():
+    """E081: TAG_WCTX (device-mesh context coded) containers decode
+    through the whole-file native path byte-exactly — block-level MT
+    over the AVX2 lockstep twin."""
+    from fastqpacker_tpu.parallel import mesh as pmesh
+    from fastqpacker_tpu.pipeline import meshpipe
+
+    data = _markov_corpus(nrec=6000)
+    mesh = pmesh.make_mesh(8)
+    comp = meshpipe.compress_mesh_bytes(
+        data, fq.Options(block_size=700), mesh
+    )
+    # the corpus must actually exercise the wctx tag somewhere
+    buf = io.BytesIO(comp)
+    fh = container.read_file_header(buf)
+    if fh.flags & container.FLAG_SEQ_DICT:
+        container.read_seq_dict_section(buf)
+    tags = set()
+    while True:
+        bh = container.read_block_header(buf, fh.version)
+        if bh is None:
+            break
+        payload = buf.read(sum(bh.stream_sizes(container.VERSION_2)))
+        sizes = bh.stream_sizes(container.VERSION_2)
+        off = 0
+        for k in range(3):
+            if sizes[k]:
+                tags.add(payload[off])
+            off += sizes[k]
+        for k in range(3, 6):
+            off += sizes[k]
+    assert container.TAG_WCTX in tags, tags
+    if not (fh.flags & container.FLAG_SEQ_DICT):
+        res, out = _mt_v3_decode(comp)
+        assert res == len(data) and out == data
+    assert fq.decompress_bytes(comp) == data
+
+
+def test_mt_v3_decode_dict_container():
+    """E081: FLAG_SEQ_DICT containers decode through the whole-file
+    native path — the container dictionary is referenced as the
+    TAG_SLDM match prefix for every block."""
+    from fastqpacker_tpu.ops import sldm
+    from fastqpacker_tpu.runtime import bindings
+
+    if not (bindings.available() and bindings.decompress_mt_v3_ex_available()):
+        pytest.skip("native v3 MT dict decoder unavailable")
+    data = _genome_corpus(nrec=6000)
+    comp = compress_native_bytes(data, block_size=1500)  # 4 blocks
+    buf = io.BytesIO(comp)
+    fh = container.read_file_header(buf)
+    assert fh.flags & container.FLAG_SEQ_DICT
+    raw_len, dcomp = container.read_seq_dict_section(buf)
+    seq_dict = sldm.decompress_dict(dcomp, raw_len)
+    body = comp[buf.tell():]
+    qoffset = 64 if fh.flags & container.FLAG_PHRED64 else 33
+    sink = io.BytesIO()
+    res = bindings.decompress_mt_v3_ex(
+        np.frombuffer(body, np.uint8), qoffset, 2, seq_dict, -1, sink=sink
+    )
+    assert res == len(data) and sink.getvalue() == data
     # public API end-to-end (routes through the MT path)
     assert fq.decompress_bytes(comp) == data
 
