@@ -1,9 +1,12 @@
 """Weak-scaling harness for the sharded entropy stage (BASELINE.md: GB/s
 at 1 chip / 1 host / N hosts; >= 80% weak-scaling efficiency at 2+).
 
-Each device gets a constant-size stream (default 8 MB); the batch grows
-with the mesh, so perfect weak scaling is flat time / linear aggregate
-throughput. Timing is chained inside one jit (single dispatch per
+Each device gets a constant-size stream (default 16 MB — the
+production-representative size E079 capped the mesh-entropy metric at;
+the old 8 MB default sat one lane tier lower and recorded 297 MB/s
+where the 16 MB metric recorded 820 on the same stage, VERDICT r4 weak
+#5); the batch grows with the mesh, so perfect weak scaling is flat
+time / linear aggregate throughput. Timing is chained inside one jit (single dispatch per
 measurement — the relay adds ~80 ms per round trip and dedupes identical
 dispatches, CLAUDE.md).
 
@@ -83,7 +86,7 @@ def measure(d: int, mb: int, steps: int = 4) -> float:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mb-per-device", type=int, default=8)
+    ap.add_argument("--mb-per-device", type=int, default=16)
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     # sitecustomize pins JAX_PLATFORMS=axon; env vars alone cannot force
     # the virtual CPU mesh (CLAUDE.md) — the live config update can.
