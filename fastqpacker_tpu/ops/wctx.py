@@ -117,6 +117,23 @@ def pick_lanes(n: int) -> int:
     return 256
 
 
+def pick_lanes_for(hist: np.ndarray, n: int) -> int:
+    """Ratio-aware lane pick (E085, ROADMAP lane-count/ratio tradeoff):
+    start from the speed tier and halve while the 4 B/lane states
+    exceed 0.5% of the ESTIMATED coded size — on high-ratio context
+    streams (the configurations wctx exists for) the raw-size tier
+    otherwise spends 1-2% of the container on states. Floor 1024: the
+    E057 lane sweep puts 1024 lanes at roughly half the 8192-lane
+    device throughput, the documented cost cap for this trade. The
+    states are ~half real payload (encode starts each lane at RANS_L =
+    2^16 and stores a 32-bit state), so shrinking the lane count — not
+    state compression — is the only real lever."""
+    N = pick_lanes(n)
+    while N > 1024 and 4 * N > estimate_size(hist, N) * 0.005:
+        N //= 2
+    return N
+
+
 def _pick_smax(steps: int) -> int:
     s = 256
     while s < steps:
@@ -448,17 +465,39 @@ def pack_planes(tab: np.ndarray, H: int, L: int) -> np.ndarray:
 
 def _ctx_fetch(ctx, planes, L: int, B: int):
     """Fetch rows[ctx] of a (C, B) table from int8 planes: (N,) int32
-    ctx -> (N, B) int32, via two int8 MXU dots + a one-hot select."""
+    ctx -> (N, B) int32, bit-exact on the MXU.
+
+    Two strategies over the SAME plane memory ((H, L*B) C-order ==
+    (H*L, B) C-order, so the reshape is free):
+
+    - fused single-dot (E084): one-hot over the full padded context,
+      (N, C_pad) int8 @ (C_pad, B). The factorized path materialized an
+      (N, L*B) int32 intermediate per scan step — 64 MB/step for the
+      qual model at N=16384 — and the kernel was HBM-traffic-bound on
+      exactly that tensor (measured ~137 us/step ~= the 130 MB/step
+      traffic at HBM speed). The fused dot's traffic is the (N, C_pad)
+      int8 one-hot + the (N, B) result. Used when the one-hot is
+      smaller than the old intermediate (H <= 4B: every qual model).
+    - factorized two-dot + select (E066): hi/lo split keeps the one-hot
+      narrow when C_pad is large relative to L*B (seq order 4/6, B=4).
+    """
     H = planes.shape[1]
+    C_pad = H * L
+    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    if H <= 4 * B:
+        p = planes.reshape(2, C_pad, B)
+        oh = (
+            ctx[:, None] == jax.lax.iota(jnp.int32, C_pad)[None, :]
+        ).astype(jnp.int8)
+        return dot(oh, p[0]) + (dot(oh, p[1]) << 7)
     hi = ctx // L
     lo = ctx - hi * L
     oh_hi = (
         hi[:, None] == jax.lax.iota(jnp.int32, H)[None, :]
     ).astype(jnp.int8)
-    dot = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
     tmp = dot(oh_hi, planes[0]) + (dot(oh_hi, planes[1]) << 7)
     sel = (
         lo[:, None] == jax.lax.iota(jnp.int32, L)[None, :]
@@ -487,6 +526,12 @@ def _encode_kernel(
     decoder reconstructs the same mask from the lengths, so pads cost no
     bits and never pollute the context tables. Returns (emits, emask,
     states)."""
+    # In-scan fetch with the fused single-dot _ctx_fetch (E085). Two
+    # hoisted-fetch variants were built and measured SLOWER on-chip
+    # (PERFORMANCE.md E085: lax.map batched prelude 70 MB/s, statically
+    # unrolled 8-segment matmul prelude 114, in-scan fused 120): the
+    # cost scales with per-symbol one-hot/select elements, which the
+    # hoist does not reduce — it only moves them.
     sym_rev = jnp.roll(jnp.flip(symm, axis=0), -(S - steps), axis=0)
     ctx_rev = jnp.roll(jnp.flip(ctxm, axis=0), -(S - steps), axis=0)
     row_rev = jnp.roll(

@@ -782,7 +782,11 @@ def wctx_encode_streams(
     if max_n == 0:
         res = [None] * d
         return (lambda: res) if async_result else res
-    N = lanes or wctx.pick_lanes(max_n)
+    # one lane count per group (the sharded program is compiled per
+    # (S_pad, N, L, B)): the most ratio-constrained block decides (E085)
+    N = lanes or min(
+        wctx.pick_lanes_for(j[2], len(j[0])) for j in jobs if j
+    )
 
     preps = [
         _wctx_block_prep(j[0], j[1], j[2], model, order, N) if j else None

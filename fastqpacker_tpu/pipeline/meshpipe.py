@@ -80,7 +80,7 @@ def _plan_seq(ordereds, lengths_l, codec, seq_dict=None):
                 if k < seqctx.MAX_ORDER
                 else info["hist6"]
             )
-            e = wctx.estimate_size(h, wctx.pick_lanes(int(h.sum())))
+            e = wctx.estimate_size(h, wctx.pick_lanes_for(h, int(h.sum())))
             info.setdefault("est", {})[k] = e
             tot += e
             any_b = True
@@ -108,10 +108,13 @@ def _plan_qual(ordereds, lengths_l, codec):
                 raw_q, hist2 = qualctx.prepare(q_arr, lens)
                 hist0 = qualctx.hist_for_model(hist2, 0)
                 if int((hist0.any(axis=0)).sum()) <= wctx.B_MAX:
-                    lanes = wctx.pick_lanes(len(q))
                     est = {
-                        0: wctx.estimate_size(hist0, lanes),
-                        1: wctx.estimate_size(hist2, lanes),
+                        0: wctx.estimate_size(
+                            hist0, wctx.pick_lanes_for(hist0, len(q))
+                        ),
+                        1: wctx.estimate_size(
+                            hist2, wctx.pick_lanes_for(hist2, len(q))
+                        ),
                     }
                     est_w = min(est.values())
                     # same est-noise slack as the seq gate: actual

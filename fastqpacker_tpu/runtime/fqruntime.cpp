@@ -1710,20 +1710,163 @@ int fq_qctx_encode(const uint8_t* raw, long long n, const long long* lengths,
 // Forward decode: words runs are concatenated per chunk (wstarts[k] is
 // chunk k's first word index, nwords[k] its count). Emits the *delta*
 // stream directly. Returns 0, or a negative error on corrupt input.
+// Pair-interleaved qctx decode machinery (E084, same design as the
+// sctx walk): chunks are the independence boundary; two chunks decode
+// in one loop so their slot-table load chains overlap.
+struct QctxDCtx {
+  const uint16_t* words;
+  const uint8_t* slot_tab;   // (nctx, 4096) slot -> symbol
+  const uint32_t* fcum;      // (nctx, 256) f<<12 | cum — ONE load where
+                             // the old walk did freq[] + cum[]
+  const long long* lengths;
+  uint8_t* out;
+  int model;
+};
+
+struct QctxCur {
+  uint32_t x0, x1, x2, x3;
+  long long wi, wend;
+  long long r, rend;
+  long long p, L;
+  long long j;  // flat output index
+  int prev, prev2;
+  int err;
+};
+
+static inline bool qctx_start_record(const QctxDCtx& e, QctxCur& c) {
+  for (;;) {
+    if (c.r >= c.rend) {
+      if (c.wi != c.wend && !c.err) c.err = -3;
+      return false;
+    }
+    const long long L = e.lengths[c.r++];
+    c.p = 0;
+    c.prev = 0;
+    c.prev2 = 0;
+    c.L = L;
+    if (L > 0) return true;
+  }
+}
+
+__attribute__((always_inline)) static inline bool qctx_step_fast(const QctxDCtx& e, uint32_t& x0,
+                                  uint32_t& x1, uint32_t& x2, uint32_t& x3,
+                                  long long& wi, long long& p, long long& j,
+                                  int& prev, int& prev2) {
+  uint32_t x = x0;
+  const int qbin = (p == 0) ? (QCTX_QBINS - 1) : (prev < 46 ? prev : 46);
+  long long pb = p >> 4;
+  if (pb > QCTX_PBUCKETS - 1) pb = QCTX_PBUCKETS - 1;
+  size_t cb = (size_t)(pb * QCTX_QBINS + qbin);
+  if (e.model) {
+    const int q2b = (p < 2) ? (QCTX_Q2B - 1)
+                            : ((prev2 < 46 ? prev2 : 46) >> 3);
+    cb = cb * QCTX_Q2B + (size_t)q2b;
+  }
+  const uint32_t sl = x & (QCTX_SCALE - 1);
+  const uint32_t s = e.slot_tab[cb * QCTX_SCALE + sl];
+  const uint32_t ec = e.fcum[cb * 256 + s];
+  const uint32_t f = ec >> QCTX_PROB_BITS;
+  if (!f) return false;
+  x = f * (x >> QCTX_PROB_BITS) + sl - (ec & (QCTX_SCALE - 1));
+  const uint32_t lt = x < QCTX_L;
+  const uint32_t w = e.words[wi];
+  x = lt ? ((x << 16) | w) : x;
+  wi += lt;
+  x0 = x1;
+  x1 = x2;
+  x2 = x3;
+  x3 = x;
+  e.out[j] = (uint8_t)((int)s - (p > 0 ? prev : 0));
+  prev2 = prev;
+  prev = (int)s;
+  p++;
+  j++;
+  return true;
+}
+
+// Scarce-word flavor (see sctx_step_scarce). Returns 0, -2 or -5.
+__attribute__((always_inline)) static inline int qctx_step_scarce(
+    const QctxDCtx& e, uint32_t& x0, uint32_t& x1, uint32_t& x2,
+    uint32_t& x3, long long& wi, long long wend, long long& p,
+    long long& j, int& prev, int& prev2) {
+  uint32_t x = x0;
+  const int qbin = (p == 0) ? (QCTX_QBINS - 1) : (prev < 46 ? prev : 46);
+  long long pb = p >> 4;
+  if (pb > QCTX_PBUCKETS - 1) pb = QCTX_PBUCKETS - 1;
+  size_t cb = (size_t)(pb * QCTX_QBINS + qbin);
+  if (e.model) {
+    const int q2b = (p < 2) ? (QCTX_Q2B - 1)
+                            : ((prev2 < 46 ? prev2 : 46) >> 3);
+    cb = cb * QCTX_Q2B + (size_t)q2b;
+  }
+  const uint32_t sl = x & (QCTX_SCALE - 1);
+  const uint32_t s = e.slot_tab[cb * QCTX_SCALE + sl];
+  const uint32_t ec = e.fcum[cb * 256 + s];
+  const uint32_t f = ec >> QCTX_PROB_BITS;
+  if (!f) return -5;
+  x = f * (x >> QCTX_PROB_BITS) + sl - (ec & (QCTX_SCALE - 1));
+  if (x < QCTX_L) {
+    if (wi >= wend) return -2;
+    x = (x << 16) | e.words[wi++];
+  }
+  x0 = x1;
+  x1 = x2;
+  x2 = x3;
+  x3 = x;
+  e.out[j] = (uint8_t)((int)s - (p > 0 ? prev : 0));
+  prev2 = prev;
+  prev = (int)s;
+  p++;
+  j++;
+  return 0;
+}
+
+static void qctx_finish_single(const QctxDCtx& e, QctxCur& c, bool live) {
+  while (live) {
+    const long long m = c.L - c.p;
+    const bool fast = c.wend - c.wi >= m;
+    uint32_t x0 = c.x0, x1 = c.x1, x2 = c.x2, x3 = c.x3;
+    long long wi = c.wi, p = c.p, j = c.j;
+    int prev = c.prev, prev2 = c.prev2;
+    if (fast) {
+      for (long long t = 0; t < m; t++) {
+        if (!qctx_step_fast(e, x0, x1, x2, x3, wi, p, j, prev, prev2)) {
+          c.err = -5;
+          return;
+        }
+      }
+    } else {
+      for (long long t = 0; t < m; t++) {
+        const int rc = qctx_step_scarce(e, x0, x1, x2, x3, wi, c.wend, p,
+                                        j, prev, prev2);
+        if (rc) {
+          c.err = rc;
+          return;
+        }
+      }
+    }
+    c.x0 = x0; c.x1 = x1; c.x2 = x2; c.x3 = x3;
+    c.wi = wi; c.p = p; c.j = j;
+    c.prev = prev; c.prev2 = prev2;
+    live = qctx_start_record(e, c);
+  }
+}
+
 int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
                    const long long* nwords, const uint32_t* states,
                    long long n, const long long* lengths, long long nrec,
                    const uint16_t* freq, uint8_t* delta_out, int model) {
   const int nctx = model ? QCTX_NCTX2 : QCTX_NCTX;
-  // slot -> symbol tables and cumulative freqs for used contexts
+  // slot -> symbol table plus a combined f<<12|cum row (E084: one
+  // dependent load on the symbol where the old walk did two)
   std::vector<uint8_t> slot((size_t)nctx * QCTX_SCALE, 0);
-  std::vector<uint32_t> cum((size_t)nctx * 256, 0);
+  std::vector<uint32_t> fcum((size_t)nctx * 256, 0);
   for (int c = 0; c < nctx; c++) {
     uint32_t acc = 0;
     uint8_t* sl = slot.data() + (size_t)c * QCTX_SCALE;
     for (int s = 0; s < 256; s++) {
       uint32_t f = freq[(size_t)c * 256 + s];
-      cum[(size_t)c * 256 + s] = acc;
+      fcum[(size_t)c * 256 + s] = (f << QCTX_PROB_BITS) | acc;
       if (acc + f > QCTX_SCALE) return -4;
       for (uint32_t i = 0; i < f; i++) sl[acc + i] = (uint8_t)s;
       acc += f;
@@ -1737,35 +1880,77 @@ int fq_qctx_decode(const uint16_t* words, const long long* wstarts,
   for (long long r = 0; r < nrec; r++) total += lengths[r];
   if (total != n) return -1;
 
-  for (int k = 0; k < QCTX_CHUNKS; k++) {
-    uint32_t xs[4];
-    for (int si = 0; si < 4; si++) xs[si] = states[k * 4 + si];
-    long long wi = wstarts[k];
-    long long wend = wi + nwords[k];
-    long long j = sb[k];
-    for (long long r = rb[k]; r < rb[k + 1]; r++) {
-      long long L = lengths[r];
-      int prev = 0, prev2 = 0;
-      for (long long p = 0; p < L; p++, j++) {
-        int si = (int)((j - sb[k]) & 3);
-        uint32_t x = xs[si];
-        size_t cbase = (size_t)qctx_ctx_m(model, p, prev, prev2) * 256;
-        uint32_t sl = x & (QCTX_SCALE - 1);
-        uint8_t s = slot[(cbase / 256) * QCTX_SCALE + sl];
-        uint32_t f = freq[cbase + s];
-        if (!f) return -5;
-        x = f * (x >> QCTX_PROB_BITS) + sl - cum[cbase + s];
-        if (x < QCTX_L) {
-          if (wi >= wend) return -2;
-          x = (x << 16) | words[wi++];
-        }
-        xs[si] = x;
-        delta_out[j] = (uint8_t)(s - prev * (p > 0 ? 1 : 0));
-        prev2 = prev;
-        prev = s;
+  const QctxDCtx e{words, slot.data(), fcum.data(), lengths, delta_out,
+                   model};
+  auto init_cur = [&](int k, QctxCur& c) {
+    c.x0 = states[k * 4];
+    c.x1 = states[k * 4 + 1];
+    c.x2 = states[k * 4 + 2];
+    c.x3 = states[k * 4 + 3];
+    c.wi = wstarts[k];
+    c.wend = c.wi + nwords[k];
+    c.r = rb[k];
+    c.rend = rb[k + 1];
+    c.p = 0;
+    c.L = 0;
+    c.j = sb[k];
+    c.prev = 0;
+    c.prev2 = 0;
+    c.err = 0;
+  };
+
+  for (int kp = 0; kp < QCTX_CHUNKS; kp += 2) {
+    QctxCur A, B;
+    init_cur(kp, A);
+    const bool have_b = kp + 1 < QCTX_CHUNKS;
+    if (have_b) init_cur(kp + 1, B);
+    bool al = qctx_start_record(e, A);
+    bool bl = have_b && qctx_start_record(e, B);
+    while (al && bl) {
+      const long long ma = A.L - A.p;
+      const long long mb = B.L - B.p;
+      const long long m = ma < mb ? ma : mb;
+      const bool af = A.wend - A.wi >= m;
+      const bool bf = B.wend - B.wi >= m;
+      uint32_t ax0 = A.x0, ax1 = A.x1, ax2 = A.x2, ax3 = A.x3;
+      uint32_t bx0 = B.x0, bx1 = B.x1, bx2 = B.x2, bx3 = B.x3;
+      long long awi = A.wi, bwi = B.wi;
+      long long ap = A.p, bp = B.p;
+      long long aj = A.j, bj = B.j;
+      int aprev = A.prev, aprev2 = A.prev2;
+      int bprev = B.prev, bprev2 = B.prev2;
+      for (long long t = 0; t < m; t++) {
+        int rc;
+        if (af)
+          rc = qctx_step_fast(e, ax0, ax1, ax2, ax3, awi, ap, aj, aprev,
+                              aprev2)
+                   ? 0
+                   : -5;
+        else
+          rc = qctx_step_scarce(e, ax0, ax1, ax2, ax3, awi, A.wend, ap,
+                                aj, aprev, aprev2);
+        if (rc) return rc;
+        if (bf)
+          rc = qctx_step_fast(e, bx0, bx1, bx2, bx3, bwi, bp, bj, bprev,
+                              bprev2)
+                   ? 0
+                   : -5;
+        else
+          rc = qctx_step_scarce(e, bx0, bx1, bx2, bx3, bwi, B.wend, bp,
+                                bj, bprev, bprev2);
+        if (rc) return rc;
       }
+      A.x0 = ax0; A.x1 = ax1; A.x2 = ax2; A.x3 = ax3;
+      A.wi = awi; A.p = ap; A.j = aj; A.prev = aprev; A.prev2 = aprev2;
+      B.x0 = bx0; B.x1 = bx1; B.x2 = bx2; B.x3 = bx3;
+      B.wi = bwi; B.p = bp; B.j = bj; B.prev = bprev; B.prev2 = bprev2;
+      if (A.p >= A.L) al = qctx_start_record(e, A);
+      if (B.p >= B.L) bl = qctx_start_record(e, B);
     }
-    if (wi != wend) return -3;
+    qctx_finish_single(e, A, al);
+    if (have_b) qctx_finish_single(e, B, bl);
+    if (A.err) return A.err;
+    if (have_b && B.err) return B.err;
   }
   return 0;
 }
@@ -1988,6 +2173,171 @@ int fq_sctx_encode(const uint8_t* bases, long long n, const long long* lengths,
   return 0;
 }
 
+// Pair-interleaved sctx decode machinery (E084). The single-chunk walk
+// is bound by its serial ctx -> row-load -> compare -> ctx chain
+// (~9-11 cycles/symbol), not by ALU width; chunks are the independence
+// boundary (states and words interleave across lanes WITHIN a chunk,
+// ctx resets per record but the lane queue does not), so two chunks
+// decoded in one loop overlap their chains for ~free.
+struct SctxDCtx {
+  const uint16_t* words;
+  const uint16_t* rowbase;  // {0, c1, c2, c3, f0..f3} x16B per context
+  uint32_t mask;
+  const long long* lengths;
+  uint8_t* out;
+  long long cap;
+};
+
+struct SctxCur {
+  uint32_t x0, x1, x2, x3;  // rotating lane queue (lane of next symbol
+                            // is always x0; chunk starts at lane 0)
+  uint32_t ctx;
+  long long wi, wend;
+  long long r, rend;
+  long long p, L;
+  long long po;
+  uint8_t* orow;
+  uint8_t acc;
+  int err;  // 0 ok; -2 truncated words, -3 trailing, -5 bad freq,
+            // -6 packed overflow, -1 bad length
+};
+
+// Advance to the next record with symbols; false at chunk end or error.
+static inline bool sctx_start_record(const SctxDCtx& e, SctxCur& c) {
+  for (;;) {
+    if (c.r >= c.rend) {
+      if (c.wi != c.wend && !c.err) c.err = -3;
+      return false;
+    }
+    const long long L = e.lengths[c.r++];
+    if (L < 0) {
+      c.err = -1;
+      return false;
+    }
+    const long long rowb = (L + 3) >> 2;
+    if (c.po + rowb > e.cap) {
+      c.err = -6;
+      return false;
+    }
+    c.orow = e.out + c.po;
+    c.po += rowb;
+    c.p = 0;
+    c.ctx = 0;
+    c.acc = 0;
+    c.L = L;
+    if (L > 0) return true;
+  }
+}
+
+// One symbol with branchless renorm; the caller guarantees words[wi] is
+// readable (word budget >= symbols this run). Returns false on a
+// zero-frequency row (corrupt table walk).
+__attribute__((always_inline)) static inline bool sctx_step_fast(const SctxDCtx& e, uint32_t& x0,
+                                  uint32_t& x1, uint32_t& x2, uint32_t& x3,
+                                  uint32_t& ctx, long long& wi,
+                                  uint8_t& acc, long long& p,
+                                  uint8_t* orow) {
+  uint32_t x = x0;
+  const uint32_t slot = x & (SCTX_SCALE - 1);
+  const uint16_t* row = e.rowbase + (size_t)ctx * 8;
+  const uint32_t s = (uint32_t)((slot >= row[1]) + (slot >= row[2]) +
+                                (slot >= row[3]));
+  const uint32_t f = row[4 + s];
+  if (!f) return false;
+  x = f * (x >> 12) + slot - row[s];
+  const uint32_t lt = x < SCTX_L;
+  const uint32_t w = e.words[wi];
+  x = lt ? ((x << 16) | w) : x;
+  wi += lt;
+  ctx = ((ctx << 2) | s) & e.mask;
+  x0 = x1;
+  x1 = x2;
+  x2 = x3;
+  x3 = x;
+  acc |= (uint8_t)(s << ((p & 3) * 2));
+  if ((p & 3) == 3) {
+    orow[p >> 2] = acc;
+    acc = 0;
+  }
+  p++;
+  return true;
+}
+
+// Scarce-word flavor: renorm is a (rare, well-predicted) branch with an
+// in-branch bounds check — for highly-skewed streams whose word count
+// is far below the symbol count, where the branchless read would run
+// past the stream. Returns 0, -2 (words exhausted) or -5 (bad table).
+__attribute__((always_inline)) static inline int sctx_step_scarce(
+    const SctxDCtx& e, uint32_t& x0, uint32_t& x1, uint32_t& x2,
+    uint32_t& x3, uint32_t& ctx, long long& wi, long long wend,
+    uint8_t& acc, long long& p, uint8_t* orow) {
+  uint32_t x = x0;
+  const uint32_t slot = x & (SCTX_SCALE - 1);
+  const uint16_t* row = e.rowbase + (size_t)ctx * 8;
+  const uint32_t s = (uint32_t)((slot >= row[1]) + (slot >= row[2]) +
+                                (slot >= row[3]));
+  const uint32_t f = row[4 + s];
+  if (!f) return -5;
+  x = f * (x >> 12) + slot - row[s];
+  if (x < SCTX_L) {
+    if (wi >= wend) return -2;
+    x = (x << 16) | e.words[wi++];
+  }
+  ctx = ((ctx << 2) | s) & e.mask;
+  x0 = x1;
+  x1 = x2;
+  x2 = x3;
+  x3 = x;
+  acc |= (uint8_t)(s << ((p & 3) * 2));
+  if ((p & 3) == 3) {
+    orow[p >> 2] = acc;
+    acc = 0;
+  }
+  p++;
+  return 0;
+}
+
+// Finish one chunk alone: whole-record runs on register-cached state;
+// the renorm flavor per run is branchless when the word budget covers
+// the run and branchy-rare otherwise.
+static void sctx_finish_single(const SctxDCtx& e, SctxCur& c, bool live) {
+  while (live) {
+    const long long m = c.L - c.p;
+    const bool fast = c.wend - c.wi >= m;
+    uint32_t x0 = c.x0, x1 = c.x1, x2 = c.x2, x3 = c.x3, ctx = c.ctx;
+    long long wi = c.wi, p = c.p;
+    uint8_t acc = c.acc;
+    uint8_t* orow = c.orow;
+    if (fast) {
+      for (long long t = 0; t < m; t++) {
+        if (!sctx_step_fast(e, x0, x1, x2, x3, ctx, wi, acc, p, orow)) {
+          c.err = -5;
+          return;
+        }
+      }
+    } else {
+      for (long long t = 0; t < m; t++) {
+        const int rc = sctx_step_scarce(e, x0, x1, x2, x3, ctx, wi,
+                                        c.wend, acc, p, orow);
+        if (rc) {
+          c.err = rc;
+          return;
+        }
+      }
+    }
+    c.x0 = x0;
+    c.x1 = x1;
+    c.x2 = x2;
+    c.x3 = x3;
+    c.ctx = ctx;
+    c.wi = wi;
+    c.p = p;
+    c.acc = acc;
+    if (c.L & 3) c.orow[c.L >> 2] = c.acc;
+    live = sctx_start_record(e, c);
+  }
+}
+
 // Forward decode straight into the packed-row wire layout.
 // Returns 0, or a negative error on corrupt input.
 int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
@@ -2024,119 +2374,99 @@ int fq_sctx_decode(const uint16_t* words, const long long* wstarts,
   long long rb[SCTX_CHUNKS + 1], sb[SCTX_CHUNKS + 1];
   qctx_chunks(lengths, nrec, rb, sb);
 
-  // One decode step: symbol from state X under ctx, renorm deferred to
-  // the caller (fast path reads the word stream unconditionally — the
-  // per-record word budget was checked up front; checked path guards).
-#define FQ_SCTX_STEP(X, SVAR)                                       \
-  {                                                                 \
-    const uint32_t slot_ = (X) & (SCTX_SCALE - 1);                  \
-    const uint16_t* row_ = rowbase + (size_t)ctx * 8;               \
-    SVAR = (uint32_t)((slot_ >= row_[1]) + (slot_ >= row_[2]) +     \
-                      (slot_ >= row_[3]));                          \
-    const uint32_t f_ = row_[4 + SVAR];                             \
-    if (!f_) return -5;                                             \
-    (X) = f_ * ((X) >> 12) + slot_ - row_[SVAR];                    \
-    ctx = ((ctx << 2) | SVAR) & mask;                               \
-  }
-#define FQ_SCTX_RENORM_FAST(X)                                      \
-  {                                                                 \
-    const uint32_t lt_ = (X) < SCTX_L;                              \
-    const uint32_t w_ = words[wi];                                  \
-    (X) = lt_ ? (((X) << 16) | w_) : (X);                           \
-    wi += lt_;                                                      \
-  }
-#define FQ_SCTX_RENORM_CHECKED(X)                                   \
-  if ((X) < SCTX_L) {                                               \
-    if (wi >= wend) return -2;                                      \
-    (X) = ((X) << 16) | words[wi++];                                \
+  // packed byte offset of each chunk's first record
+  long long pchunk[SCTX_CHUNKS + 1];
+  {
+    long long pref = 0, rr = 0;
+    for (int k = 0; k <= SCTX_CHUNKS; k++) {
+      while (rr < rb[k]) pref += (lengths[rr++] + 3) >> 2;
+      pchunk[k] = pref;
+    }
   }
 
-  // packed byte offset of each chunk's first record
-  long long pstart = 0, rr = 0;
-  for (int k = 0; k < SCTX_CHUNKS; k++) {
-    while (rr < rb[k]) pstart += (lengths[rr++] + 3) >> 2;
-    // chunk-interleaved states rotate through registers: symbol t uses
-    // state t%4, and j == sb[k] starts the chunk at lane 0, so a
-    // rotating 4-queue stays aligned across record boundaries
-    uint32_t x0 = states[k * 4], x1 = states[k * 4 + 1];
-    uint32_t x2 = states[k * 4 + 2], x3 = states[k * 4 + 3];
-    long long wi = wstarts[k];
-    const long long wend = wi + nwords[k];
-    long long po = pstart;
-    uint32_t ctx = 0;
-    for (long long r = rb[k]; r < rb[k + 1]; r++) {
-      const long long L = lengths[r];
-      if (po + ((L + 3) >> 2) > packed_cap) return -6;
-      ctx = 0;
-      uint8_t* orow = packed_out + po;
-      po += (L + 3) >> 2;
-      long long p = 0;
-      uint32_t s0, s1, s2, s3;
-      if (wend - wi >= L) {
-        // fast path: each symbol consumes at most one word, so the
-        // whole record's renorms are in bounds — branchless refill
-        for (; p + 4 <= L; p += 4) {
-          FQ_SCTX_STEP(x0, s0)
-          FQ_SCTX_RENORM_FAST(x0)
-          FQ_SCTX_STEP(x1, s1)
-          FQ_SCTX_RENORM_FAST(x1)
-          FQ_SCTX_STEP(x2, s2)
-          FQ_SCTX_RENORM_FAST(x2)
-          FQ_SCTX_STEP(x3, s3)
-          FQ_SCTX_RENORM_FAST(x3)
-          orow[p >> 2] =
-              (uint8_t)(s0 | (s1 << 2) | (s2 << 4) | (s3 << 6));
-        }
-        const long long t = L - p;
-        if (t) {
-          uint8_t acc = 0;
-          FQ_SCTX_STEP(x0, s0)
-          FQ_SCTX_RENORM_FAST(x0)
-          acc = (uint8_t)s0;
-          if (t > 1) {
-            FQ_SCTX_STEP(x1, s1)
-            FQ_SCTX_RENORM_FAST(x1)
-            acc |= (uint8_t)(s1 << 2);
-          }
-          if (t > 2) {
-            FQ_SCTX_STEP(x2, s2)
-            FQ_SCTX_RENORM_FAST(x2)
-            acc |= (uint8_t)(s2 << 4);
-          }
-          orow[p >> 2] = acc;
-          // rotate the lane queue left by t so lane 0 is next again
-          uint32_t t0 = x0, t1 = x1, t2 = x2, t3 = x3;
-          x0 = t == 1 ? t1 : t == 2 ? t2 : t3;
-          x1 = t == 1 ? t2 : t == 2 ? t3 : t0;
-          x2 = t == 1 ? t3 : t == 2 ? t0 : t1;
-          x3 = t == 1 ? t0 : t == 2 ? t1 : t2;
-        }
-      } else {
-        // word-starved tail (or hostile stream): per-symbol guards
-        uint8_t acc = 0;
-        for (; p < L; p++) {
-          FQ_SCTX_STEP(x0, s0)
-          FQ_SCTX_RENORM_CHECKED(x0)
-          const uint32_t t0 = x0;
-          x0 = x1;
-          x1 = x2;
-          x2 = x3;
-          x3 = t0;
-          acc |= (uint8_t)(s0 << ((p & 3) * 2));
-          if ((p & 3) == 3) {
-            orow[p >> 2] = acc;
-            acc = 0;
-          }
-        }
-        if (L & 3) orow[L >> 2] = acc;
+  const SctxDCtx e{words, rowbase, mask, lengths, packed_out, packed_cap};
+  auto init_cur = [&](int k, SctxCur& c) {
+    c.x0 = states[k * 4];
+    c.x1 = states[k * 4 + 1];
+    c.x2 = states[k * 4 + 2];
+    c.x3 = states[k * 4 + 3];
+    c.ctx = 0;
+    c.wi = wstarts[k];
+    c.wend = c.wi + nwords[k];
+    c.r = rb[k];
+    c.rend = rb[k + 1];
+    c.p = 0;
+    c.L = 0;
+    c.po = pchunk[k];
+    c.orow = nullptr;
+    c.acc = 0;
+    c.err = 0;
+  };
+
+  for (int kp = 0; kp < SCTX_CHUNKS; kp += 2) {
+    SctxCur A, B;
+    init_cur(kp, A);
+    const bool have_b = kp + 1 < SCTX_CHUNKS;
+    if (have_b) init_cur(kp + 1, B);
+    bool al = sctx_start_record(e, A);
+    bool bl = have_b && sctx_start_record(e, B);
+    while (al && bl) {
+      const long long ma = A.L - A.p;
+      const long long mb = B.L - B.p;
+      const long long m = ma < mb ? ma : mb;
+      // renorm flavor per stream per run: branchless when the word
+      // budget covers the run, branchy-rare otherwise (skewed streams
+      // carry far fewer words than symbols — the budget would
+      // otherwise starve every run down to the slow path)
+      const bool af = A.wend - A.wi >= m;
+      const bool bf = B.wend - B.wi >= m;
+      uint32_t ax0 = A.x0, ax1 = A.x1, ax2 = A.x2, ax3 = A.x3;
+      uint32_t bx0 = B.x0, bx1 = B.x1, bx2 = B.x2, bx3 = B.x3;
+      uint32_t actx = A.ctx, bctx = B.ctx;
+      long long awi = A.wi, bwi = B.wi;
+      long long ap = A.p, bp = B.p;
+      uint8_t aacc = A.acc, bacc = B.acc;
+      uint8_t* aor = A.orow;
+      uint8_t* bor = B.orow;
+      for (long long t = 0; t < m; t++) {
+        int rc;
+        if (af)
+          rc = sctx_step_fast(e, ax0, ax1, ax2, ax3, actx, awi, aacc, ap,
+                              aor)
+                   ? 0
+                   : -5;
+        else
+          rc = sctx_step_scarce(e, ax0, ax1, ax2, ax3, actx, awi, A.wend,
+                                aacc, ap, aor);
+        if (rc) return rc;
+        if (bf)
+          rc = sctx_step_fast(e, bx0, bx1, bx2, bx3, bctx, bwi, bacc, bp,
+                              bor)
+                   ? 0
+                   : -5;
+        else
+          rc = sctx_step_scarce(e, bx0, bx1, bx2, bx3, bctx, bwi, B.wend,
+                                bacc, bp, bor);
+        if (rc) return rc;
+      }
+      A.x0 = ax0; A.x1 = ax1; A.x2 = ax2; A.x3 = ax3;
+      A.ctx = actx; A.wi = awi; A.p = ap; A.acc = aacc;
+      B.x0 = bx0; B.x1 = bx1; B.x2 = bx2; B.x3 = bx3;
+      B.ctx = bctx; B.wi = bwi; B.p = bp; B.acc = bacc;
+      if (A.p >= A.L) {
+        if (A.L & 3) A.orow[A.L >> 2] = A.acc;
+        al = sctx_start_record(e, A);
+      }
+      if (B.p >= B.L) {
+        if (B.L & 3) B.orow[B.L >> 2] = B.acc;
+        bl = sctx_start_record(e, B);
       }
     }
-    if (wi != wend) return -3;
-    while (rr < rb[k + 1]) pstart += (lengths[rr++] + 3) >> 2;
+    sctx_finish_single(e, A, al);
+    if (have_b) sctx_finish_single(e, B, bl);
+    if (A.err) return A.err;
+    if (have_b && B.err) return B.err;
   }
-#undef FQ_SCTX_STEP
-#undef FQ_SCTX_RENORM_FAST
-#undef FQ_SCTX_RENORM_CHECKED
   return 0;
 }
 
