@@ -226,3 +226,21 @@ def test_estimate_tracks_actual_size():
     est = wctx.estimate_size(hist, N)
     actual = len(wctx.encode_stream(syms, lengths, 1, 0, lanes=N))
     assert abs(est - actual) / actual < 0.05, (est, actual)
+
+
+def test_pick_lanes_budget_scales_with_ratio():
+    """E085: the ratio-aware lane pick halves the tier while 4 B/lane
+    of states exceeds 0.5% of the ESTIMATED coded size (floor 1024);
+    incompressible streams keep the speed tier."""
+    C = wctx.QUAL_NUM_CTX
+    n = 16 << 20  # speed tier: 8192 lanes
+    # near-incompressible: uniform over 46 symbols -> est ~ 0.69n
+    hist_flat = np.zeros((C, 256), np.int64)
+    hist_flat[:, :46] = n // (C * 46)
+    assert wctx.pick_lanes_for(hist_flat, n) == wctx.pick_lanes(n) == 8192
+    # highly skewed: one dominant symbol -> tiny est -> states capped
+    hist_skew = np.zeros((C, 256), np.int64)
+    hist_skew[:, 40] = n // C
+    N = wctx.pick_lanes_for(hist_skew, n)
+    assert N < 8192 and N >= 1024
+    assert 4 * N <= wctx.estimate_size(hist_skew, N) * 0.005 or N == 1024
