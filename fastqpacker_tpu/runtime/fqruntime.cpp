@@ -5206,14 +5206,16 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         return;
       }
       // Cross-block dictionary envelope gate: when block 0's coverage
-      // probe fires, the Python path would build a FLAG_SEQ_DICT
-      // container (native.py compress_native) — outside this envelope.
-      // Signal fallback before writing anything.
+      // probe fires, a MULTI-block file would build a FLAG_SEQ_DICT
+      // container on the Python path (native.py compress_native) —
+      // outside this envelope. Flag it but keep encoding: the collector
+      // accepts the block when the scanner proves the file is
+      // single-block, where no dict is ever built (E086 — coverage-
+      // heavy single-block files otherwise paid an exec-to-Python
+      // round trip plus the per-block Python encode).
       if (j.idx == 0 &&
-          fqv3::coverage_probe(fb.streams[0], fb.sizes[0]) >= 0.002) {
+          fqv3::coverage_probe(fb.streams[0], fb.sizes[0]) >= 0.002)
         r.fallback = true;
-        return;
-      }
       // offset patch (fused_finish semantics): record starts in the
       // quality stream are the prefix sums of the lengths stream
       if (qoffset != 0) {
@@ -5387,7 +5389,10 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         // error with exact semantics, or proves it was a framing
         // artifact).
         long long resume_off, resume_idx;
-        if (!r.err && r.consumed > 0 && r.out.len > 0) {
+        // a fallback-flagged block-0 must not write its prefix: whether
+        // the bytes land is decided only after the block count is known
+        // (E086) — re-frame it from scratch instead
+        if (!r.err && !r.fallback && r.consumed > 0 && r.out.len > 0) {
           bool wok = header_written || write_file_header();
           if (wok)
             FQ_MT_TIME(stats.write_us,
@@ -5402,7 +5407,8 @@ long long fq_compress_mt(const uint8_t* text, long long n,
           resume_off = r.start + r.consumed;
           resume_idx = next + 1;
         } else {
-          resume_off = r.start + (r.err ? 0 : r.consumed);
+          resume_off =
+              r.start + ((r.err || r.fallback) ? 0 : r.consumed);
           resume_idx = next;
         }
         rpool.put(std::move(r.out));
@@ -5412,10 +5418,20 @@ long long fq_compress_mt(const uint8_t* text, long long n,
         continue;
       }
     }
+    if (r.fallback && !r.err) {
+      // block-0 coverage probe fired: only a MULTI-block file builds a
+      // FLAG_SEQ_DICT container on the Python path. Wait for the
+      // scanner's block count (always set under the collector lock,
+      // even on abort) and accept the already-encoded block when it is
+      // the only one (E086).
+      std::unique_lock<std::mutex> lk(col.mu);
+      col.cv.wait(lk, [&] { return col.total.load() >= 0; });
+      if (col.total.load() == 1) r.fallback = false;
+    }
     if (r.err || r.fallback) {
-      // fallback (v3 block-0 dict probe): nothing was written — the
-      // header is deferred until the first block result — so the caller
-      // can rerun the Python dict path on a clean sink.
+      // fallback (v3 block-0 dict probe, multi-block): nothing was
+      // written — the header is deferred until the first block result —
+      // so the caller can rerun the Python dict path on a clean sink.
       ret = r.fallback ? MT_ERR_FALLBACK : r.err;
       err_info[0] = r.e0;
       err_info[1] = r.e1;

@@ -97,11 +97,17 @@ awk -v in_sz="$input_size" -v out_sz="$compressed_size" \
   printf "| **fqz-tpu** | **%d MB** | **%.2fx** | **%.2fs** | **%.2fs** | **%.1f MB/s** |\n", out_sz/1000000, ratio, cms/1000, dms/1000, speed
 }'
 
-# v3 native ratio on the same input (our format's headline)
+# v3 native ratio + timed rows on the same input (our format's
+# headline; E080/E081 run BOTH directions as whole-file MT through the
+# native front-end, so these rows carry no interpreter startup)
 $FQ --format native -i "$INPUT" -o "$TMP/out3.fqz"
 v3_size=$(stat -c%s "$TMP/out3.fqz")
 $FQ -d -i "$TMP/out3.fqz" -o "$DEC"
 cmp "$INPUT" "$DEC" || { echo "error: v3 round-trip failed" >&2; exit 1; }
-awk -v in_sz="$input_size" -v v3="$v3_size" -v v2="$compressed_size" 'BEGIN {
-  printf "v3 native: %d MB (%.2fx; %.1f%% of the v2/fqpack-class size)\n", v3/1000000, in_sz/v3, 100*v3/v2
+v3_cms=$(best_ms $FQ --format native -i "$INPUT" -o "$TMP/out3.fqz")
+v3_dms=$(best_ms $FQ -d -i "$TMP/out3.fqz" -o "$DEC")
+awk -v in_sz="$input_size" -v v3="$v3_size" -v v2="$compressed_size" \
+    -v cms="$v3_cms" -v dms="$v3_dms" 'BEGIN {
+  printf "v3 native: %d MB (%.2fx; %.1f%% of the v2/fqpack-class size), %.2fs compress (%.1f MB/s) / %.2fs decompress (%.1f MB/s)\n", \
+    v3/1000000, in_sz/v3, 100*v3/v2, cms/1000, (in_sz/1e6)/(cms/1000), dms/1000, (in_sz/1e6)/(dms/1000)
 }'

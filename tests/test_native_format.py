@@ -435,6 +435,31 @@ def test_mt_v3_decode_wctx_container():
     assert fq.decompress_bytes(comp) == data
 
 
+def test_mt_v3_compress_accepts_single_block_coverage(monkeypatch):
+    """E086: a single-block coverage file builds no dict on any path,
+    so the whole-file MT compress keeps it (byte-identical to the
+    per-block Python path) instead of bouncing to Python."""
+    from fastqpacker_tpu.pipeline import native as native_mod
+    from fastqpacker_tpu.runtime import bindings
+
+    data = _genome_corpus(nrec=30000)  # ~9 MB: one block on every path
+    comp = fq.compress_bytes(
+        data, fq.Options(version=container.VERSION_3_NATIVE)
+    )
+    fh = container.read_file_header(io.BytesIO(comp))
+    assert not (fh.flags & container.FLAG_SEQ_DICT)
+    assert _first_seq_tag(comp) == native.TAG_SLDM
+    # true per-block Python path (whole-file MT disabled)
+    monkeypatch.setattr(bindings, "compress_mt_v3_available", lambda: False)
+    py = io.BytesIO()
+    native_mod.compress_native(
+        io.BytesIO(data), py,
+        fq.Options(version=container.VERSION_3_NATIVE),
+    )
+    assert py.getvalue() == comp
+    assert fq.decompress_bytes(comp) == data
+
+
 def test_mt_v3_decode_dict_container():
     """E081: FLAG_SEQ_DICT containers decode through the whole-file
     native path — the container dictionary is referenced as the

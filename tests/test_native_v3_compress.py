@@ -148,13 +148,26 @@ def test_mt_v3_fd_and_buffer_sinks_identical(tmp_path):
 
 
 def test_mt_v3_dict_probe_falls_back():
-    """Coverage data: the native call returns None without writing a
-    byte; the full pipeline then builds the FLAG_SEQ_DICT container
-    byte-identically to the Python path."""
+    """Multi-block coverage data: the native call returns None without
+    writing a byte (the Python path owns FLAG_SEQ_DICT containers); a
+    SINGLE-block coverage file builds no dict on any path, so the
+    native call keeps it (E086)."""
     data = _coverage_fastq(40000)
+    sink1 = io.BytesIO()
     res = bindings.compress_mt(
         np.frombuffer(data, np.uint8),
-        100000,
+        100000,  # one block: no dict possible -> accepted
+        container.VERSION_3_NATIVE,
+        0,
+        2,
+        -1,
+        sink=sink1,
+    )
+    assert res is not None and res == len(sink1.getvalue())
+    assert fq.decompress_bytes(sink1.getvalue()) == data
+    res = bindings.compress_mt(
+        np.frombuffer(data, np.uint8),
+        8000,  # multi-block: the dict probe must bounce to Python
         container.VERSION_3_NATIVE,
         0,
         2,
