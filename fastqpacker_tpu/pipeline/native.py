@@ -596,6 +596,7 @@ def compress_native(
     # Python). Containers are byte-identical to the per-block path
     # below. When block 0's coverage probe fires the native call returns
     # FALLBACK without writing a byte, and the Python dict path runs.
+    src_view = None  # kept for the E087 dict-mode MT attempt below
     if encode_arrays is None and not opts.lossless and not opts.order1_qual:
         from ..runtime import bindings
         from ..utils.inmem import source_view
@@ -620,6 +621,7 @@ def compress_native(
                     )
                     if res is not None:
                         return
+                    src_view = view
                 # source_view advanced r to EOF: the dict path (or the
                 # buffer-cap skip) reruns over the same bytes
                 import io as _io
@@ -682,6 +684,30 @@ def compress_native(
                 flags |= container.FLAG_SEQ_DICT
             except ValueError:
                 seq_dict = None
+
+    # Whole-file native MT compress, dict mode (E087): the dict decision
+    # above is the Python path's; hand the parallel per-block encode to
+    # C++ with the prefix and the pre-compressed section (byte-identical
+    # container, no per-block Python loop). Nothing has been written to
+    # ``w`` yet, so the error paths raise on a clean sink.
+    if seq_dict is not None and src_view is not None:
+        from ..ops import sldm
+        from ..runtime import bindings
+
+        if bindings.compress_mt_dict_available():
+            fd = api._sink_fd(w)
+            res = bindings.compress_mt_dict(
+                np.frombuffer(src_view, np.uint8),
+                block_size,
+                opts.flags | container.FLAG_SEQ_DICT,
+                api._resolve_workers(opts.workers),
+                seq_dict,
+                sldm.compress_dict(seq_dict),
+                fd,
+                sink=w,
+            )
+            if res is not None:
+                return
 
     container.FileHeader(
         version=container.VERSION_3_NATIVE,

@@ -1133,6 +1133,13 @@ def _bind_mt(lib):
             ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i64p,
         ]
+    if hasattr(lib, "fq_compress_mt_dict"):
+        lib.fq_compress_mt_dict.restype = _ll
+        lib.fq_compress_mt_dict.argtypes = [
+            _u8p, _ll, _ll, ctypes.c_uint8, ctypes.c_int, _u8p, _ll,
+            _u8p, _ll, ctypes.c_int, ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)), _i64p,
+        ]
     if hasattr(lib, "fq_decompress_mt_v3_ex"):
         lib.fq_decompress_mt_v3_ex.restype = _ll
         lib.fq_decompress_mt_v3_ex.argtypes = [
@@ -1376,6 +1383,45 @@ def compress_mt(
     res, info = _mt_call(
         lib.fq_compress_mt, src,
         (block_records, version, extra_flags, workers), out_fd, sink,
+    )
+    if res < 0:
+        if res == MT_FALLBACK:
+            return None
+        _mt_raise_compress(res, info)
+    return res
+
+
+def compress_mt_dict_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "fq_compress_mt_dict")
+
+
+def compress_mt_dict(
+    src: np.ndarray,
+    block_records: int,
+    extra_flags: int,
+    workers: int,
+    seq_dict: np.ndarray,
+    dict_comp: bytes,
+    out_fd: int = -1,
+    sink=None,
+):
+    """FLAG_SEQ_DICT whole-file v3 compress (E087): the caller decides
+    the dict (decoded codes + the compressed section payload, written
+    verbatim); the native call runs the parallel per-block encode with
+    the TAG_SLDM prefix under exact Python-framing parity.
+    ``extra_flags`` must include FLAG_SEQ_DICT. Byte-identical to the
+    per-block Python dict path."""
+    lib = _load()
+    if not hasattr(lib, "_mt_bound"):
+        _bind_mt(lib)
+    seq_dict = np.ascontiguousarray(seq_dict, np.uint8)
+    comp_arr = np.frombuffer(dict_comp, np.uint8)
+    res, info = _mt_call(
+        lib.fq_compress_mt_dict, src,
+        (block_records, extra_flags, workers, _nz_u8(seq_dict),
+         len(seq_dict), _nz_u8(comp_arr), len(comp_arr)),
+        out_fd, sink,
     )
     if res < 0:
         if res == MT_FALLBACK:

@@ -3829,11 +3829,19 @@ inline double coverage_probe(const uint8_t* packed, long long plen) {
   return 1.0 - (double)distinct / (double)words.size();
 }
 
-// sldm.encode / encode_bases: one zstd-LDM frame over the unpacked codes.
+// sldm.encode / encode_bases: one zstd-LDM frame over the unpacked
+// codes, optionally matched against the container dictionary prefix
+// (ZSTD_CCtx_refPrefix, one-shot — byte-identical to the Python
+// codec.compress(data, prefix=...) path).
 inline bool sldm_encode(const uint8_t* bases, long long n, ZstdWorker& w,
-                        std::vector<uint8_t>& out) {
+                        std::vector<uint8_t>& out,
+                        const uint8_t* prefix = nullptr,
+                        long long prefix_len = 0) {
   ZSTD_CCtx* c = w.ldm_ctx();
   if (!c) return false;
+  if (prefix_len > 0 &&
+      ZSTD_isError(ZSTD_CCtx_refPrefix(c, prefix, (size_t)prefix_len)))
+    return false;
   const size_t bound = ZSTD_compressBound((size_t)n);
   out.resize(bound);
   const size_t cn =
@@ -4050,7 +4058,9 @@ inline long long encode_seq_stream(const uint8_t* s, long long n,
                                    const long long* lens, long long nrec,
                                    long long total_len, Memo* memo,
                                    ZstdWorker& w, Scratch& sc, uint8_t* out,
-                                   long long cap) {
+                                   long long cap,
+                                   const uint8_t* dict = nullptr,
+                                   long long dict_len = 0) {
   out[0] = TAG_ZSTD;
   const size_t zn =
       fq_zstd_adaptive(w, s, (size_t)n, out + 1, (size_t)(cap - 1));
@@ -4097,9 +4107,11 @@ inline long long encode_seq_stream(const uint8_t* s, long long n,
       bar = (long long)sc.cand.size();
     }
   }
-  // coverage-redundancy candidate, gated on the sampled 16-mer probe
-  bool run_cov = false;
-  if (memo == nullptr || memo->cov_should_probe()) {
+  // coverage-redundancy candidate: always measured when the container
+  // dictionary is present (native.py run_cov = seq_dict is not None);
+  // otherwise gated on the sampled 16-mer probe
+  bool run_cov = dict_len > 0;
+  if (!run_cov && (memo == nullptr || memo->cov_should_probe())) {
     run_cov = coverage_probe(s, n) >= 0.002;
     if (memo != nullptr) memo->cov_outcome(run_cov);
   }
@@ -4114,7 +4126,8 @@ inline long long encode_seq_stream(const uint8_t* s, long long n,
       bases = sc.bases.data();
     }
     if (ok) {
-      if (!sldm_encode(bases, total_len, w, sc.cand2)) return -4;
+      if (!sldm_encode(bases, total_len, w, sc.cand2, dict, dict_len))
+        return -4;
       if ((long long)sc.cand2.size() < bar) {
         best = &sc.cand2;
         best_tag = TAG_SLDM;
@@ -4229,7 +4242,9 @@ inline long long encode_headers_stream(const uint8_t* s, long long n,
 inline long long encode_block(const uint8_t* const st[6],
                               const long long sizes[6], long long nrec,
                               long long total_len, Memo* memo, ZstdWorker& w,
-                              Scratch& sc, uint8_t* out, long long out_cap) {
+                              Scratch& sc, uint8_t* out, long long out_cap,
+                              const uint8_t* dict = nullptr,
+                              long long dict_len = 0) {
   // CRC32 over the uncompressed streams in wire order (native.py
   // _crc_streams; an explicit integrity field replacing v1/v2's zstd
   // frame checksums, PERFORMANCE.md E033)
@@ -4253,7 +4268,8 @@ inline long long encode_block(const uint8_t* const st[6],
     switch (i) {
       case 0:
         cn = encode_seq_stream(st[0], sizes[0], lens, nrec, total_len, memo,
-                               w, sc, out + pos, out_cap - pos);
+                               w, sc, out + pos, out_cap - pos, dict,
+                               dict_len);
         break;
       case 1:
         cn = encode_qual_stream(st[1], sizes[1], lens, nrec, w, sc,
@@ -4744,15 +4760,24 @@ void fq_buf_free(void* h) { delete (fqmt::OwnedBuf*)h; }
 // details in err_info: MT_ERR_SCAN -> err_info[0] = FQ_ERR_*;
 // MT_ERR_AMBIG -> err_info[0] = record row (block-relative),
 // err_info[1] = its length; MT_ERR_WRITE -> err_info[0] = errno.
-long long fq_compress_mt(const uint8_t* text, long long n,
-                         long long block_records, int version,
-                         uint8_t extra_flags, int workers, int out_fd,
-                         void** out_handle, uint8_t** out_ptr,
-                         long long* err_info) {
+// `dict_codes`/`dict_len`: the FLAG_SEQ_DICT container dictionary
+// (decoded unpacked codes) referenced as the TAG_SLDM prefix in every
+// block; `dict_comp`/`dict_comp_len`: the section payload written
+// verbatim after the file header (the caller compresses it, so the
+// wire bytes match the Python path exactly). Dict mode implies v3 and
+// forces exact record-count framing (Python framing parity — the dict
+// is defined over the 100k-record block 0, not resync byte-capped
+// blocks). E087.
+static long long fq_compress_mt_impl(
+    const uint8_t* text, long long n, long long block_records, int version,
+    uint8_t extra_flags, int workers, const uint8_t* dict_codes,
+    long long dict_len, const uint8_t* dict_comp, long long dict_comp_len,
+    int out_fd, void** out_handle, uint8_t** out_ptr, long long* err_info) {
   using namespace fqmt;
   err_info[0] = err_info[1] = 0;
   if (block_records <= 0 || (version != 1 && version != 2 && version != 3))
     return -12;
+  if (dict_len > 0 && version != 3) return -12;
   if (workers < 1) workers = 1;
   const long long hdr_size = version == 1 ? 32 : 36;  // v1/v2 finish only
   // v3 (E080): cross-block probe memoization shared by the worker pool
@@ -4877,6 +4902,7 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     const char* e = getenv("FQZ_MT_SEQ_FRAMING");
     if (e && e[0] == '1') resync = false;
   }
+  if (dict_len > 0) resync = false;  // Python framing parity (E087)
   std::vector<long long> bnds;  // resync boundaries, incl. 0 and n
   if (resync) {
     // average record size from the leading sample (newline walk only)
@@ -5213,7 +5239,7 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       // single-block, where no dict is ever built (E086 — coverage-
       // heavy single-block files otherwise paid an exec-to-Python
       // round trip plus the per-block Python encode).
-      if (j.idx == 0 &&
+      if (dict_len == 0 && j.idx == 0 &&
           fqv3::coverage_probe(fb.streams[0], fb.sizes[0]) >= 0.002)
         r.fallback = true;
       // offset patch (fused_finish semantics): record starts in the
@@ -5240,7 +5266,8 @@ long long fq_compress_mt(const uint8_t* text, long long n,
       }
       const long long total = fqv3::encode_block(
           fb.streams, fb.sizes, fb.nrec, fb.total_len, &v3memo,
-          current_zstd_worker(), *v3sc, r.out.p, cap);
+          current_zstd_worker(), *v3sc, r.out.p, cap, dict_codes,
+          dict_len);
       if (total < 0) {
         r.out.len = 0;
         r.err = total == -4 ? MT_ERR_ZSTD : -12;
@@ -5325,6 +5352,17 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     if (!sink.write(fhdr, 10)) return false;
     header_written = true;
     ret += 10;
+    if (dict_comp_len > 0) {
+      // v3 sequence-dictionary section (container.py
+      // write_seq_dict_section): u32le raw size, u32le comp size,
+      // caller-compressed payload verbatim
+      uint8_t shdr[8];
+      put_u32(shdr, (uint32_t)dict_len);
+      put_u32(shdr + 4, (uint32_t)dict_comp_len);
+      if (!sink.write(shdr, 8)) return false;
+      if (!sink.write(dict_comp, (size_t)dict_comp_len)) return false;
+      ret += 8 + dict_comp_len;
+    }
     return true;
   };
 
@@ -5483,6 +5521,34 @@ long long fq_compress_mt(const uint8_t* text, long long n,
     *out_ptr = owned->v.data();
   }
   return ret;
+}
+
+long long fq_compress_mt(const uint8_t* text, long long n,
+                         long long block_records, int version,
+                         uint8_t extra_flags, int workers, int out_fd,
+                         void** out_handle, uint8_t** out_ptr,
+                         long long* err_info) {
+  return fq_compress_mt_impl(text, n, block_records, version, extra_flags,
+                             workers, nullptr, 0, nullptr, 0, out_fd,
+                             out_handle, out_ptr, err_info);
+}
+
+// FLAG_SEQ_DICT whole-file v3 compress (E087): the caller (Python
+// compress_native) makes the dict decision and compresses the section;
+// this entry runs the parallel per-block encode with the prefix under
+// exact Python-framing parity. extra_flags must include FLAG_SEQ_DICT.
+long long fq_compress_mt_dict(const uint8_t* text, long long n,
+                              long long block_records, uint8_t extra_flags,
+                              int workers, const uint8_t* dict_codes,
+                              long long dict_len, const uint8_t* dict_comp,
+                              long long dict_comp_len, int out_fd,
+                              void** out_handle, uint8_t** out_ptr,
+                              long long* err_info) {
+  if (dict_len <= 0 || dict_comp_len <= 0) return -12;
+  return fq_compress_mt_impl(text, n, block_records, 3, extra_flags,
+                             workers, dict_codes, dict_len, dict_comp,
+                             dict_comp_len, out_fd, out_handle, out_ptr,
+                             err_info);
 }
 
 // Decompress a whole in-memory FQZ v1/v2 container body (file header

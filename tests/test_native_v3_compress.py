@@ -185,6 +185,23 @@ def test_mt_v3_dict_probe_falls_back():
     assert fq.decompress_bytes(mt) == data
 
 
+def test_mt_v3_dict_mode_byte_identical(monkeypatch):
+    """E087: the whole-file MT dict-mode compress (Python decides the
+    dict, C++ runs the parallel per-block encode with the prefix) is
+    byte-identical to the per-block Python dict path."""
+    data = _coverage_fastq(12000)
+    opts = _v3_opts(workers=2, block_size=3000)  # 4 blocks -> dict
+    mt = _mt_compress(data, opts)  # routes through compress_native
+    fh = container.read_file_header(io.BytesIO(mt))
+    assert fh.flags & container.FLAG_SEQ_DICT
+    monkeypatch.setattr(
+        bindings, "compress_mt_dict_available", lambda: False
+    )
+    py = _python_compress(data, opts)
+    assert mt == py
+    assert fq.decompress_bytes(mt) == data
+
+
 def test_mt_v3_phred64():
     rng = np.random.default_rng(5)
     ab = np.frombuffer(b"ACGT", np.uint8)
