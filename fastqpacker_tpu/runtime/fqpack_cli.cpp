@@ -40,6 +40,11 @@ long long fq_compress_mt(const uint8_t* text, long long n,
                          uint8_t extra_flags, int workers, int out_fd,
                          void** out_handle, uint8_t** out_ptr,
                          long long* err_info);
+long long fq_compress_mt_v3_auto(const uint8_t* text, long long n,
+                                 long long block_records,
+                                 uint8_t extra_flags, int workers,
+                                 int out_fd, void** out_handle,
+                                 uint8_t** out_ptr, long long* err_info);
 long long fq_decompress_mt(const uint8_t* data, long long n, int version,
                            uint8_t qoffset, int workers, int out_fd,
                            void** out_handle, uint8_t** out_ptr,
@@ -279,12 +284,18 @@ int main(int argc, char** argv) {
     if (block_records <= 0)
       block_records =
           version == 3 ? kNativeBlockRecords : kSpeedBlockRecords;
+    // v3 runs the auto entry (E088): the dict decision — probe,
+    // dictionary build, section — happens natively; FALLBACK only
+    // remains for scan errors, where the Python CLI surfaces the
+    // exact message
     const long long rc =
-        fq_compress_mt(in.p, in.n, block_records, version, 0, workers,
-                       out_fd, nullptr, nullptr, info);
+        version == 3
+            ? fq_compress_mt_v3_auto(in.p, in.n, block_records, 0,
+                                     workers, out_fd, nullptr, nullptr,
+                                     info)
+            : fq_compress_mt(in.p, in.n, block_records, version, 0,
+                             workers, out_fd, nullptr, nullptr, info);
     if (rc == kMtErrFallback) {
-      // v3 block-0 coverage probe fired before any byte was written:
-      // the Python dict path owns FLAG_SEQ_DICT containers
       if (out_fd != 1) close(out_fd);
       exec_python_cli();
     }

@@ -4772,7 +4772,8 @@ static long long fq_compress_mt_impl(
     const uint8_t* text, long long n, long long block_records, int version,
     uint8_t extra_flags, int workers, const uint8_t* dict_codes,
     long long dict_len, const uint8_t* dict_comp, long long dict_comp_len,
-    int out_fd, void** out_handle, uint8_t** out_ptr, long long* err_info) {
+    int force_exact, int out_fd, void** out_handle, uint8_t** out_ptr,
+    long long* err_info) {
   using namespace fqmt;
   err_info[0] = err_info[1] = 0;
   if (block_records <= 0 || (version != 1 && version != 2 && version != 3))
@@ -4902,7 +4903,9 @@ static long long fq_compress_mt_impl(
     const char* e = getenv("FQZ_MT_SEQ_FRAMING");
     if (e && e[0] == '1') resync = false;
   }
-  if (dict_len > 0) resync = false;  // Python framing parity (E087)
+  // Python framing parity (E087/E088): dict containers and the auto
+  // path's no-dict re-run both frame by record count
+  if (dict_len > 0 || force_exact) resync = false;
   std::vector<long long> bnds;  // resync boundaries, incl. 0 and n
   if (resync) {
     // average record size from the leading sample (newline walk only)
@@ -5529,7 +5532,7 @@ long long fq_compress_mt(const uint8_t* text, long long n,
                          void** out_handle, uint8_t** out_ptr,
                          long long* err_info) {
   return fq_compress_mt_impl(text, n, block_records, version, extra_flags,
-                             workers, nullptr, 0, nullptr, 0, out_fd,
+                             workers, nullptr, 0, nullptr, 0, 0, out_fd,
                              out_handle, out_ptr, err_info);
 }
 
@@ -5547,8 +5550,86 @@ long long fq_compress_mt_dict(const uint8_t* text, long long n,
   if (dict_len <= 0 || dict_comp_len <= 0) return -12;
   return fq_compress_mt_impl(text, n, block_records, 3, extra_flags,
                              workers, dict_codes, dict_len, dict_comp,
-                             dict_comp_len, out_fd, out_handle, out_ptr,
+                             dict_comp_len, 0, out_fd, out_handle, out_ptr,
                              err_info);
+}
+
+// E088: `--format native` without the interpreter — the dict DECISION
+// in native code, mirroring native.py compress_native. Runs the plain
+// whole-file v3 compress; on the coverage fallback, frames the Python
+// block 0 (4*block_records lines), probes it, and either re-runs under
+// exact framing (single Python block: no dict is ever built — the E086
+// gate then accepts) or builds the dictionary exactly like the Python
+// path (block 0's first DICT_BYTES unpacked codes, one zstd-LDM
+// section frame) and runs dict mode. Returns MT_ERR_FALLBACK only when
+// the block-0 scan fails, so the exec'd Python CLI surfaces the exact
+// parse error.
+long long fq_compress_mt_v3_auto(const uint8_t* text, long long n,
+                                 long long block_records,
+                                 uint8_t extra_flags, int workers,
+                                 int out_fd, void** out_handle,
+                                 uint8_t** out_ptr, long long* err_info) {
+  const long long first = fq_compress_mt_impl(
+      text, n, block_records, 3, extra_flags, workers, nullptr, 0,
+      nullptr, 0, 0, out_fd, out_handle, out_ptr, err_info);
+  if (first != fqmt::MT_ERR_FALLBACK) return first;
+  // end of Python block 0: exact record-count framing
+  long long lines = 4 * block_records;
+  long long pos = 0;
+  while (lines > 0 && pos < n) {
+    const void* nl = memchr(text + pos, '\n', (size_t)(n - pos));
+    if (nl == nullptr) {
+      pos = n;
+      break;
+    }
+    pos = (long long)((const uint8_t*)nl - text) + 1;
+    lines--;
+  }
+  if (lines > 0 || pos >= n) {
+    // single Python block: no dict on any path
+    return fq_compress_mt_impl(text, n, block_records, 3, extra_flags,
+                               workers, nullptr, 0, nullptr, 0, 1, out_fd,
+                               out_handle, out_ptr, err_info);
+  }
+  FqFusedBlock fb;
+  long long detail[2] = {0, 0};
+  const long long rc =
+      fq_encode_block_fused_scan_wide(text, pos, &fb, detail, nullptr, 0);
+  if (rc < 0) return fqmt::MT_ERR_FALLBACK;
+  if (fqv3::coverage_probe(fb.streams[0], fb.sizes[0]) < 0.002)
+    return fq_compress_mt_impl(text, n, block_records, 3, extra_flags,
+                               workers, nullptr, 0, nullptr, 0, 1, out_fd,
+                               out_handle, out_ptr, err_info);
+  // sldm.build_dict + compress_dict parity (ops/sldm.py:54-163)
+  constexpr long long kDictBytes = 8LL << 20;  // sldm.DICT_BYTES
+  std::vector<uint8_t> codes;
+  std::vector<long long> lens64;
+  std::vector<uint8_t> comp;
+  try {
+    lens64.resize((size_t)(fb.nrec > 0 ? fb.nrec : 1));
+    for (long long i = 0; i < fb.nrec; i++) {
+      uint32_t l;
+      memcpy(&l, fb.streams[5] + 4 * i, 4);
+      lens64[(size_t)i] = (long long)l;
+    }
+    codes.resize((size_t)(fb.total_len > 0 ? fb.total_len : 1));
+  } catch (...) {
+    return -12;
+  }
+  if (fq_sldm_unpack(fb.streams[0], fb.sizes[0], lens64.data(), fb.nrec,
+                     codes.data()) != 0)
+    return fqmt::MT_ERR_FALLBACK;
+  const long long dict_len =
+      fb.total_len < kDictBytes ? fb.total_len : kDictBytes;
+  if (dict_len <= 0) return fqmt::MT_ERR_FALLBACK;
+  if (!fqv3::sldm_encode(codes.data(), dict_len, current_zstd_worker(),
+                         comp))
+    return -4;
+  return fq_compress_mt_impl(
+      text, n, block_records, 3,
+      (uint8_t)(extra_flags | (1 << 2)),  // container.py FLAG_SEQ_DICT
+      workers, codes.data(), dict_len, comp.data(),
+      (long long)comp.size(), 0, out_fd, out_handle, out_ptr, err_info);
 }
 
 // Decompress a whole in-memory FQZ v1/v2 container body (file header

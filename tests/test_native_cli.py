@@ -129,10 +129,11 @@ def test_native_cli_v3_compress(tmp_path):
     assert dec.read_bytes() == data
 
 
-def test_native_cli_v3_dict_probe_fallback(tmp_path):
-    # coverage-redundant reads: block 0's probe fires, the native call
-    # returns FALLBACK without writing a byte, and the exec'd Python CLI
-    # builds the FLAG_SEQ_DICT container
+def test_native_cli_v3_dict_native(tmp_path):
+    # coverage-redundant reads: block 0's probe fires and the native
+    # binary builds the FLAG_SEQ_DICT container ITSELF (E088: probe,
+    # dictionary, section all in native code) — byte-identical to the
+    # Python CLI's dict path
     g = np.random.default_rng(5)
     genome = g.integers(0, 4, 40_000).astype(np.uint8)
     starts = g.integers(0, 40_000 - 151, 4000)
@@ -154,6 +155,13 @@ def test_native_cli_v3_dict_probe_fallback(tmp_path):
     assert blob[4] == 3
     assert blob[9] & fq.container.FLAG_SEQ_DICT
     assert fq.decompress_bytes(blob) == data
+    # byte-identical to the Python dict path (library route)
+    assert blob == fq.compress_bytes(
+        data,
+        fq.Options(
+            version=fq.container.VERSION_3_NATIVE, block_size=1000
+        ),
+    )
 
 
 def test_native_cli_python_fallbacks(tmp_path):
